@@ -1,0 +1,19 @@
+"""mr_blip_tpu — a TPU-native (JAX/XLA/Pallas) video moment-retrieval and
+grounded VideoQA framework with the capabilities of Mr. BLIP / Chrono.
+
+Layer map (bottom-up):
+  common/    registry, config, logging, schedulers, distributed helpers
+  text/      tokenization, span grammar, timestamp formatting
+  metrics/   moment-retrieval / highlight / grounded-QA metrics (pure CPU)
+  ops/       Pallas TPU kernels (flash attention, fused preprocessing)
+  models/    EVA ViT-g, Q-Former, T5, LoRA, BLIP2-MR composition
+  datasets/  annotation loading, video decode, frame sampling, loaders
+  processors/ video train/eval processors
+  tasks/     moment_retrieval, videoqa, videogqa, tal
+  runners/   epoch/iteration training loops, checkpointing
+  parallel/  mesh construction and sharding rules
+"""
+
+__version__ = "0.1.0"
+
+MAX_INT = 2**31 - 1

@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh for all tests.
+
+Multi-chip sharding logic is validated on a host-platform device mesh
+(``--xla_force_host_platform_device_count=8``) so tests run anywhere.
+Must be set before JAX initializes, hence module scope in conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import pathlib
+
+import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference repo not mounted")
+    return REFERENCE_ROOT
