@@ -17,3 +17,12 @@ Layer map (bottom-up):
 __version__ = "0.1.0"
 
 MAX_INT = 2**31 - 1
+
+# Importing registering modules populates the registry (models, tasks,
+# builders, processors, schedulers, runners) so name->class lookup works
+# from a bare `import mr_blip_tpu`.
+from mr_blip_tpu.common.utils import setup_library_paths as _setup_library_paths
+
+_setup_library_paths()
+
+from mr_blip_tpu.common import optims as _optims  # registers lr schedulers

@@ -1,0 +1,105 @@
+"""Tests for the registry / config spine and LR schedules."""
+
+import math
+
+import pytest
+
+from mr_blip_tpu.common.config import Config, ConfigDict, deep_merge, parse_options
+from mr_blip_tpu.common.optims import (
+    LinearWarmupCosineLRScheduler,
+    LinearWarmupStepLRScheduler,
+)
+from mr_blip_tpu.common.registry import registry
+
+
+class TestRegistry:
+    def test_register_and_get_model(self):
+        @registry.register_model("test_model_xyz")
+        class M:
+            pass
+
+        assert registry.get_model_class("test_model_xyz") is M
+        assert "test_model_xyz" in registry.list_models()
+
+    def test_duplicate_name_raises(self):
+        @registry.register_task("test_task_dup")
+        class T1:
+            pass
+
+        with pytest.raises(KeyError):
+            @registry.register_task("test_task_dup")
+            class T2:
+                pass
+
+    def test_state_dotted(self):
+        registry.register("a.b.c", 42)
+        assert registry.get("a.b.c") == 42
+        assert registry.get("a.b.missing", default="x") == "x"
+
+
+class TestConfig:
+    def test_deep_merge(self):
+        base = {"run": {"lr": 1, "bs": 2}, "model": {"arch": "m"}}
+        override = {"run": {"lr": 3}}
+        merged = deep_merge(base, override)
+        assert merged["run"]["lr"] == 3
+        assert merged["run"]["bs"] == 2
+        assert merged["model"]["arch"] == "m"
+
+    def test_parse_options_equals_and_pairs(self):
+        opts = parse_options(["run.lr=0.001", "model.arch", "blip2_mr", "run.flag=True"])
+        assert opts["run"]["lr"] == 0.001
+        assert opts["model"]["arch"] == "blip2_mr"
+        assert opts["run"]["flag"] is True
+
+    def test_config_from_yaml(self, tmp_path):
+        cfg_file = tmp_path / "proj.yaml"
+        cfg_file.write_text(
+            "run:\n  task: moment_retrieval\n  lr_sched: linear_warmup_cosine_lr\n"
+            "  init_lr: 0.0003\nmodel:\n  arch: nonexistent_arch_zz\n"
+            "datasets:\n  fake_ds:\n    vis_processor:\n      train:\n        name: x\n"
+        )
+        cfg = Config(cfg_path=str(cfg_file), options=["run.init_lr=0.1"])
+        assert cfg.run_cfg.task == "moment_retrieval"
+        assert cfg.run_cfg.init_lr == 0.1  # CLI override wins
+        assert cfg.model_cfg.arch == "nonexistent_arch_zz"
+        assert "fake_ds" in cfg.datasets_cfg
+
+    def test_attribute_access(self):
+        c = ConfigDict({"a": {"b": 1}})
+        assert c.a.b == 1
+        with pytest.raises(AttributeError):
+            _ = c.missing
+
+
+class TestSchedulers:
+    def test_warmup_then_cosine(self):
+        sched = LinearWarmupCosineLRScheduler(
+            max_epoch=10, min_lr=0.0, init_lr=1.0, warmup_steps=10, warmup_start_lr=0.0
+        )
+        # epoch 0: warmup ramp
+        assert sched(0, 0) == 0.0
+        assert sched(0, 5) == 0.5
+        # after warmup within epoch 0: cosine at epoch 0 => init_lr
+        assert sched(0, 20) == 1.0
+        # mid-training: cosine decay
+        mid = sched(5, 0)
+        assert abs(mid - 0.5 * (1 + math.cos(math.pi * 5 / 10))) < 1e-12
+
+    def test_warmup_spans_epochs(self):
+        sched = LinearWarmupCosineLRScheduler(
+            max_epoch=4, min_lr=0.0, init_lr=1.0, warmup_steps=100, warmup_start_lr=0.0
+        )
+        for s in range(50):
+            sched(0, s)  # learn iters_per_epoch = 49
+        lr = sched(1, 0)  # global step 49 < 100: still warming up
+        assert lr == pytest.approx(49 / 100)
+
+    def test_step_scheduler(self):
+        sched = LinearWarmupStepLRScheduler(
+            max_epoch=5, min_lr=0.01, init_lr=1.0, decay_rate=0.1, warmup_steps=2,
+            warmup_start_lr=0.0,
+        )
+        assert sched(0, 1) == 0.5
+        assert sched(1, 0) == pytest.approx(0.1)
+        assert sched(3, 0) == pytest.approx(0.01)  # floored at min_lr
