@@ -1,0 +1,156 @@
+"""EVA ViT-g/14 frame encoder (flax linen, TPU-native).
+
+Architecture matches the reference ``lavis/models/eva_vit.py:246-442``
+(``create_eva_vit_g``): 39 pre-norm blocks, d=1408, 16 heads (head dim 88),
+MLP ratio 4.3637 -> hidden 6144, patch 14, absolute position embeddings,
+fused QKV with q/v bias only (k bias fixed at zero), GELU MLP, **no** final
+norm — all 257 tokens (cls + 256 patches) are returned for the Q-Former.
+
+TPU-first details: frames are batched as (B*T, H, W, C) NHWC so the patch
+conv lowers to one big MXU matmul; compute is bf16 with fp32 LayerNorms;
+gradient checkpointing wraps whole blocks via ``nn.remat`` when enabled
+(the encoder is frozen in Mr. BLIP finetuning, so remat is off by default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mr_blip_tpu.models.layers import Dense, LayerNormFP32, Mlp
+from mr_blip_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 14
+    in_chans: int = 3
+    embed_dim: int = 1408
+    depth: int = 39
+    num_heads: int = 16
+    mlp_hidden_dim: int = 6144
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    use_checkpoint: bool = False
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+
+def eva_vit_g_config(img_size: int = 224, use_checkpoint: bool = False) -> ViTConfig:
+    """EVA ViT-g/14: mlp_hidden = int(1408 * 4.3637) = 6144 (eva_vit.py:422-428)."""
+    return ViTConfig(img_size=img_size, use_checkpoint=use_checkpoint)
+
+
+def vit_tiny_config(img_size: int = 28) -> ViTConfig:
+    """Tiny config for tests: 2 blocks, d=32."""
+    return ViTConfig(
+        img_size=img_size, patch_size=14, embed_dim=32, depth=2, num_heads=2,
+        mlp_hidden_dim=64,
+    )
+
+
+class ViTAttention(nn.Module):
+    config: ViTConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        b, n, c = x.shape
+        head_dim = cfg.embed_dim // cfg.num_heads
+
+        qkv = Dense(
+            3 * cfg.embed_dim,
+            use_bias=False,
+            compute_dtype=self.compute_dtype,
+            name="qkv",
+        )(x)
+        if cfg.qkv_bias:
+            # EVA quirk: bias on q and v only; k bias is identically zero
+            # (eva_vit.py:77-81,124-127).
+            q_bias = self.param(
+                "q_bias", nn.initializers.zeros, (cfg.embed_dim,), jnp.float32
+            )
+            v_bias = self.param(
+                "v_bias", nn.initializers.zeros, (cfg.embed_dim,), jnp.float32
+            )
+            bias = jnp.concatenate(
+                [q_bias, jnp.zeros_like(q_bias), v_bias]
+            ).astype(qkv.dtype)
+            qkv = qkv + bias
+
+        qkv = qkv.reshape(b, n, 3, cfg.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, n, cfg.embed_dim)
+        return Dense(cfg.embed_dim, compute_dtype=self.compute_dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    config: ViTConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        x = x + ViTAttention(cfg, self.compute_dtype, name="attn")(
+            LayerNormFP32(name="norm1")(x)
+        )
+        x = x + Mlp(
+            cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype, name="mlp"
+        )(LayerNormFP32(name="norm2")(x))
+        return x
+
+
+class EvaViT(nn.Module):
+    """Returns all (1 + num_patches) token embeddings; no final norm."""
+
+    config: ViTConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, C) NHWC float in the processor's normalized range."""
+        cfg = self.config
+        b = images.shape[0]
+
+        x = nn.Conv(
+            features=cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(images.astype(self.compute_dtype))
+        x = x.reshape(b, -1, cfg.embed_dim)  # (B, P, D)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.embed_dim),
+            jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(x.dtype), x],
+            axis=1,
+        )
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, cfg.num_patches + 1, cfg.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos_embed.astype(x.dtype)
+
+        block_cls = ViTBlock
+        if cfg.use_checkpoint:
+            block_cls = nn.remat(ViTBlock)
+        for i in range(cfg.depth):
+            x = block_cls(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
+        return x

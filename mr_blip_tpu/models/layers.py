@@ -1,0 +1,139 @@
+"""Shared flax building blocks with an explicit precision policy.
+
+Policy (matches the reference's AMP discipline, blip2.py:36,113-119):
+params live in ``param_dtype`` (fp32 by default), matmul activations run in
+``compute_dtype`` (bf16 on TPU), while LayerNorm / RMSNorm always reduce in
+fp32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class LayerNormFP32(nn.Module):
+    """LayerNorm computed in fp32, cast back to the input dtype.
+
+    The reference keeps LayerNorm in fp32 under fp16/bf16 autocast
+    (``blip2.py:113-119`` LayerNorm subclass); bf16 variance accumulation
+    visibly shifts BLIP-2 logits.
+    """
+
+    epsilon: float = 1e-6
+    use_bias: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.LayerNorm(
+            epsilon=self.epsilon,
+            use_bias=self.use_bias,
+            use_scale=self.use_scale,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+class RMSNormFP32(nn.Module):
+    """T5-style RMSNorm (no mean subtraction, no bias), fp32 accumulation."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        y = x32 * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        return (y * scale).astype(orig_dtype)
+
+
+class Dense(nn.Module):
+    """nn.Dense with the framework dtype policy and optional LoRA delta.
+
+    When ``lora_rank > 0`` the layer adds a trainable low-rank update
+    ``x @ A @ B * (alpha / rank)`` on top of the (typically frozen) base
+    kernel — the reference applies LoRA r=8, alpha=8 to every T5 Linear
+    (blip2_mr.py:183-237).
+    """
+
+    features: int
+    use_bias: bool = True
+    compute_dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 8.0
+    lora_dropout: float = 0.0
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=self.kernel_init,
+        )(x)
+        if self.lora_rank > 0:
+            a = self.param(
+                "lora_a",
+                nn.initializers.normal(stddev=0.02),
+                (x.shape[-1], self.lora_rank),
+                self.param_dtype,
+            )
+            b = self.param(
+                "lora_b",
+                nn.initializers.zeros,
+                (self.lora_rank, self.features),
+                self.param_dtype,
+            )
+            h = x
+            if self.lora_dropout > 0.0 and not deterministic:
+                h = nn.Dropout(rate=self.lora_dropout)(h, deterministic=False)
+            scaling = self.lora_alpha / self.lora_rank
+            delta = (
+                h.astype(self.compute_dtype)
+                @ a.astype(self.compute_dtype)
+                @ b.astype(self.compute_dtype)
+            ) * scaling
+            y = y + delta
+        return y
+
+
+class Mlp(nn.Module):
+    """Two-layer GELU MLP (ViT / BERT style)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    compute_dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = Dense(
+            self.hidden_features,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = Dense(
+            out_features,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+            name="fc2",
+        )(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+        return x

@@ -1,0 +1,469 @@
+"""T5 encoder-decoder (flax linen) for span generation.
+
+Covers the reference's vendored HF T5 (``lavis/models/blip2_models/
+modeling_t5.py:350-2063``) as used by Mr. BLIP: Flan-T5-XL/XXL geometry,
+relative-position-bucket attention bias (shared from layer 0), RMSNorm,
+gated FFN with the exact-GELU override (``dense_act_fn="gelu"``,
+blip2_mr.py:144-148), untied LM head, and ``inputs_embeds`` encoder input
+(the interleaved frame/timestamp prompt enters as embeddings, not ids).
+
+TPU-first: bf16 matmuls with fp32 RMSNorm and fp32 logits; decoding uses a
+static-shape KV cache (flax mutable "cache" collection) so the whole
+autoregressive loop stays inside one ``lax.while_loop`` jit; LoRA deltas are
+injected into every Dense when ``lora_rank > 0`` (reference: LoRA r=8 on all
+T5 Linears, blip2_mr.py:183-237).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mr_blip_tpu.models.layers import Dense, RMSNormFP32
+from mr_blip_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 2048
+    d_kv: int = 64
+    d_ff: int = 5120
+    num_layers: int = 24
+    num_decoder_layers: int = 24
+    num_heads: int = 32
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    dense_act_fn: str = "gelu"  # exact GELU (reference override)
+    is_gated_act: bool = True
+    tie_word_embeddings: bool = False
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+    lora_rank: int = 0
+    lora_alpha: float = 8.0
+    lora_dropout: float = 0.05
+
+
+def t5_flan_xl_config(**kw) -> T5Config:
+    return T5Config(**kw)
+
+
+def t5_flan_xxl_config(**kw) -> T5Config:
+    return T5Config(d_model=4096, d_ff=10240, num_heads=64, **kw)
+
+
+def t5_tiny_config(**kw) -> T5Config:
+    defaults = dict(
+        vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, dropout_rate=0.0,
+    )
+    defaults.update(kw)
+    return T5Config(**defaults)
+
+
+def relative_position_bucket(relative_position, bidirectional, num_buckets, max_distance):
+    """T5 bucket function (modeling_t5.py:T5Attention._relative_position_bucket)."""
+    ret = 0
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret += (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    ret += jnp.where(is_small, n, val_if_large)
+    return ret
+
+
+class T5RelativeBias(nn.Module):
+    """Relative position bias embedding (owned by layer 0, shared onward)."""
+
+    config: T5Config
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, query_positions, key_positions):
+        cfg = self.config
+        rel = key_positions[None, :] - query_positions[:, None]  # (Nq, Nk)
+        buckets = relative_position_bucket(
+            rel,
+            bidirectional=self.bidirectional,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        table = self.param(
+            "rel_embedding",
+            nn.initializers.normal(1.0),
+            (cfg.relative_attention_num_buckets, cfg.num_heads),
+            jnp.float32,
+        )
+        bias = table[buckets]  # (Nq, Nk, H)
+        return bias.transpose(2, 0, 1)[None]  # (1, H, Nq, Nk)
+
+
+class T5Attention(nn.Module):
+    """Multi-head attention without scaling (T5 folds the scale into init)."""
+
+    config: T5Config
+    causal: bool = False
+    compute_dtype: Any = jnp.bfloat16
+    decode_cache_len: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        kv_states=None,
+        mask=None,
+        position_bias=None,
+        decode: bool = False,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        inner = cfg.num_heads * cfg.d_kv
+        is_cross = kv_states is not None
+
+        dense = lambda name: Dense(
+            inner, use_bias=False, compute_dtype=self.compute_dtype,
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+            lora_dropout=cfg.lora_dropout, name=name,
+        )
+        b, n, _ = x.shape
+        q = dense("q")(x, deterministic=deterministic).reshape(b, n, cfg.num_heads, cfg.d_kv)
+
+        if decode and is_cross:
+            # Cross K/V are constant across decode steps: computed once when
+            # the cache variable is created (init_cache pass), reused after.
+            already_cached = self.has_variable("cache", "cached_key")
+            if already_cached:
+                k = self.variable("cache", "cached_key", None).value
+                v = self.variable("cache", "cached_value", None).value
+                # keep the Dense params in the tree even when skipped
+                _ = dense("k")
+                _ = dense("v")
+            else:
+                k = dense("k")(kv_states, deterministic=deterministic).reshape(
+                    b, -1, cfg.num_heads, cfg.d_kv
+                )
+                v = dense("v")(kv_states, deterministic=deterministic).reshape(
+                    b, -1, cfg.num_heads, cfg.d_kv
+                )
+                self.variable("cache", "cached_key", lambda: k)
+                self.variable("cache", "cached_value", lambda: v)
+        else:
+            kv = kv_states if is_cross else x
+            k = dense("k")(kv, deterministic=deterministic).reshape(
+                b, -1, cfg.num_heads, cfg.d_kv
+            )
+            v = dense("v")(kv, deterministic=deterministic).reshape(
+                b, -1, cfg.num_heads, cfg.d_kv
+            )
+
+        if decode and not is_cross:
+            # Static-shape autoregressive cache (flax standard pattern).
+            max_len = self.decode_cache_len
+            assert max_len > 0, "decode=True requires decode_cache_len > 0"
+            cached_key = self.variable(
+                "cache", "cached_key", jnp.zeros,
+                (b, max_len, cfg.num_heads, cfg.d_kv), k.dtype,
+            )
+            cached_value = self.variable(
+                "cache", "cached_value", jnp.zeros,
+                (b, max_len, cfg.num_heads, cfg.d_kv), v.dtype,
+            )
+            cache_index = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            idx = cache_index.value
+            cached_key.value = jax.lax.dynamic_update_slice(
+                cached_key.value, k, (0, idx, 0, 0)
+            )
+            cached_value.value = jax.lax.dynamic_update_slice(
+                cached_value.value, v, (0, idx, 0, 0)
+            )
+            cache_index.value = idx + n
+            k = cached_key.value
+            v = cached_value.value
+            # Mask out cache slots at or beyond the write frontier.
+            valid = jnp.arange(max_len)[None, None, None, :] < (idx + n)
+            mask = valid if mask is None else jnp.logical_and(mask, valid)
+
+        if self.causal and not decode:
+            causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+            mask = causal if mask is None else jnp.logical_and(mask, causal)
+
+        # T5 applies no 1/sqrt(d) scale; pre-multiply q by sqrt(d) to cancel
+        # the scale inside dot_product_attention.
+        q = q * (cfg.d_kv ** 0.5)
+        out = dot_product_attention(q, k, v, bias=position_bias, mask=mask)
+        out = out.reshape(b, n, inner)
+        return dense("o")(out, deterministic=deterministic)
+
+
+class T5FeedForward(nn.Module):
+    config: T5Config
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        act = {
+            "gelu": lambda y: nn.gelu(y, approximate=False),
+            "gelu_new": lambda y: nn.gelu(y, approximate=True),
+            "relu": nn.relu,
+        }[cfg.dense_act_fn]
+        dense = lambda feats, name: Dense(
+            feats, use_bias=False, compute_dtype=self.compute_dtype,
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+            lora_dropout=cfg.lora_dropout, name=name,
+        )
+        if cfg.is_gated_act:
+            h = act(dense(cfg.d_ff, "wi_0")(x, deterministic=deterministic))
+            h = h * dense(cfg.d_ff, "wi_1")(x, deterministic=deterministic)
+        else:
+            h = act(dense(cfg.d_ff, "wi")(x, deterministic=deterministic))
+        if cfg.dropout_rate > 0.0:
+            h = nn.Dropout(rate=cfg.dropout_rate)(h, deterministic=deterministic)
+        return dense(cfg.d_model, "wo")(h, deterministic=deterministic)
+
+
+class T5Block(nn.Module):
+    config: T5Config
+    causal: bool
+    has_cross_attention: bool
+    compute_dtype: Any = jnp.bfloat16
+    decode_cache_len: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        encoder_states=None,
+        self_mask=None,
+        cross_mask=None,
+        position_bias=None,
+        decode=False,
+        deterministic=True,
+    ):
+        cfg = self.config
+        drop = (
+            (lambda y: nn.Dropout(rate=cfg.dropout_rate)(y, deterministic=deterministic))
+            if cfg.dropout_rate > 0.0
+            else (lambda y: y)
+        )
+        h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="self_attn_norm")(x)
+        h = T5Attention(cfg, causal=self.causal, compute_dtype=self.compute_dtype,
+                        decode_cache_len=self.decode_cache_len,
+                        name="self_attention")(
+            h, mask=self_mask, position_bias=position_bias, decode=decode,
+            deterministic=deterministic,
+        )
+        x = x + drop(h)
+        if self.has_cross_attention:
+            h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="cross_attn_norm")(x)
+            h = T5Attention(cfg, compute_dtype=self.compute_dtype,
+                            name="cross_attention")(
+                h, kv_states=encoder_states, mask=cross_mask, decode=decode,
+                deterministic=deterministic,
+            )
+            x = x + drop(h)
+        h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="ff_norm")(x)
+        h = T5FeedForward(cfg, compute_dtype=self.compute_dtype, name="ff")(
+            h, deterministic=deterministic
+        )
+        return x + drop(h)
+
+
+class T5Encoder(nn.Module):
+    config: T5Config
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, inputs_embeds, mask=None, deterministic=True):
+        cfg = self.config
+        n = inputs_embeds.shape[1]
+        positions = jnp.arange(n)
+        position_bias = T5RelativeBias(cfg, bidirectional=True, name="rel_bias")(
+            positions, positions
+        )
+        attn_mask = None
+        if mask is not None:
+            attn_mask = mask[:, None, None, :].astype(bool)  # (B,1,1,N)
+
+        x = inputs_embeds.astype(self.compute_dtype)
+        if cfg.dropout_rate > 0.0:
+            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        for i in range(cfg.num_layers):
+            x = T5Block(
+                cfg, causal=False, has_cross_attention=False,
+                compute_dtype=self.compute_dtype, name=f"block_{i}",
+            )(x, self_mask=attn_mask, position_bias=position_bias,
+              deterministic=deterministic)
+        x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
+        if cfg.dropout_rate > 0.0:
+            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class T5Decoder(nn.Module):
+    config: T5Config
+    compute_dtype: Any = jnp.bfloat16
+    decode_cache_len: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        decoder_inputs_embeds,
+        encoder_states,
+        decoder_mask=None,
+        encoder_mask=None,
+        decode=False,
+        decode_position=None,
+        deterministic=True,
+    ):
+        cfg = self.config
+        n = decoder_inputs_embeds.shape[1]
+
+        if decode:
+            assert decode_position is not None
+            q_pos = decode_position + jnp.arange(n)
+            # Cache length is static; bias spans all cache slots.
+            k_pos = jnp.arange(self.decode_cache_len)
+        else:
+            q_pos = jnp.arange(n)
+            k_pos = q_pos
+        position_bias = T5RelativeBias(cfg, bidirectional=False, name="rel_bias")(
+            q_pos, k_pos
+        )
+
+        self_mask = None
+        if decoder_mask is not None and not decode:
+            self_mask = decoder_mask[:, None, None, :].astype(bool)
+        cross_mask = None
+        if encoder_mask is not None:
+            cross_mask = encoder_mask[:, None, None, :].astype(bool)
+
+        x = decoder_inputs_embeds.astype(self.compute_dtype)
+        if cfg.dropout_rate > 0.0:
+            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        for i in range(cfg.num_decoder_layers):
+            x = T5Block(
+                cfg, causal=True, has_cross_attention=True,
+                compute_dtype=self.compute_dtype,
+                decode_cache_len=self.decode_cache_len, name=f"block_{i}",
+            )(
+                x, encoder_states=encoder_states, self_mask=self_mask,
+                cross_mask=cross_mask, position_bias=position_bias,
+                decode=decode, deterministic=deterministic,
+            )
+        x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
+        if cfg.dropout_rate > 0.0:
+            x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class T5ForConditionalGeneration(nn.Module):
+    """Full encoder-decoder with shared token embedding and untied LM head."""
+
+    config: T5Config
+    compute_dtype: Any = jnp.bfloat16
+    decode_cache_len: int = 0  # static max decode length for cached decoding
+
+    def setup(self):
+        cfg = self.config
+        self.shared = nn.Embed(
+            cfg.vocab_size, cfg.d_model,
+            embedding_init=nn.initializers.normal(1.0),
+            param_dtype=jnp.float32, name="shared",
+        )
+        self.encoder = T5Encoder(cfg, self.compute_dtype, name="encoder")
+        self.decoder = T5Decoder(
+            cfg, self.compute_dtype, decode_cache_len=self.decode_cache_len,
+            name="decoder",
+        )
+        if not cfg.tie_word_embeddings:
+            self.lm_head = Dense(
+                cfg.vocab_size, use_bias=False, compute_dtype=self.compute_dtype,
+                lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                lora_dropout=cfg.lora_dropout, name="lm_head",
+            )
+
+    def embed_tokens(self, input_ids):
+        return self.shared(input_ids)
+
+    def encode(self, inputs_embeds, mask=None, deterministic=True):
+        return self.encoder(inputs_embeds, mask=mask, deterministic=deterministic)
+
+    def decode(
+        self,
+        decoder_input_ids,
+        encoder_states,
+        decoder_mask=None,
+        encoder_mask=None,
+        decode=False,
+        decode_position=None,
+        deterministic=True,
+    ):
+        x = self.shared(decoder_input_ids)
+        x = self.decoder(
+            x, encoder_states, decoder_mask=decoder_mask, encoder_mask=encoder_mask,
+            decode=decode, decode_position=decode_position,
+            deterministic=deterministic,
+        )
+        if self.config.tie_word_embeddings:
+            x = x * (self.config.d_model ** -0.5)
+            logits = self.shared.attend(x.astype(jnp.float32))
+        else:
+            logits = self.lm_head(x, deterministic=deterministic)
+        return logits.astype(jnp.float32)
+
+    def __call__(
+        self,
+        inputs_embeds,
+        decoder_input_ids,
+        encoder_mask=None,
+        decoder_mask=None,
+        deterministic=True,
+    ):
+        encoder_states = self.encode(
+            inputs_embeds, mask=encoder_mask, deterministic=deterministic
+        )
+        return self.decode(
+            decoder_input_ids, encoder_states,
+            decoder_mask=decoder_mask, encoder_mask=encoder_mask,
+            deterministic=deterministic,
+        )
+
+
+def shift_right(labels, decoder_start_token_id=0, pad_token_id=0):
+    """Teacher-forcing decoder inputs: prepend start token, drop last label."""
+    shifted = jnp.roll(labels, 1, axis=-1)
+    shifted = shifted.at[:, 0].set(decoder_start_token_id)
+    return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+def cross_entropy_lm_loss(logits, labels, label_mask):
+    """Mean token-level cross entropy over unmasked label positions."""
+    vocab = logits.shape[-1]
+    labels_clipped = jnp.where(labels == -100, 0, labels)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(
+        log_probs, labels_clipped[..., None], axis=-1
+    )[..., 0]
+    mask = label_mask.astype(jnp.float32) * (labels != -100).astype(jnp.float32)
+    return -(token_ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)

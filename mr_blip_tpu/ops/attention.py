@@ -1,0 +1,93 @@
+"""Attention core with pluggable backends.
+
+Every attention site in the framework (ViT self-attn, Q-Former self/cross,
+T5 self/cross with relative-position bias) funnels through
+``dot_product_attention`` so the backend can be swapped globally:
+
+* ``"xla"``  — einsum + fp32 softmax; XLA fuses this well for short
+  sequences and it works on any platform.
+* ``"flash"`` — Pallas TPU flash-attention kernel (see
+  :mod:`mr_blip_tpu.ops.flash_attention`): O(N) memory, blockwise online
+  softmax on the MXU. Selected automatically on TPU for long sequences.
+
+Shapes follow the (batch, length, heads, head_dim) convention.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = os.environ.get("MR_BLIP_ATTENTION_BACKEND", "auto")
+
+# Below this many query positions the fusion wins over a hand-rolled kernel.
+_FLASH_MIN_SEQ = 1024
+
+
+def set_attention_backend(name: str):
+    """Override attention backend globally: "auto" | "xla" | "flash"."""
+    global _BACKEND
+    assert name in ("auto", "xla", "flash")
+    _BACKEND = name
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def xla_attention(q, k, v, bias=None, mask=None):
+    """Reference attention: bf16 matmuls, fp32 softmax accumulation."""
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    # (B, H, N, M) logits in fp32 for a stable softmax.
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        big_neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask, logits, big_neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v)
+    return out
+
+
+def dot_product_attention(q, k, v, bias=None, mask=None):
+    """Multi-head attention with automatic backend selection.
+
+    Args:
+        q: (B, N, H, D) queries (already scaled by the caller? no — scaling
+           happens inside, by D**-0.5).
+        k, v: (B, M, H, D) keys/values.
+        bias: optional additive logits bias, broadcastable to (B, H, N, M).
+        mask: optional boolean mask, broadcastable to (B, H, N, M);
+            True = attend.
+    Returns:
+        (B, N, H, D) attention output in v.dtype.
+    """
+    backend = _BACKEND
+    if backend == "auto":
+        use_flash = (
+            _on_tpu()
+            and q.shape[1] >= _FLASH_MIN_SEQ
+            and q.shape[1] == k.shape[1]
+            and bias is None
+        )
+        backend = "flash" if use_flash else "xla"
+    if backend == "flash":
+        from mr_blip_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask)
+    return xla_attention(q, k, v, bias=bias, mask=mask)
+
+
+def make_causal_mask(length: int, dtype=jnp.bool_):
+    """(1, 1, N, N) lower-triangular causal mask."""
+    idx = jnp.arange(length)
+    return (idx[:, None] >= idx[None, :])[None, None].astype(dtype)

@@ -1,0 +1,161 @@
+"""Pallas TPU flash attention (blockwise online-softmax).
+
+Replaces the O(N^2)-memory attention for long sequences (T5 encoder over
+~2k interleaved tokens, 60-frame batched ViT): logits never materialize in
+HBM; each (q-block, k-block) tile streams through VMEM and the MXU with the
+running-max/denominator rescaling trick.
+
+Forward is a Pallas kernel; the backward pass currently recomputes with the
+XLA attention inside a ``jax.custom_vjp`` (flash is primarily used on the
+no-grad inference paths — generate/beam-search prefill — where the forward
+memory saving is what matters).  Shapes are (B, N, H, D) like
+:func:`mr_blip_tpu.ops.attention.xla_attention`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool):
+    """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
+    q = q_ref[0]  # (block_q, d)
+    block_q, d = q.shape
+    kv_len = k_ref.shape[1]
+    scale = d ** -0.5
+    q32 = q.astype(jnp.float32) * scale
+
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    q_block_idx = pl.program_id(1)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        logits = jnp.dot(q32, k.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32)  # (bq, bk)
+        if causal:
+            q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            logits = jnp.where(q_pos >= k_pos, logits, -jnp.inf)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)  # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # Guard fully-masked rows: exp(-inf - -inf) -> nan otherwise.
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(logits - m_safe)
+        p = jnp.where(jnp.isfinite(logits), p, 0.0)
+        correction = jnp.exp(jnp.where(jnp.isfinite(m_prev), m_prev - m_safe, -jnp.inf))
+        correction = jnp.where(jnp.isfinite(m_prev), correction, 0.0)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jnp.dot(
+            p, v.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    if causal:
+        # Only K blocks at or before this Q block's diagonal contribute.
+        num_relevant = jnp.minimum(
+            num_k_blocks, (q_block_idx + 1) * block_q // block_k + 1
+        )
+    else:
+        num_relevant = num_k_blocks
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_relevant, body, (acc0, m0, l0))
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_fwd(q_bhnd, k_bhnd, v_bhnd, causal, block_q, block_k):
+    """q/k/v: (BH, N, D) -> (BH, N, D)."""
+    bh, n, d = q_bhnd.shape
+    kv_len = k_bhnd.shape[1]
+    block_q = min(block_q, n)
+    block_k = min(block_k, kv_len)
+
+    grid = (bh, pl.cdiv(n, block_q))
+    kernel = functools.partial(_flash_fwd_kernel, block_k=block_k, causal=causal)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q_bhnd.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n * kv_len * d,
+            bytes_accessed=2 * bh * (n + 2 * kv_len) * d * q_bhnd.dtype.itemsize,
+            transcendentals=bh * n * kv_len,
+        ),
+    )(q_bhnd, k_bhnd, v_bhnd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, causal, block_q, block_k):
+    b, n, h, d = q.shape
+    kv_len = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
+    out = _flash_fwd(qt, kt, vt, causal, block_q, block_k)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def _flash_vjp_fwd(q, k, v, causal, block_q, block_k):
+    return _flash_attention(q, k, v, causal, block_q, block_k), (q, k, v)
+
+
+def _flash_vjp_bwd(causal, block_q, block_k, residuals, g):
+    # Recompute-based backward (XLA attention); exact, O(N^2) memory but
+    # only on the training path where sequences are short.
+    from mr_blip_tpu.ops.attention import make_causal_mask, xla_attention
+
+    q, k, v = residuals
+    mask = make_causal_mask(q.shape[1]) if causal else None
+
+    def f(q, k, v):
+        return xla_attention(q, k, v, mask=mask)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(q, k, v, mask=None, causal=False,
+                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    """Flash attention over (B, N, H, D) tensors.
+
+    ``mask`` other than causal is not supported by the kernel; callers with
+    padding masks use the XLA backend instead (the dispatcher in
+    ``ops.attention`` enforces this).
+    """
+    if mask is not None:
+        raise NotImplementedError(
+            "flash_attention supports causal masking only; use xla_attention "
+            "for arbitrary masks"
+        )
+    return _flash_attention(q, k, v, causal, block_q, block_k)

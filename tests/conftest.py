@@ -7,7 +7,9 @@ Must be set before JAX initializes, hence module scope in conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin overrides JAX_PLATFORMS from the env, so force the
+# platform through jax.config (must happen before any backend is touched).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,95 @@
+"""Attention backends: XLA reference vs Pallas flash (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mr_blip_tpu.ops.attention import make_causal_mask, xla_attention
+
+
+def _naive_attention(q, k, v, mask=None):
+    d = q.shape[-1]
+    logits = np.einsum("bnhd,bmhd->bhnm", q, k).astype(np.float64) / np.sqrt(d)
+    if mask is not None:
+        logits = np.where(mask, logits, -1e30)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    return np.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+class TestXlaAttention:
+    def test_matches_naive(self):
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((2, 16, 4, 8), dtype=np.float32)
+        k = rng.standard_normal((2, 24, 4, 8), dtype=np.float32)
+        v = rng.standard_normal((2, 24, 4, 8), dtype=np.float32)
+        got = xla_attention(jnp.array(q), jnp.array(k), jnp.array(v))
+        want = _naive_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    def test_causal_mask(self):
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((1, 8, 2, 4), dtype=np.float32)
+        mask = np.asarray(make_causal_mask(8))
+        got = xla_attention(jnp.array(q), jnp.array(q), jnp.array(q),
+                            mask=jnp.array(mask))
+        want = _naive_attention(q, q, q, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    def test_additive_bias(self):
+        rng = np.random.default_rng(2)
+        q = rng.standard_normal((1, 8, 2, 4), dtype=np.float32)
+        bias = rng.standard_normal((1, 2, 8, 8), dtype=np.float32)
+        got = xla_attention(jnp.array(q), jnp.array(q), jnp.array(q),
+                            bias=jnp.array(bias))
+        d = q.shape[-1]
+        logits = np.einsum("bnhd,bmhd->bhnm", q, q) / np.sqrt(d) + bias
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        want = np.einsum("bhnm,bmhd->bnhd", probs, q)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("n", [128, 384])
+    def test_matches_xla(self, causal, n):
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(3)
+        q = jnp.array(rng.standard_normal((2, n, 2, 64), dtype=np.float32))
+        k = jnp.array(rng.standard_normal((2, n, 2, 64), dtype=np.float32))
+        v = jnp.array(rng.standard_normal((2, n, 2, 64), dtype=np.float32))
+
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+            fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        ):
+            got = fa.flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+        mask = make_causal_mask(n) if causal else None
+        want = xla_attention(q, k, v, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_backward_matches_xla(self):
+        from mr_blip_tpu.ops import flash_attention as fa
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+
+        rng = np.random.default_rng(4)
+        q = jnp.array(rng.standard_normal((1, 128, 2, 32), dtype=np.float32))
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+            fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        ):
+            g_flash = jax.grad(
+                lambda x: fa.flash_attention(x, x, x, block_q=64, block_k=64).sum()
+            )(q)
+        g_xla = jax.grad(lambda x: xla_attention(x, x, x).sum())(q)
+        np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_xla),
+                                   rtol=2e-3, atol=2e-3)
