@@ -1,0 +1,651 @@
+"""BLIP2-MR: host wrapper over the jitted computation graph.
+
+The task-facing model API matches the reference
+(``lavis/models/blip2_mr_models/blip2_mr.py:49-1608``): ``model(samples)``
+returns ``{"loss"}``; ``model.generate(samples)`` returns prediction /
+raw_prediction / answer / qid / duration; ``videoQA_generate`` runs the
+two-stage localizer->answerer pipeline.  Strings, tokenization, timestamp
+formatting, and the interleave *plan* happen here on host; every tensor op
+runs in shape-bucketed jitted functions.
+
+Task-string flags (reference semantics): ``lora`` (LoRA r=8 on all T5
+linears), ``qformer_freeze``, ``QA`` (adds the answerer T5),
+``with_localizer`` / ``oracle_localizer`` (QA stage-1 source),
+``only_frames`` (no timestamps), ``add_duration``, ``no_task_prompt``.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.models.base import BaseModel
+from mr_blip_tpu.models.blip2_mr_module import Blip2MRModule
+from mr_blip_tpu.models.eva_vit import eva_vit_g_config, vit_tiny_config
+from mr_blip_tpu.models.generation import beam_search, expand_to_beams, greedy_decode_with_scores
+from mr_blip_tpu.models.prompt_assembly import build_interleave_plan
+from mr_blip_tpu.models.qformer import qformer_base_config, qformer_tiny_config
+from mr_blip_tpu.models.t5 import t5_flan_xl_config, t5_flan_xxl_config, t5_tiny_config
+from mr_blip_tpu.text.span_grammar import (
+    convert_to_absolute_time,
+    moment_str_to_list,
+    post_process,
+)
+from mr_blip_tpu.text.timestamps import (
+    find_annoying_numbers,
+    find_annoying_numbers_replacement_dict,
+    format_timestamps,
+)
+from mr_blip_tpu.text.tokenizer import load_tokenizer
+
+
+def _zero_self_cache(cache):
+    """Zero self-attention cache slots/indices, keep cross-attention K/V."""
+
+    def fn(path, leaf):
+        if any("cross_attention" in str(p) for p in path):
+            return leaf
+        return jnp.zeros_like(leaf)
+
+    return jax.tree_util.tree_map_with_path(fn, cache)
+
+
+def _pad_to(arr: np.ndarray, length: int, axis: int = 1, value=0) -> np.ndarray:
+    pad = length - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=value)
+
+
+def _bucket(n: int, multiple: int = 16) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@registry.register_model("blip2_mr")
+class BLIP2_MR(BaseModel):
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "pretrain_flant5xl": "configs/models/blip2/blip2_pretrain_flant5xl.yaml",
+        "pretrain_flant5xxl": "configs/models/blip2/blip2_pretrain_flant5xxl.yaml",
+        "tiny": "configs/models/blip2/blip2_tiny.yaml",
+    }
+
+    VIT_CONFIGS = {
+        "eva_vit_g": eva_vit_g_config,
+        "tiny": vit_tiny_config,
+    }
+    T5_CONFIGS = {
+        "flan-t5-xl": t5_flan_xl_config,
+        "flan-t5-xxl": t5_flan_xxl_config,
+        "tiny": t5_tiny_config,
+    }
+
+    def __init__(
+        self,
+        img_size: int = 224,
+        vit_model: str = "eva_vit_g",
+        t5_model: str = "flan-t5-xl",
+        tokenizer_path: str | None = None,
+        num_query_token: int = 32,
+        num_beams: int = 5,
+        max_txt_len: int = 200,
+        max_new_tokens: int = 50,
+        input_time_format: str = "seconds_integers",
+        interleave_data: bool = True,
+        frame_token_aggregation: str | None = None,
+        task: str = "lora",
+        num_frames_for_answer: int = 4,
+        resample_frames: bool = False,
+        freeze_vit: bool = True,
+        use_grad_checkpoint: bool = False,
+        compute_dtype: str = "bfloat16",
+        seed: int = 42,
+        init_params: bool = True,
+    ):
+        self.task = task
+        self.use_lora = "lora" in task
+        self.use_localizer = "with_localizer" in task
+        self.use_oracle_localizer = "oracle_localizer" in task
+        self.is_qa = "QA" in task
+        self.input_time_format = input_time_format
+        self.interleave_data = interleave_data
+        self.frame_token_aggregation = frame_token_aggregation
+        self.max_txt_len = max_txt_len
+        self.max_new_tokens = max_new_tokens
+        self.num_beams = num_beams
+        self.num_frames_for_answer = num_frames_for_answer
+        self.resample_frames = resample_frames
+        self.freeze_vit = freeze_vit
+        self.post_process = post_process
+        self.convert_to_absolute_time = convert_to_absolute_time
+        self.img_size = img_size
+
+        self.tokenizer = load_tokenizer(tokenizer_path)
+        annoying, _ = find_annoying_numbers(self.tokenizer, 200)
+        self.annoying_numbers_replacement_dict = (
+            find_annoying_numbers_replacement_dict(annoying)
+        )
+        self.ANS_MAPPING_C_TO_I = {"A": 0, "B": 1, "C": 2, "D": 3, "E": 4}
+        self.ANS_MAPPING_I_TO_C = {0: "A", 1: "B", 2: "C", 3: "D", 4: "E"}
+        # Token ids scoring A..E at the answerer's second logits step
+        # (reference uses fixed flan-t5 ids [71, 272, 205, 309, 262]).
+        self.answer_ids = [
+            self.tokenizer.encode(letter, add_special_tokens=False)[-1]
+            for letter in "ABCDE"
+        ]
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute_dtype]
+        self.compute_dtype = dtype
+        vit_cfg = self.VIT_CONFIGS[vit_model](
+            img_size=img_size, use_checkpoint=use_grad_checkpoint
+        ) if vit_model == "eva_vit_g" else self.VIT_CONFIGS[vit_model](img_size=img_size)
+        qf_cfg = (
+            qformer_base_config(vit_cfg.embed_dim, num_query_token)
+            if vit_model == "eva_vit_g"
+            else qformer_tiny_config(vit_cfg.embed_dim)
+        )
+        t5_kw = dict(lora_rank=8 if self.use_lora else 0)
+        if tokenizer_path is None:
+            t5_kw["vocab_size"] = self.tokenizer.vocab_size
+        t5_cfg = self.T5_CONFIGS[t5_model](**t5_kw)
+
+        self.vit_config, self.qformer_config, self.t5_config = vit_cfg, qf_cfg, t5_cfg
+        self.module = Blip2MRModule(
+            vit_config=vit_cfg,
+            qformer_config=qf_cfg,
+            t5_config=t5_cfg,
+            compute_dtype=dtype,
+            decode_cache_len=max_new_tokens,
+            frame_token_aggregation=frame_token_aggregation,
+            freeze_vit=freeze_vit,
+        )
+        # The answerer reuses the same module class; QA tasks carry separate
+        # T5 params for it (reference loads a second T5, blip2_mr.py:150-160).
+        self.params = None
+        self.answerer_params = None
+        if init_params:
+            self.params = self.init_params(jax.random.PRNGKey(seed))
+            if self.is_qa:
+                self.answerer_params = self.init_params(jax.random.PRNGKey(seed + 1))
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng):
+        frames = jnp.zeros((1, 1, self.img_size, self.img_size, 3), jnp.float32)
+        variables = self.module.init(
+            rng, frames, method="encode_frames", deterministic=True
+        )
+        # T5 params are not touched by encode_frames; init them with a
+        # minimal encoder/decoder pass and merge.
+        d_model = self.t5_config.d_model
+        dummy_embeds = jnp.zeros((1, 2, d_model), jnp.float32)
+        dummy_ids = jnp.zeros((1, 1), jnp.int32)
+
+        def t5_init(mod):
+            loss, _ = mod.loss_from_encoder_input(
+                dummy_embeds, jnp.ones((1, 2), jnp.int32),
+                dummy_ids, jnp.ones((1, 1), jnp.int32),
+            )
+            return loss
+
+        variables_t5 = self.module.init(rng, method=t5_init)
+        params = {**variables["params"], **variables_t5["params"]}
+        return params
+
+    def trainable_mask(self, params=None) -> Any:
+        """Pytree of bools: which params receive gradients.
+
+        Reference policy (blip2_mr.py:132-298): ViT always frozen; with LoRA
+        the T5 base is frozen and only lora_a/lora_b train; Q-Former +
+        projection + query tokens train unless ``qformer_freeze``.
+        """
+        params = params if params is not None else self.params
+        qformer_frozen = "qformer_freeze" in self.task
+
+        def fn(path, leaf):
+            keys = [str(getattr(p, "key", p)) for p in path]
+            if "visual_encoder" in keys:
+                return not self.freeze_vit
+            if "t5" in keys:
+                if self.use_lora:
+                    return any("lora_" in k for k in keys)
+                return False
+            if any(k in ("qformer", "t5_proj", "ln_vision") for k in keys):
+                return not qformer_frozen
+            return False
+
+        return jax.tree_util.tree_map_with_path(fn, params)
+
+    # ------------------------------------------------------ host batch prep
+    def prepare_mr_batch(self, samples: Dict[str, Any], need_targets: bool = True) -> Dict[str, Any]:
+        """Strings + sampling metadata -> padded numpy arrays + plan."""
+        video = np.asarray(samples["video"], np.float32)  # (B, T, H, W, C)
+        b, t = video.shape[:2]
+        timestamps = np.asarray(samples["timestamps"], np.float64)
+        durations = np.asarray(samples["duration"], np.float64)
+        video_prompt_end = list(samples["video_prompt_end"])
+        query_prompt = list(samples["query_prompt"])
+        task_prompt = list(samples["task_prompt"])
+
+        if "only_frames" in self.task:
+            fmt_ts, fmt_dur = None, None
+            video_prompts = ["<vid>" for _ in range(b)]
+            video_prompt_end = ["<extra_id_0>\n" for _ in video_prompt_end]
+        else:
+            if "add_duration" in self.task:
+                video_prompt_end = [
+                    ">{}<extra_id_0>\n".format(round(float(d), 2)) for d in durations
+                ]
+            fmt_ts, fmt_dur, video_prompts = format_timestamps(
+                self.input_time_format, timestamps, durations,
+                self.annoying_numbers_replacement_dict,
+            )
+
+        if "no_task_prompt" in self.task:
+            text_prompt = [q for q in query_prompt]
+        else:
+            text_prompt = [q + tp for q, tp in zip(query_prompt, task_prompt)]
+
+        tok = self.tokenizer
+        end_enc = tok(video_prompt_end, add_special_tokens=False,
+                      truncation=True, max_length=self.max_txt_len)
+        text_enc = tok(text_prompt, truncation=True, max_length=self.max_txt_len)
+
+        batch = {
+            "frames": video,
+            "end_ids": end_enc.input_ids,
+            "end_mask": end_enc.attention_mask,
+            "text_ids": _pad_to(text_enc.input_ids, _bucket(text_enc.input_ids.shape[1])),
+            "text_mask": _pad_to(text_enc.attention_mask, _bucket(text_enc.input_ids.shape[1])),
+        }
+
+        if self.interleave_data and "only_frames" not in self.task:
+            plan = build_interleave_plan(
+                tok, fmt_ts, fmt_dur, self.module.tokens_per_frame
+            )
+            batch.update(
+                time_ids=plan.time_ids,
+                src_type=plan.src_type,
+                src_idx=plan.src_idx,
+                int_mask=plan.attn_mask,
+            )
+            video_prompts = plan.video_prompts
+        else:
+            vid_enc = tok(video_prompts, add_special_tokens=False,
+                          truncation=True, max_length=self.max_txt_len)
+            batch.update(vid_ids=vid_enc.input_ids, vid_mask=vid_enc.attention_mask)
+
+        if need_targets and "relevant_windows" in samples:
+            target_enc = tok(
+                list(samples["relevant_windows"]), truncation=True,
+                max_length=self.max_txt_len,
+            )
+            batch["target_ids"] = _pad_to(
+                target_enc.input_ids, _bucket(target_enc.input_ids.shape[1], 8)
+            )
+            batch["target_mask"] = _pad_to(
+                target_enc.attention_mask, _bucket(target_enc.attention_mask.shape[1], 8)
+            )
+
+        batch["video_prompt"] = video_prompts
+        return batch
+
+    # ------------------------------------------------------- jitted kernels
+    @functools.cached_property
+    def _loss_fn(self):
+        module = self.module
+        interleaved = self.interleave_data and "only_frames" not in self.task
+
+        def loss_fn(params, batch, dropout_rng=None):
+            rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+            deterministic = dropout_rng is None
+
+            def run(mod):
+                frames_for_t5 = mod.encode_frames(
+                    batch["frames"], deterministic=deterministic
+                )
+                if interleaved:
+                    embeds, attn = mod.assemble_encoder_input(
+                        frames_for_t5, batch["time_ids"], batch["src_type"],
+                        batch["src_idx"], batch["int_mask"], batch["end_ids"],
+                        batch["end_mask"], batch["text_ids"], batch["text_mask"],
+                    )
+                else:
+                    embeds, attn = mod.assemble_encoder_input_noninterleaved(
+                        frames_for_t5, batch["vid_ids"], batch["vid_mask"],
+                        batch["end_ids"], batch["end_mask"], batch["text_ids"],
+                        batch["text_mask"],
+                    )
+                loss, logits = mod.loss_from_encoder_input(
+                    embeds, attn, batch["target_ids"], batch["target_mask"],
+                    deterministic=deterministic,
+                )
+                return loss, logits
+
+            return module.apply({"params": params}, method=run, rngs=rngs)
+
+        return loss_fn
+
+    @functools.cached_property
+    def _jit_loss(self):
+        return jax.jit(self._loss_fn)
+
+    @functools.cached_property
+    def _jit_generate(self):
+        module = self.module
+        interleaved = self.interleave_data and "only_frames" not in self.task
+        num_beams = self.num_beams
+        max_len = self.max_new_tokens
+        eos = self.t5_config.eos_token_id
+        pad = self.t5_config.pad_token_id
+        start = self.t5_config.decoder_start_token_id
+
+        @functools.partial(jax.jit, static_argnames=("batch_size",))
+        def generate_fn(params, batch, batch_size: int):
+            def encode(mod):
+                frames_for_t5 = mod.encode_frames(batch["frames"])
+                if interleaved:
+                    embeds, attn = mod.assemble_encoder_input(
+                        frames_for_t5, batch["time_ids"], batch["src_type"],
+                        batch["src_idx"], batch["int_mask"], batch["end_ids"],
+                        batch["end_mask"], batch["text_ids"], batch["text_mask"],
+                    )
+                else:
+                    embeds, attn = mod.assemble_encoder_input_noninterleaved(
+                        frames_for_t5, batch["vid_ids"], batch["vid_mask"],
+                        batch["end_ids"], batch["end_mask"], batch["text_ids"],
+                        batch["text_mask"],
+                    )
+                return mod.encode(embeds, attn), attn
+
+            enc, attn = module.apply({"params": params}, method=encode)
+            enc_b = expand_to_beams(enc, num_beams)
+            mask_b = expand_to_beams(attn, num_beams)
+
+            dummy = jnp.zeros((batch_size * num_beams, 1), jnp.int32)
+            _, vars0 = module.apply(
+                {"params": params}, dummy, enc_b, mask_b, jnp.int32(0),
+                method="decode_step", mutable=["cache"],
+            )
+            cache = _zero_self_cache(vars0["cache"])
+
+            def decode_step(cache, tokens, position):
+                logits, updated = module.apply(
+                    {"params": params, "cache": cache}, tokens, enc_b, mask_b,
+                    position, method="decode_step", mutable=["cache"],
+                )
+                return logits[:, 0], updated["cache"]
+
+            return beam_search(
+                decode_step, cache, batch_size=batch_size, num_beams=num_beams,
+                max_length=max_len, min_length=1, eos_token_id=eos,
+                pad_token_id=pad, decoder_start_token_id=start,
+            )
+
+        return generate_fn
+
+    # ------------------------------------------------------------- task API
+    def forward(self, samples) -> Dict[str, Any]:
+        if self.is_qa:
+            return self.forward_QA(samples)
+        batch = self.prepare_mr_batch(samples)
+        batch.pop("video_prompt")
+        loss, _ = self._jit_loss(self.params, batch)
+        return {"loss": loss}
+
+    __call__ = forward
+
+    def generate(self, samples) -> Dict[str, Any]:
+        """Span generation: beam search -> decode -> grammar repair."""
+        out: Dict[str, Any] = {}
+        batch = self.prepare_mr_batch(samples, need_targets=False)
+        batch.pop("video_prompt")
+        b = batch["frames"].shape[0]
+        seqs, _scores = self._jit_generate(self.params, batch, b)
+        pred_ans = self.tokenizer.batch_decode(
+            np.asarray(seqs), skip_special_tokens=True
+        )
+
+        durations = samples["duration"]
+        out["duration"] = [float(d) for d in np.asarray(durations)]
+        if self.input_time_format in ("relative_integers", "relative_floats"):
+            prediction = [self.post_process(p) for p in pred_ans]
+            out["prediction"] = self.convert_to_absolute_time(
+                prediction, out["duration"], self.input_time_format
+            )
+        else:
+            out["prediction"] = [self.post_process(p) for p in pred_ans]
+        out["raw_prediction"] = pred_ans
+        out["answer"] = samples.get("relevant_windows")
+        out["qid"] = samples.get("query_id")
+        return out
+
+    # --------------------------------------------------------- QA two-stage
+    def get_relevant_frames(self, samples, relevant_moments_out, n_frames):
+        """Crop already-decoded frames to predicted windows
+        (blip2_mr.py:1101-1165)."""
+        durations = np.asarray(samples["duration"], np.float64)
+        relevant_moments = []
+        for i, sample in enumerate(relevant_moments_out):
+            m = moment_str_to_list(sample)
+            if m == [[-1, -1]]:
+                m = [0, float(durations[i])]
+            else:
+                m = m[0]
+            if m[1] > durations[i]:
+                m[1] = round(float(durations[i]))
+            relevant_moments.append(m)
+        frames = self.extract_frames(samples, relevant_moments, n_frames)
+        return relevant_moments, frames
+
+    def extract_frames(self, samples, relevant_moments, n_frames):
+        video = np.asarray(samples["video"], np.float32)
+        timestamps = np.asarray(samples["timestamps"], np.float64)
+        durations = np.asarray(samples["duration"], np.float64)
+        out = []
+        for i, (start, end) in enumerate(relevant_moments):
+            if start >= end:
+                end = float(durations[i])
+            start_idx = int(np.argmin(np.abs(timestamps[i] - start)))
+            end_idx = int(np.argmin(np.abs(timestamps[i] - end)))
+            frames = video[i, start_idx : end_idx + 1]
+            assert frames.shape[0] > 0, "No frames found for the relevant moment."
+            if frames.shape[0] < n_frames:
+                pad = np.repeat(frames[-1:], n_frames - frames.shape[0], axis=0)
+                frames = np.concatenate([frames, pad])
+            elif frames.shape[0] > n_frames:
+                idxs = np.linspace(0, frames.shape[0] - 1, n_frames).astype(int)
+                frames = frames[idxs]
+            out.append(frames)
+        return np.stack(out)
+
+    @functools.cached_property
+    def _jit_qa_answer(self):
+        module = self.module
+        max_len = self.max_new_tokens
+        vocab = self.t5_config.vocab_size
+
+        @functools.partial(jax.jit, static_argnames=("batch_size", "min_length"))
+        def qa_fn(params, frames, text_ids, text_mask, batch_size: int,
+                  min_length: int):
+            def encode(mod):
+                frames_for_t5 = mod.encode_frames(frames)
+                embeds, attn = mod.qa_encoder_input(frames_for_t5, text_ids, text_mask)
+                return mod.encode(embeds, attn), attn
+
+            enc, attn = module.apply({"params": params}, method=encode)
+            dummy = jnp.zeros((batch_size, 1), jnp.int32)
+            _, vars0 = module.apply(
+                {"params": params}, dummy, enc, attn, jnp.int32(0),
+                method="decode_step", mutable=["cache"],
+            )
+            cache = _zero_self_cache(vars0["cache"])
+
+            def decode_step(cache, tokens, position):
+                logits, updated = module.apply(
+                    {"params": params, "cache": cache}, tokens, enc, attn,
+                    position, method="decode_step", mutable=["cache"],
+                )
+                return logits[:, 0], updated["cache"]
+
+            return greedy_decode_with_scores(
+                decode_step, cache, batch_size=batch_size, max_length=max_len,
+                min_length=min_length,
+                eos_token_id=self.t5_config.eos_token_id,
+                pad_token_id=self.t5_config.pad_token_id, vocab_size=vocab,
+            )
+
+        return qa_fn
+
+    def videoQA_answer(self, samples) -> Dict[str, Any]:
+        """Answerer: score A..E at the second decoding step
+        (blip2_mr.py:1232-1314)."""
+        qa_input = list(samples["qa_input"])
+        answer = samples["qa_output"]
+        frames = np.asarray(samples["relevant_frames"], np.float32)
+        enc = self.tokenizer(qa_input, truncation=True, max_length=self.max_txt_len)
+        params = self.answerer_params if self.answerer_params is not None else self.params
+        # Vision/Q-Former come from the main params; the answerer T5 params
+        # override the t5 subtree when present.
+        if self.answerer_params is not None:
+            params = {**self.params, "t5": self.answerer_params["t5"]}
+        _seqs, scores = self._jit_qa_answer(
+            params, frames, enc.input_ids, enc.attention_mask,
+            frames.shape[0], 8,
+        )
+        # scores: (max_len, B, V); step 1 logits score the answer letter.
+        step1 = np.asarray(scores)[1]  # (B, V)
+        pred = np.argmax(step1[:, self.answer_ids], axis=-1).tolist()
+        return {
+            "output_text": pred,
+            "answer": answer,
+            "qid": samples.get("question_id"),
+            "relevant_moments_gt": samples.get("relevant_windows"),
+        }
+
+    def videoQA_generate(self, samples) -> Dict[str, Any]:
+        samples = dict(samples)
+        if "relevant_windows" not in samples:
+            samples["relevant_windows"] = [[0, 0]]
+        samples["query_id"] = samples["question_id"]
+
+        durations = np.asarray(samples["duration"], np.float64)
+        if self.use_localizer:
+            out_mr = self.generate(samples)
+            relevant_moments, relevant_frames = self.get_relevant_frames(
+                samples, out_mr["prediction"], self.num_frames_for_answer
+            )
+        elif not self.use_oracle_localizer:
+            relevant_moments = [[0, float(d)] for d in durations]
+            relevant_frames = self.extract_frames(
+                samples, relevant_moments, self.num_frames_for_answer
+            )
+        else:
+            relevant_moments = [m[0] for m in samples["relevant_windows"]]
+            relevant_frames = self.extract_frames(
+                samples, relevant_moments, self.num_frames_for_answer
+            )
+
+        samples["relevant_frames"] = relevant_frames
+        out_ans = self.videoQA_answer(samples)
+        out_ans["relevant_moments"] = [relevant_moments]
+        return out_ans
+
+    def forward_QA(self, samples) -> Dict[str, Any]:
+        """Answerer training loss (forward_QA, blip2_mr.py:309-431)."""
+        samples = dict(samples)
+        samples["relevant_windows"] = samples.get("relevant_windows", [[0, 0]])
+        samples["query_id"] = samples["question_id"]
+
+        durations = np.asarray(samples["duration"], np.float64)
+        if self.use_localizer:
+            out_mr = self.generate(samples)
+            _, relevant_frames = self.get_relevant_frames(
+                samples, out_mr["prediction"], self.num_frames_for_answer
+            )
+        else:
+            relevant_moments = [[0, float(d)] for d in durations]
+            relevant_frames = self.extract_frames(
+                samples, relevant_moments, self.num_frames_for_answer
+            )
+        samples["relevant_frames"] = relevant_frames
+
+        enc = self.tokenizer(
+            list(samples["qa_input"]), truncation=True, max_length=self.max_txt_len
+        )
+        target = self.tokenizer(
+            list(samples["qa_output"]), truncation=True, max_length=self.max_txt_len
+        )
+        params = self.params
+        if self.answerer_params is not None:
+            params = {**self.params, "t5": self.answerer_params["t5"]}
+        loss = self._jit_qa_loss(
+            params,
+            np.asarray(relevant_frames, np.float32),
+            enc.input_ids, enc.attention_mask,
+            target.input_ids, target.attention_mask,
+        )
+        return {"loss": loss}
+
+    @functools.cached_property
+    def _jit_qa_loss(self):
+        module = self.module
+
+        @jax.jit
+        def qa_loss(params, frames, text_ids, text_mask, target_ids, target_mask):
+            def run(mod):
+                frames_for_t5 = mod.encode_frames(frames)
+                embeds, attn = mod.qa_encoder_input(frames_for_t5, text_ids, text_mask)
+                loss, _ = mod.loss_from_encoder_input(
+                    embeds, attn, target_ids, target_mask
+                )
+                return loss
+
+            return module.apply({"params": params}, method=run)
+
+        return qa_loss
+
+    # --------------------------------------------------------------- config
+    @classmethod
+    def from_config(cls, cfg):
+        model = cls(
+            img_size=cfg.get("image_size", 224),
+            vit_model=cfg.get("vit_model", "eva_vit_g"),
+            t5_model=cfg.get("t5_model", "flan-t5-xl"),
+            tokenizer_path=cfg.get("tokenizer_path"),
+            num_query_token=cfg.get("num_query_token", 32),
+            num_beams=cfg.get("num_beams", 5),
+            max_txt_len=cfg.get("max_len", 200),
+            max_new_tokens=cfg.get("max_new_tokens", 50),
+            input_time_format=cfg.get("input_time_format", "seconds_integers"),
+            interleave_data=cfg.get("interleave_data", True),
+            frame_token_aggregation=cfg.get("frame_token_aggregation"),
+            task=cfg.get("task", "qformer_freeze_lora"),
+            num_frames_for_answer=cfg.get("num_frames_for_answer", 4),
+            resample_frames=cfg.get("resample_frames", False),
+            freeze_vit=cfg.get("freeze_vit", True),
+            use_grad_checkpoint=cfg.get("use_grad_checkpoint", False),
+            compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+        )
+        finetuned = cfg.get("finetuned")
+        pretrained = cfg.get("pretrained")
+        load_finetuned = cfg.get("load_finetuned", False)
+        if pretrained:
+            try:
+                model.params = model.load_params_nonstrict(model.params, pretrained)
+                logging.info("loaded pretrained weights from %s", pretrained)
+            except FileNotFoundError:
+                logging.warning("pretrained checkpoint %s not found", pretrained)
+        if load_finetuned and finetuned:
+            try:
+                model.params = model.load_params_nonstrict(model.params, finetuned)
+                logging.info("loaded finetuned weights from %s", finetuned)
+            except FileNotFoundError:
+                logging.warning("finetuned checkpoint %s not found", finetuned)
+        return model
