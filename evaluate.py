@@ -1,0 +1,73 @@
+"""Evaluation entry point (reference ``evaluate.py:66-120``).
+
+    python evaluate.py --cfg-path configs/projects/eval/qvh.yaml
+"""
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+
+def _honor_platform_env():
+    """The axon TPU plugin overrides JAX_PLATFORMS; honor an explicit cpu
+    request through jax.config before the backend initializes."""
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Evaluation")
+    parser.add_argument("--cfg-path", required=True, help="path to configuration file.")
+    parser.add_argument(
+        "--options",
+        nargs="+",
+        help="override settings, key=value or key value pairs (dot-separated keys)",
+    )
+    return parser.parse_args()
+
+
+def main():
+    _honor_platform_env()
+    import mr_blip_tpu  # registers everything
+    from mr_blip_tpu.common import dist as dist_utils
+    from mr_blip_tpu.common.config import Config
+    from mr_blip_tpu.common.logger import setup_logger
+    from mr_blip_tpu.common.registry import registry
+    from mr_blip_tpu.common.utils import now
+    from mr_blip_tpu import tasks
+
+    job_id = now()
+    args = parse_args()
+    cfg = Config(args)
+
+    dist_utils.init_distributed_mode(cfg.run_cfg)
+    seed = int(cfg.run_cfg.get("seed", 42)) + dist_utils.get_rank()
+    random.seed(seed)
+    np.random.seed(seed)
+    setup_logger()
+    cfg.pretty_print()
+
+    task = tasks.setup_task(cfg)
+    datasets = task.build_datasets(cfg)
+    model = task.build_model(cfg)
+
+    runner_cls = registry.get_runner_class(cfg.run_cfg.get("runner", "runner_base"))
+    runner = runner_cls(
+        cfg=cfg, job_id=job_id, task=task, model=model, datasets=datasets
+    )
+    runner.evaluate(skip_reload=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,3 +26,9 @@ from mr_blip_tpu.common.utils import setup_library_paths as _setup_library_paths
 _setup_library_paths()
 
 from mr_blip_tpu.common import optims as _optims  # registers lr schedulers
+from mr_blip_tpu import processors as _processors  # registers processors
+from mr_blip_tpu.models import blip2_mr as _blip2_mr  # registers models
+from mr_blip_tpu.datasets import builders as _builders  # registers builders
+from mr_blip_tpu import tasks as _tasks  # registers tasks
+from mr_blip_tpu.runners import runner_base as _runner_base  # registers runners
+from mr_blip_tpu.runners import runner_iter as _runner_iter

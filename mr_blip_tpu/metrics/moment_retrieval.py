@@ -227,8 +227,10 @@ def eval_moment_retrieval(submission, ground_truth, verbose=True, mode="qvh"):
             iou_thd2r1 = compute_mr_r1(_submission, _ground_truth)
             ret_metrics[name] = {"MR-mAP": iou_thd2ap, "MR-R1": iou_thd2r1}
         else:
+            # In-train scoring runs inside a JAX (multithreaded) process:
+            # fork-based pools risk deadlock there, so score serially.
             iou_thd2ap = compute_mr_ap(
-                submission, ground_truth, num_workers=8, chunksize=50, scored=False
+                submission, ground_truth, num_workers=1, scored=False
             )
             iou_thd2r1, r1_avg, mIoU, invalid_pred_num = compute_mr_r1(
                 submission, ground_truth, extended=True

@@ -176,6 +176,36 @@ class BLIP2_MR(BaseModel):
                 self.answerer_params = self.init_params(jax.random.PRNGKey(seed + 1))
 
     # ------------------------------------------------------------------ init
+    def init_params_fast(self, rng, dtype=jnp.bfloat16, scale=0.02):
+        """Randomized params straight to device in ``dtype``.
+
+        For benchmarks and compile checks of full-size models: avoids
+        materializing the fp32 init (flan-t5-xl + ViT-g would need ~16 GB)
+        by eval_shape-ing the real init and drawing each leaf directly in
+        the target dtype.
+        """
+        import ml_dtypes
+
+        shapes = jax.eval_shape(lambda: self.init_params(rng))
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
+        host_rng = np.random.default_rng(int(jax.random.key_data(rng)[-1]))
+
+        out = []
+        for leaf in leaves:
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                # Norm scales start at 1, everything else small-normal.
+                if len(leaf.shape) == 1:
+                    arr = np.ones(leaf.shape, np_dtype)
+                else:
+                    arr = (
+                        host_rng.standard_normal(leaf.shape, np.float32) * scale
+                    ).astype(np_dtype)
+            else:
+                arr = np.zeros(leaf.shape, jnp.dtype(leaf.dtype))
+            out.append(jax.device_put(arr))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
     def init_params(self, rng):
         frames = jnp.zeros((1, 1, self.img_size, self.img_size, 3), jnp.float32)
         variables = self.module.init(

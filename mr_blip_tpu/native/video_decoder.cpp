@@ -1,0 +1,329 @@
+// Native video decode library (FFmpeg/libav) — the framework's replacement
+// for decord (reference lavis/datasets/data_utils.py:30-85 uses decord's
+// VideoReader for random-access frame gathers) and PyAV (window re-decode,
+// lavis/models/blip2_mr_models/utils.py:532-606).
+//
+// C API (ctypes-friendly):
+//   vd_open(path, out_w, out_h)       -> handle (scaled RGB24 output)
+//   vd_info(h, &fps, &nframes, &dur)  -> 0 on success
+//   vd_get_batch(h, indices, n, out)  -> decode specific frame indices
+//   vd_get_window(h, t0, t1, max_n, out, &n_out) -> all frames in [t0, t1) s
+//   vd_close(h)
+//   vd_write_test_video(path, w, h, n_frames, fps) -> encode a synthetic
+//       MPEG4/AVI clip (deterministic per-frame pattern) for hermetic tests.
+//
+// Random access: frame index -> PTS via average frame rate; seek to the
+// keyframe at/before the target, then decode forward. Batches are served
+// in sorted order so each monotone run reuses the decode position.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct VideoHandle {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* rgb = nullptr;
+  AVPacket* pkt = nullptr;
+  int stream_index = -1;
+  int out_w = 0, out_h = 0;
+  double fps = 0.0;
+  int64_t nframes = 0;
+  double duration = 0.0;
+  int64_t cur_frame = -1;  // index of the last frame decoded
+};
+
+double stream_fps(AVStream* st) {
+  AVRational r = st->avg_frame_rate;
+  if (r.num == 0 || r.den == 0) r = st->r_frame_rate;
+  if (r.num == 0 || r.den == 0) return 0.0;
+  return av_q2d(r);
+}
+
+int64_t index_to_pts(VideoHandle* h, int64_t index) {
+  AVStream* st = h->fmt->streams[h->stream_index];
+  double t = index / h->fps;  // seconds
+  return (int64_t)(t / av_q2d(st->time_base) + 0.5) + (
+      st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time);
+}
+
+int64_t pts_to_index(VideoHandle* h, int64_t pts) {
+  AVStream* st = h->fmt->streams[h->stream_index];
+  int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  double t = (pts - start) * av_q2d(st->time_base);
+  return (int64_t)(t * h->fps + 0.5);
+}
+
+// Decode the next frame into h->frame; returns frame index or -1 on EOF.
+int64_t decode_next(VideoHandle* h) {
+  while (true) {
+    int ret = avcodec_receive_frame(h->codec, h->frame);
+    if (ret == 0) {
+      int64_t pts = h->frame->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE) pts = h->frame->pts;
+      h->cur_frame =
+          pts == AV_NOPTS_VALUE ? h->cur_frame + 1 : pts_to_index(h, pts);
+      return h->cur_frame;
+    }
+    if (ret != AVERROR(EAGAIN)) return -1;
+    // feed more packets
+    while (true) {
+      ret = av_read_frame(h->fmt, h->pkt);
+      if (ret < 0) {
+        avcodec_send_packet(h->codec, nullptr);  // flush
+        break;
+      }
+      if (h->pkt->stream_index == h->stream_index) {
+        avcodec_send_packet(h->codec, h->pkt);
+        av_packet_unref(h->pkt);
+        break;
+      }
+      av_packet_unref(h->pkt);
+    }
+  }
+}
+
+void scale_into(VideoHandle* h, unsigned char* dst) {
+  uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
+  int dst_linesize[4] = {3 * h->out_w, 0, 0, 0};
+  sws_scale(h->sws, h->frame->data, h->frame->linesize, 0, h->codec->height,
+            dst_data, dst_linesize);
+}
+
+int seek_to_index(VideoHandle* h, int64_t index) {
+  int64_t pts = index_to_pts(h, index);
+  int ret = av_seek_frame(h->fmt, h->stream_index, pts, AVSEEK_FLAG_BACKWARD);
+  if (ret < 0) return ret;
+  avcodec_flush_buffers(h->codec);
+  h->cur_frame = -1;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path, int out_w, int out_h) {
+  av_log_set_level(AV_LOG_ERROR);
+  auto* h = new VideoHandle();
+  if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) goto fail;
+  if (avformat_find_stream_info(h->fmt, nullptr) < 0) goto fail;
+  h->stream_index =
+      av_find_best_stream(h->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (h->stream_index < 0) goto fail;
+  {
+    AVStream* st = h->fmt->streams[h->stream_index];
+    const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!dec) goto fail;
+    h->codec = avcodec_alloc_context3(dec);
+    avcodec_parameters_to_context(h->codec, st->codecpar);
+    if (avcodec_open2(h->codec, dec, nullptr) < 0) goto fail;
+
+    h->fps = stream_fps(st);
+    if (h->fps <= 0) h->fps = 30.0;
+    h->duration = (h->fmt->duration != AV_NOPTS_VALUE)
+                      ? h->fmt->duration / (double)AV_TIME_BASE
+                      : 0.0;
+    h->nframes = st->nb_frames;
+    if (h->nframes <= 0) h->nframes = (int64_t)(h->duration * h->fps + 0.5);
+    if (h->nframes <= 0) h->nframes = 1;
+
+    h->out_w = out_w > 0 ? out_w : h->codec->width;
+    h->out_h = out_h > 0 ? out_h : h->codec->height;
+    h->sws = sws_getContext(h->codec->width, h->codec->height,
+                            h->codec->pix_fmt, h->out_w, h->out_h,
+                            AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr, nullptr,
+                            nullptr);
+    if (!h->sws) goto fail;
+    h->frame = av_frame_alloc();
+    h->rgb = av_frame_alloc();
+    h->pkt = av_packet_alloc();
+  }
+  return h;
+fail:
+  if (h->fmt) avformat_close_input(&h->fmt);
+  delete h;
+  return nullptr;
+}
+
+int vd_info(void* handle, double* fps, long long* nframes, double* duration,
+            int* width, int* height) {
+  auto* h = (VideoHandle*)handle;
+  if (!h) return -1;
+  *fps = h->fps;
+  *nframes = h->nframes;
+  *duration = h->duration;
+  *width = h->out_w;
+  *height = h->out_h;
+  return 0;
+}
+
+// Decode the given frame indices (any order) into out (n, out_h, out_w, 3).
+int vd_get_batch(void* handle, const long long* indices, int n,
+                 unsigned char* out) {
+  auto* h = (VideoHandle*)handle;
+  if (!h) return -1;
+  size_t frame_bytes = (size_t)h->out_w * h->out_h * 3;
+
+  // Serve in sorted order; duplicate indices reuse the decoded frame.
+  std::vector<int> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(),
+            [&](int a, int b) { return indices[a] < indices[b]; });
+
+  for (int k = 0; k < n; ++k) {
+    int oi = order[k];
+    int64_t target = std::min<int64_t>(indices[oi], h->nframes - 1);
+    if (target < 0) target = 0;
+    if (k > 0 && indices[order[k - 1]] == indices[oi]) {
+      memcpy(out + (size_t)oi * frame_bytes,
+             out + (size_t)order[k - 1] * frame_bytes, frame_bytes);
+      continue;
+    }
+    // Seek backward only when the target is behind or far ahead.
+    if (h->cur_frame < 0 || target < h->cur_frame ||
+        target > h->cur_frame + (int64_t)(4 * h->fps)) {
+      if (seek_to_index(h, target) < 0) return -2;
+    }
+    int64_t got = h->cur_frame;
+    int guard = 0;
+    while (got < target) {
+      got = decode_next(h);
+      if (got < 0) break;  // EOF: keep last decoded frame
+      if (++guard > 4096) break;
+    }
+    if (h->cur_frame < 0) {
+      // Seek produced nothing (e.g. at EOF) — restart from 0.
+      if (seek_to_index(h, 0) < 0) return -3;
+      got = decode_next(h);
+      if (got < 0) return -4;
+      while (got < target) {
+        int64_t nxt = decode_next(h);
+        if (nxt < 0) break;
+        got = nxt;
+      }
+    }
+    scale_into(h, out + (size_t)oi * frame_bytes);
+  }
+  return 0;
+}
+
+// Decode every frame with t0 <= t < t1 (seconds), up to max_n frames.
+int vd_get_window(void* handle, double t0, double t1, int max_n,
+                  unsigned char* out, int* n_out) {
+  auto* h = (VideoHandle*)handle;
+  if (!h) return -1;
+  if (t0 > t1) std::swap(t0, t1);
+  size_t frame_bytes = (size_t)h->out_w * h->out_h * 3;
+  int64_t first = (int64_t)(t0 * h->fps);
+  if (seek_to_index(h, first) < 0) return -2;
+  int count = 0;
+  while (count < max_n) {
+    int64_t idx = decode_next(h);
+    if (idx < 0) break;
+    double t = idx / h->fps;
+    if (t < t0) continue;
+    if (t >= t1) break;
+    scale_into(h, out + (size_t)count * frame_bytes);
+    ++count;
+  }
+  *n_out = count;
+  return 0;
+}
+
+void vd_close(void* handle) {
+  auto* h = (VideoHandle*)handle;
+  if (!h) return;
+  if (h->pkt) av_packet_free(&h->pkt);
+  if (h->frame) av_frame_free(&h->frame);
+  if (h->rgb) av_frame_free(&h->rgb);
+  if (h->sws) sws_freeContext(h->sws);
+  if (h->codec) avcodec_free_context(&h->codec);
+  if (h->fmt) avformat_close_input(&h->fmt);
+  delete h;
+}
+
+// Encode a deterministic synthetic clip (MPEG4/AVI, no external encoders)
+// so tests can exercise the real decode path hermetically.  Frame k has a
+// moving gradient keyed to k.
+int vd_write_test_video(const char* path, int w, int h, int n_frames,
+                        double fps) {
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) return -1;
+  AVFormatContext* fmt = nullptr;
+  avformat_alloc_output_context2(&fmt, nullptr, "avi", path);
+  if (!fmt) return -2;
+  AVStream* st = avformat_new_stream(fmt, enc);
+  AVCodecContext* ctx = avcodec_alloc_context3(enc);
+  ctx->width = w;
+  ctx->height = h;
+  ctx->time_base = AVRational{1000, (int)(fps * 1000)};
+  ctx->framerate = AVRational{(int)(fps * 1000), 1000};
+  ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  ctx->gop_size = 8;
+  ctx->bit_rate = 2000000;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(ctx, enc, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(st->codecpar, ctx);
+  st->time_base = ctx->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE))
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  if (avformat_write_header(fmt, nullptr) < 0) return -5;
+
+  AVFrame* fr = av_frame_alloc();
+  fr->format = ctx->pix_fmt;
+  fr->width = w;
+  fr->height = h;
+  av_frame_get_buffer(fr, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  auto flush = [&](AVFrame* f) {
+    avcodec_send_frame(ctx, f);
+    while (avcodec_receive_packet(ctx, pkt) == 0) {
+      av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+
+  for (int k = 0; k < n_frames; ++k) {
+    av_frame_make_writable(fr);
+    // Luma: gradient whose phase encodes the frame index.
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x)
+        fr->data[0][y * fr->linesize[0] + x] =
+            (uint8_t)((x * 3 + y + k * 16) & 0xFF);
+    for (int y = 0; y < h / 2; ++y)
+      for (int x = 0; x < w / 2; ++x) {
+        fr->data[1][y * fr->linesize[1] + x] = (uint8_t)(64 + (k * 8 & 0x7F));
+        fr->data[2][y * fr->linesize[2] + x] = (uint8_t)(128);
+      }
+    fr->pts = k;
+    flush(fr);
+  }
+  flush(nullptr);
+  av_write_trailer(fmt);
+  av_packet_free(&pkt);
+  av_frame_free(&fr);
+  avcodec_free_context(&ctx);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,89 @@
+"""Moment-retrieval task: span generation eval + R1/mAP/mIoU reporting.
+
+Matches the reference ``lavis/tasks/moment_retrieval.py:28-257``: valid_step
+collects {qid, raw_prediction, prediction, target, duration}; after
+evaluation the merged results are scored with the in-train eval_submission
+and ``agg_metrics`` is the R1 average over IoU .5:.05:.95.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+from mr_blip_tpu.common import dist as dist_utils
+from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.metrics.moment_retrieval import eval_submission
+from mr_blip_tpu.tasks.base_task import BaseTask
+from mr_blip_tpu.text.span_grammar import moment_str_to_list
+
+
+@registry.register_task("moment_retrieval")
+class MomentRetrievalTask(BaseTask):
+    def __init__(self):
+        super().__init__()
+        self.moment_str_to_list = moment_str_to_list
+
+    def valid_step(self, model, samples):
+        results = []
+        outputs = model.generate(samples)
+        answer = outputs["answer"]
+        qid = outputs["qid"]
+        pred = outputs["prediction"]
+        raw_pred = outputs["raw_prediction"]
+        duration = outputs["duration"]
+        assert len(qid) == len(answer)
+        assert len(qid) == len(pred)
+
+        for i, (a, q, p, rp, d) in enumerate(zip(answer, qid, pred, raw_pred, duration)):
+            results.append(
+                {
+                    "qid": str(q) + "_" + str(i),
+                    "raw_prediction": rp,
+                    "prediction": p,
+                    "target": a,
+                    "duration": d,
+                }
+            )
+        return results
+
+    def after_evaluation(self, val_result, split_name, epoch, **kwargs):
+        eval_result_file = self.save_result(
+            result=val_result,
+            result_dir=registry.get_path("result_dir"),
+            filename="{}_epoch{}".format(split_name, epoch),
+        )
+        return self._report_metrics(
+            eval_result_file=eval_result_file, split_name=split_name
+        )
+
+    @dist_utils.main_process
+    def _report_metrics(self, eval_result_file, split_name):
+        results = json.load(open(eval_result_file))
+        total_num = len(results)
+
+        results_interpreted = [
+            {
+                "qid": r["qid"],
+                "pred_relevant_windows": self.moment_str_to_list(r["prediction"]),
+                "relevant_windows": self.moment_str_to_list(r["target"]),
+            }
+            for r in results
+        ]
+
+        all_metrics = eval_submission(
+            results_interpreted, results_interpreted, verbose=False, mode="intrain"
+        )
+
+        metrics = {
+            "agg_metrics": all_metrics["brief"]["MR-full-R1-avg"],
+            "r1": all_metrics["full"]["MR-R1"],
+            "mAP": all_metrics["full"]["MR-mAP"],
+            "mIoU": all_metrics["brief"]["MR-full-mIoU"],
+            "invalid_predictions": (
+                all_metrics["brief"]["MR-full-invalid_pred_num"] / total_num
+            ),
+            "total": total_num,
+        }
+        logging.info(metrics)
+        return metrics

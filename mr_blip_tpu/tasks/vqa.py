@@ -1,0 +1,149 @@
+"""VideoQA / grounded VideoGQA tasks.
+
+Matches the reference ``lavis/tasks/vqa.py:436-860``: multiple-choice
+accuracy with per-question-type breakdown (qid prefixes; STAR group
+average), and for NExT-GQA the grounding metrics (Acc@GQA, mIoP/TIoP,
+mIoU/TIoU) via :func:`mr_blip_tpu.metrics.grounded_qa.eval_ground`.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+from mr_blip_tpu.common import dist as dist_utils
+from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.metrics.grounded_qa import eval_ground
+from mr_blip_tpu.tasks.base_task import BaseTask
+
+ANS_MAPPING = {"A": 0, "B": 1, "C": 2, "D": 3, "E": 4}
+
+
+@registry.register_task("videoqa")
+class VideoQA(BaseTask):
+    def __init__(self):
+        super().__init__()
+        self.ANS_MAPPING = ANS_MAPPING
+
+    def valid_step(self, model, samples):
+        results = []
+        outputs = model.videoQA_generate(samples)
+        answer = outputs["answer"]
+        qid = outputs["qid"]
+        output_text = outputs["output_text"]
+        frame_idx = outputs.get("frame_idx", [0] * len(qid))
+        assert len(qid) == len(output_text) == len(answer)
+
+        for a, q, o, f in zip(answer, qid, output_text, frame_idx):
+            results.append(
+                {
+                    "qid": q,
+                    "prediction": o,
+                    "target": self.ANS_MAPPING[a[-1]],
+                    "frame_idx": f,
+                }
+            )
+        return results
+
+    def after_evaluation(self, val_result, split_name, epoch, **kwargs):
+        eval_result_file = self.save_result(
+            result=val_result,
+            result_dir=registry.get_path("result_dir"),
+            filename="{}_epoch{}".format(split_name, epoch),
+        )
+        return self._report_metrics(
+            eval_result_file=eval_result_file, split_name=split_name
+        )
+
+    @staticmethod
+    def _accuracy_breakdown(results):
+        total_num = len(results)
+        acc = 0
+        qtype_correct, qtype_total = {}, {}
+        for r in results:
+            qtype = str(r["qid"]).split("_")[0]
+            qtype_total[qtype] = qtype_total.get(qtype, 0) + 1
+            if r["prediction"] == r["target"]:
+                acc += 1
+                qtype_correct[qtype] = qtype_correct.get(qtype, 0) + 1
+        metrics = {}
+        for qtype in qtype_total:
+            metrics[qtype] = qtype_correct.get(qtype, 0) / qtype_total[qtype] * 100
+        metrics["agg_metrics"] = acc / total_num
+        metrics["total"] = total_num
+        # STAR reports the mean over its four question groups.
+        star_groups = ("Interaction", "Sequence", "Prediction", "Feasibility")
+        if all(g in metrics for g in star_groups):
+            metrics["agg_metrics"] = sum(metrics[g] for g in star_groups) / 4
+        return metrics
+
+    @dist_utils.main_process
+    def _report_metrics(self, eval_result_file, split_name):
+        results = json.load(open(eval_result_file))
+        metrics = self._accuracy_breakdown(results)
+        log_stats = {split_name: dict(metrics)}
+        out_dir = registry.get_path("output_dir")
+        if out_dir:
+            with open(os.path.join(out_dir, "evaluate.txt"), "a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+        logging.info(metrics)
+        return metrics
+
+
+@registry.register_task("videogqa")
+class VideoGQA(VideoQA):
+    def valid_step(self, model, samples):
+        results = []
+        outputs = model.videoQA_generate(samples)
+        answer = outputs["answer"]
+        qid = outputs["qid"]
+        output_text = outputs["output_text"]
+        relevant_moments = outputs["relevant_moments"]
+        relevant_moments_gt = np.asarray(outputs["relevant_moments_gt"]).tolist()
+        duration = samples["duration"]
+        frame_idx = outputs.get("frame_idx", [0] * len(qid))
+        assert len(qid) == len(output_text) == len(answer)
+
+        # relevant_moments comes batched in a single-element list
+        moments = relevant_moments[0] if len(relevant_moments) == 1 else relevant_moments
+
+        for a, q, o, f, d, m, mgt in zip(
+            answer, qid, output_text, frame_idx, duration, moments,
+            relevant_moments_gt,
+        ):
+            results.append(
+                {
+                    "qid": q,
+                    "prediction": o,
+                    "target": self.ANS_MAPPING[a[-1]],
+                    "frame_idx": f,
+                    "relevant_moments": [m],
+                    "relevant_moments_gt": mgt,
+                    "duration": float(d),
+                }
+            )
+        return results
+
+    @dist_utils.main_process
+    def _report_metrics(self, eval_result_file, split_name):
+        results = json.load(open(eval_result_file))
+        metrics = self._accuracy_breakdown(results)
+        agg, total = metrics.pop("agg_metrics"), metrics.pop("total")
+        metrics.update(eval_ground(results))
+        metrics.update({"agg_metrics": agg, "total": total})
+        log_stats = {split_name: dict(metrics)}
+        out_dir = registry.get_path("output_dir")
+        if out_dir:
+            with open(os.path.join(out_dir, "evaluate.txt"), "a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+        logging.info(metrics)
+        return metrics
+
+
+@registry.register_task("frameqa")
+class FrameQA(VideoQA):
+    """Single-frame QA ablation (reference vqa.py:333-433): same contract as
+    videoqa; the model's localizer variant decides frame selection."""

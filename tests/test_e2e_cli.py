@@ -1,0 +1,58 @@
+"""End-to-end CLI smoke: train -> validate -> test on synthetic data (CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    sys.path.insert(0, REPO)
+    from mr_blip_tpu.datasets.synthetic import make_mr_annotations
+
+    out = tmp_path_factory.mktemp("synth")
+    make_mr_annotations(str(out), n_train=4, n_val=2, n_test=2,
+                        n_video_frames=20, fps=5.0, height=48, width=64)
+    return out
+
+
+def test_train_cli_end_to_end(synth_data, tmp_path):
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        PYTHONPATH=REPO,
+    )
+    out_dir = tmp_path / "out"
+    cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--cfg-path", os.path.join(REPO, "configs/projects/train/tiny_synthetic.yaml"),
+        "--options",
+        f"datasets.qvh.build_info.annotations.train.storage={synth_data}/train.json",
+        f"datasets.qvh.build_info.annotations.val.storage={synth_data}/val.json",
+        f"datasets.qvh.build_info.annotations.test.storage={synth_data}/test.json",
+        f"run.output_dir={out_dir}",
+        "run.batch_size_train=2", "run.batch_size_eval=2", "run.num_workers=1",
+    ]
+    # train.py must force CPU itself through jax.config when env asks for it
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    # one job dir with results + logs
+    job_dirs = list(out_dir.iterdir())
+    assert len(job_dirs) == 1
+    job = job_dirs[0]
+    result_files = sorted((job / "result").glob("*.json"))
+    assert any("val_epoch0" in f.name for f in result_files)
+    assert any("test_epoch" in f.name for f in result_files)
+    # the merged val results carry the task record schema
+    val = json.loads(
+        next(f for f in result_files if f.name == "val_epoch0.json").read_text()
+    )
+    assert {"qid", "prediction", "raw_prediction", "target", "duration"} <= set(val[0])
+    assert (job / "log.txt").exists()
