@@ -203,8 +203,11 @@ class BLIP2_MR(BaseModel):
                     ).astype(np_dtype)
             else:
                 arr = np.zeros(leaf.shape, jnp.dtype(leaf.dtype))
-            out.append(jax.device_put(arr))
-        return jax.tree_util.tree_unflatten(treedef, out)
+            out.append(arr)
+        # One batched transfer: per-leaf device_put pays a round trip per
+        # tensor (minutes over the remote TPU tunnel for ~2k leaves).
+        tree = jax.tree_util.tree_unflatten(treedef, out)
+        return jax.device_put(tree)
 
     def init_params(self, rng):
         frames = jnp.zeros((1, 1, self.img_size, self.img_size, 3), jnp.float32)
@@ -495,6 +498,38 @@ class BLIP2_MR(BaseModel):
             out.append(frames)
         return np.stack(out)
 
+    def get_relevant_frames_resampled(self, samples, relevant_moments, n_frames):
+        """Re-decode the predicted window from the source video
+        (blip2_mr.py:1167-1230): the eval processor samples ``n_frames``
+        uniformly inside [start, end] via clip_proposal seek-decode."""
+        from mr_blip_tpu.processors.video_processors import BlipVideoEvalProcessor
+
+        durations = np.asarray(samples["duration"], np.float64)
+        moments = []
+        if relevant_moments and isinstance(relevant_moments[0], str):
+            for i, sample in enumerate(relevant_moments):
+                m = moment_str_to_list(sample)
+                if m == [[-1, -1]]:
+                    m = [0, round(float(durations[i]))]
+                else:
+                    m = m[0]
+                if m[1] > durations[i]:
+                    m[1] = round(float(durations[i]))
+                moments.append(m)
+        else:
+            moments = [list(m) for m in relevant_moments]
+
+        processor = BlipVideoEvalProcessor(
+            image_size=self.img_size, n_frms=n_frames
+        )
+        frames = []
+        for i, (start, end) in enumerate(moments):
+            if start >= end:
+                end = float(durations[i])
+            f, _, _ = processor(samples["video_path"][i], clip_proposal=[start, end])
+            frames.append(np.asarray(f, np.float32))
+        return moments, np.stack(frames)
+
     @functools.cached_property
     def _jit_qa_answer(self):
         module = self.module
@@ -568,19 +603,29 @@ class BLIP2_MR(BaseModel):
         durations = np.asarray(samples["duration"], np.float64)
         if self.use_localizer:
             out_mr = self.generate(samples)
-            relevant_moments, relevant_frames = self.get_relevant_frames(
-                samples, out_mr["prediction"], self.num_frames_for_answer
-            )
+            if self.resample_frames:
+                relevant_moments, relevant_frames = self.get_relevant_frames_resampled(
+                    samples, out_mr["prediction"], self.num_frames_for_answer
+                )
+            else:
+                relevant_moments, relevant_frames = self.get_relevant_frames(
+                    samples, out_mr["prediction"], self.num_frames_for_answer
+                )
         elif not self.use_oracle_localizer:
             relevant_moments = [[0, float(d)] for d in durations]
             relevant_frames = self.extract_frames(
                 samples, relevant_moments, self.num_frames_for_answer
             )
         else:
-            relevant_moments = [m[0] for m in samples["relevant_windows"]]
-            relevant_frames = self.extract_frames(
-                samples, relevant_moments, self.num_frames_for_answer
-            )
+            relevant_moments = [list(m[0]) for m in np.asarray(samples["relevant_windows"])]
+            if self.resample_frames:
+                relevant_moments, relevant_frames = self.get_relevant_frames_resampled(
+                    samples, relevant_moments, self.num_frames_for_answer
+                )
+            else:
+                relevant_frames = self.extract_frames(
+                    samples, relevant_moments, self.num_frames_for_answer
+                )
 
         samples["relevant_frames"] = relevant_frames
         out_ans = self.videoQA_answer(samples)

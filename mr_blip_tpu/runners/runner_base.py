@@ -245,6 +245,15 @@ class RunnerBase:
         best_agg_metric = 0
         best_epoch = 0
         self.log_config()
+        from mr_blip_tpu.common import tracking
+
+        tracking.init(
+            project=self.run_cfg.get("wandb_project", "mr_blip_tpu"),
+            name=self.run_cfg.get("wandb_name", self.job_id),
+            config=self.config.to_dict(),
+            out_dir=str(self.output_dir),
+            enabled=bool(self.run_cfg.get("wandb", True)),
+        )
 
         for cur_epoch in range(self.start_epoch, self.max_epoch):
             if not self.evaluate_only:
@@ -259,6 +268,14 @@ class RunnerBase:
                         split_name=split_name, cur_epoch=cur_epoch
                     )
                     if val_log is not None and dist_utils.is_main_process():
+                        from mr_blip_tpu.common import tracking
+
+                        tracker = tracking.get()
+                        if tracker is not None:
+                            tracker.log(
+                                {f"eval/{k}": v for k, v in val_log.items()
+                                 if isinstance(v, (int, float))}
+                            )
                         assert "agg_metrics" in val_log, (
                             "No agg_metrics found in validation log."
                         )

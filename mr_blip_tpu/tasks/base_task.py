@@ -150,9 +150,20 @@ class BaseTask:
             inner_epoch = start_iters // iters_per_epoch
             header = f"Train: data epoch: [{epoch}]; inner epoch [{inner_epoch}]"
 
+        from mr_blip_tpu.common import tracking
+
+        tracker = tracking.get()
+        profile_steps = int(os.environ.get("MRBLIP_PROFILE_STEPS", 0))
+
         for i in metric_logger.log_every(range(iters_per_epoch), log_freq, header):
             if i >= iters_per_epoch:
                 break
+            if profile_steps and epoch == 0 and i == 1:
+                import jax
+
+                jax.profiler.start_trace(
+                    os.path.join(registry.get_path("output_dir") or ".", "profile")
+                )
             samples = next(data_loader)
             samples = dict(samples)
             samples.update(
@@ -166,6 +177,13 @@ class BaseTask:
 
             metric_logger.update(loss=float(loss))
             metric_logger.update(lr=float(lr))
+            if tracker is not None:
+                tracker.log({"train/loss": float(loss), "train/lr": float(lr)})
+            if profile_steps and epoch == 0 and i == profile_steps:
+                import jax
+
+                jax.profiler.stop_trace()
+                profile_steps = 0
 
         metric_logger.synchronize_between_processes()
         logging.info("Averaged stats: " + str(metric_logger.global_avg()))

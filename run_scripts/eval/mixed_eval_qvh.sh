@@ -1,0 +1,2 @@
+#!/usr/bin/env bash
+python evaluate.py --cfg-path configs/projects/eval/mixed_eval_qvh.yaml "$@"

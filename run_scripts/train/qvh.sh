@@ -1,0 +1,3 @@
+#!/usr/bin/env bash
+# Multi-host: set COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID per host.
+python train.py --cfg-path configs/projects/train/qvh.yaml "$@"
