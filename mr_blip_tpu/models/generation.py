@@ -89,7 +89,11 @@ def beam_search(
     alive_seqs = jnp.full(
         (batch_size, num_beams, max_length + 1), pad_token_id, jnp.int32
     )
-    alive_seqs = alive_seqs.at[:, :, 0].set(decoder_start_token_id)
+    # decoder_start_token_id may be a scalar or a per-sample (B,) array
+    # (causal-LM generation seeds each row with its last prompt token).
+    start = jnp.asarray(decoder_start_token_id, jnp.int32)
+    start = jnp.broadcast_to(start.reshape(-1, 1), (batch_size, num_beams))
+    alive_seqs = alive_seqs.at[:, :, 0].set(start)
     # Only beam 0 is live initially (all beams start identical).
     alive_log_probs = jnp.tile(
         jnp.array([0.0] + [NEG_INF] * (num_beams - 1)), (batch_size, 1)
