@@ -28,7 +28,7 @@ import numpy as np
 A100_BASELINE_FPS_PER_CHIP = 40.0
 
 N_FRAMES = 60
-BATCH = 1
+BATCH = 4  # the reference QVH eval batch size (eval/qvh.yaml)
 REPEATS = 3
 
 
@@ -49,7 +49,7 @@ def main():
         task="lora", num_beams=5, max_new_tokens=50,
         compute_dtype="bfloat16", init_params=False,
     )
-    model.params = model.init_params_fast(jax.random.PRNGKey(0))
+    model.params = model.init_params_fast(jax.random.PRNGKey(0), mode="zeros")
     log(f"params ready in {time.time() - t_start:.0f}s")
 
     rng = np.random.default_rng(0)

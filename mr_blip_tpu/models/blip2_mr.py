@@ -176,21 +176,38 @@ class BLIP2_MR(BaseModel):
                 self.answerer_params = self.init_params(jax.random.PRNGKey(seed + 1))
 
     # ------------------------------------------------------------------ init
-    def init_params_fast(self, rng, dtype=jnp.bfloat16, scale=0.02):
-        """Randomized params straight to device in ``dtype``.
+    def init_params_fast(self, rng, dtype=jnp.bfloat16, scale=0.02,
+                         mode="random"):
+        """Full-size params straight to device in ``dtype``.
 
-        For benchmarks and compile checks of full-size models: avoids
-        materializing the fp32 init (flan-t5-xl + ViT-g would need ~16 GB)
-        by eval_shape-ing the real init and drawing each leaf directly in
-        the target dtype.
+        For benchmarks and compile checks: avoids materializing the fp32
+        flax init (flan-t5-xl + ViT-g would need ~16 GB) by eval_shape-ing
+        the real init and building leaves directly in the target dtype.
+
+        ``mode="zeros"`` creates kernels as device-side zeros (norm scales
+        as ones) with no host generation or transfer at all — throughput
+        timing is value-independent, so benchmarks use this. ``"random"``
+        draws small normals on host (slower: ~N seconds per billion params
+        on this 1-core host).
         """
         import ml_dtypes
 
         shapes = jax.eval_shape(lambda: self.init_params(rng))
         leaves, treedef = jax.tree_util.tree_flatten(shapes)
         np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
-        host_rng = np.random.default_rng(int(jax.random.key_data(rng)[-1]))
 
+        if mode == "zeros":
+            out = [
+                (jnp.ones if (jnp.issubdtype(l.dtype, jnp.floating)
+                              and len(l.shape) == 1) else jnp.zeros)(
+                    l.shape,
+                    dtype if jnp.issubdtype(l.dtype, jnp.floating) else l.dtype,
+                )
+                for l in leaves
+            ]
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        host_rng = np.random.default_rng(int(jax.random.key_data(rng)[-1]))
         out = []
         for leaf in leaves:
             if jnp.issubdtype(leaf.dtype, jnp.floating):
@@ -398,19 +415,18 @@ class BLIP2_MR(BaseModel):
                 return mod.encode(embeds, attn), attn
 
             enc, attn = module.apply({"params": params}, method=encode)
-            enc_b = expand_to_beams(enc, num_beams)
-            mask_b = expand_to_beams(attn, num_beams)
-
+            # Cross-attention K/V stay at batch rows (beam-deduplicated in
+            # T5Attention); only self-attention caches carry B*K rows.
             dummy = jnp.zeros((batch_size * num_beams, 1), jnp.int32)
             _, vars0 = module.apply(
-                {"params": params}, dummy, enc_b, mask_b, jnp.int32(0),
+                {"params": params}, dummy, enc, attn, jnp.int32(0),
                 method="decode_step", mutable=["cache"],
             )
             cache = _zero_self_cache(vars0["cache"])
 
             def decode_step(cache, tokens, position):
                 logits, updated = module.apply(
-                    {"params": params, "cache": cache}, tokens, enc_b, mask_b,
+                    {"params": params, "cache": cache}, tokens, enc, attn,
                     position, method="decode_step", mutable=["cache"],
                 )
                 return logits[:, 0], updated["cache"]

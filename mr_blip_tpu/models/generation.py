@@ -33,6 +33,9 @@ def _gather_beams(tree, beam_indices, batch_size, num_beams):
     def gather(x):
         if x.ndim == 0:  # scalars (e.g. cache_index) are beam-invariant
             return x
+        if x.shape[0] != batch_size * num_beams:
+            # beam-deduplicated leaves (cross-attention K/V) need no gather
+            return x
         x = x.reshape((batch_size, num_beams) + x.shape[1:])
         out = jnp.take_along_axis(
             x,

@@ -146,25 +146,40 @@ class T5Attention(nn.Module):
         b, n, _ = x.shape
         q = dense("q")(x, deterministic=deterministic).reshape(b, n, cfg.num_heads, cfg.d_kv)
 
+        # Caches are stored flattened (b, L, heads*d_kv): the TPU tiled
+        # layout pads the last dim to 128 lanes, so a (.., 32, 64) cache
+        # would cost 2x HBM; (.., 2048) is padding-free.
         if decode and is_cross:
             # Cross K/V are constant across decode steps: computed once when
             # the cache variable is created (init_cache pass), reused after.
+            # Stored at the ENCODER batch size — beams share them (queries
+            # are folded into the length axis at attention time).
             already_cached = self.has_variable("cache", "cached_key")
             if already_cached:
-                k = self.variable("cache", "cached_key", None).value
-                v = self.variable("cache", "cached_value", None).value
-                # keep the Dense params in the tree even when skipped
-                _ = dense("k")
-                _ = dense("v")
+                k_flat = self.variable("cache", "cached_key", None).value
+                v_flat = self.variable("cache", "cached_value", None).value
             else:
-                k = dense("k")(kv_states, deterministic=deterministic).reshape(
-                    b, -1, cfg.num_heads, cfg.d_kv
+                b_enc = kv_states.shape[0]
+                k_flat = dense("k")(kv_states, deterministic=deterministic).reshape(
+                    b_enc, -1, inner
                 )
-                v = dense("v")(kv_states, deterministic=deterministic).reshape(
-                    b, -1, cfg.num_heads, cfg.d_kv
+                v_flat = dense("v")(kv_states, deterministic=deterministic).reshape(
+                    b_enc, -1, inner
                 )
-                self.variable("cache", "cached_key", lambda: k)
-                self.variable("cache", "cached_value", lambda: v)
+                self.variable("cache", "cached_key", lambda: k_flat)
+                self.variable("cache", "cached_value", lambda: v_flat)
+            b_enc, m = k_flat.shape[0], k_flat.shape[1]
+            k = k_flat.reshape(b_enc, m, cfg.num_heads, cfg.d_kv)
+            v = v_flat.reshape(b_enc, m, cfg.num_heads, cfg.d_kv)
+            if b_enc != b:
+                # q rows are beam-expanded: fold beams into the query length.
+                beams = b // b_enc
+                q = q.reshape(b_enc, beams * n, cfg.num_heads, cfg.d_kv)
+                if mask is not None and mask.shape[0] == b:
+                    mask = mask.reshape((b_enc, beams) + mask.shape[1:])[:, 0]
+                out = dot_product_attention(q, k, v, bias=position_bias, mask=mask)
+                out = out.reshape(b, n, inner)
+                return dense("o")(out, deterministic=deterministic)
         else:
             kv = kv_states if is_cross else x
             k = dense("k")(kv, deterministic=deterministic).reshape(
@@ -179,26 +194,24 @@ class T5Attention(nn.Module):
             max_len = self.decode_cache_len
             assert max_len > 0, "decode=True requires decode_cache_len > 0"
             cached_key = self.variable(
-                "cache", "cached_key", jnp.zeros,
-                (b, max_len, cfg.num_heads, cfg.d_kv), k.dtype,
+                "cache", "cached_key", jnp.zeros, (b, max_len, inner), k.dtype,
             )
             cached_value = self.variable(
-                "cache", "cached_value", jnp.zeros,
-                (b, max_len, cfg.num_heads, cfg.d_kv), v.dtype,
+                "cache", "cached_value", jnp.zeros, (b, max_len, inner), v.dtype,
             )
             cache_index = self.variable(
                 "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
             )
             idx = cache_index.value
             cached_key.value = jax.lax.dynamic_update_slice(
-                cached_key.value, k, (0, idx, 0, 0)
+                cached_key.value, k.reshape(b, n, inner), (0, idx, 0)
             )
             cached_value.value = jax.lax.dynamic_update_slice(
-                cached_value.value, v, (0, idx, 0, 0)
+                cached_value.value, v.reshape(b, n, inner), (0, idx, 0)
             )
             cache_index.value = idx + n
-            k = cached_key.value
-            v = cached_value.value
+            k = cached_key.value.reshape(b, max_len, cfg.num_heads, cfg.d_kv)
+            v = cached_value.value.reshape(b, max_len, cfg.num_heads, cfg.d_kv)
             # Mask out cache slots at or beyond the write frontier.
             valid = jnp.arange(max_len)[None, None, None, :] < (idx + n)
             mask = valid if mask is None else jnp.logical_and(mask, valid)

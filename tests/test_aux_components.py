@@ -1,0 +1,165 @@
+"""Tests for auxiliary components: simple metrics, validator, preprocess,
+tracking, FMR model, TAL metrics."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mr_blip_tpu.metrics.simple import compute_IoU, r1_and_mIoU
+from mr_blip_tpu.common.config_validator import create_runner_config_validator
+from mr_blip_tpu.tasks.temporal_action_localization import anet_detection_eval
+
+
+class TestSimpleMetrics:
+    def test_compute_iou(self):
+        assert compute_IoU([0, 10], [0, 10]) == 1.0
+        assert compute_IoU([0, 5], [5, 10]) == 0.0
+        assert compute_IoU([0, 10], [5, 15]) == pytest.approx(5 / 15)
+
+    def test_r1_and_miou(self):
+        sub = [
+            {"pred_relevant_windows": [[0, 10]], "relevant_windows": [[0, 10]]},
+            {"pred_relevant_windows": [[-1, -1]], "relevant_windows": [[0, 10]]},
+            {"pred_relevant_windows": [[0, 6]], "relevant_windows": [[0, 10], [20, 30]]},
+        ]
+        r1, r1_avg, mIoU, invalid = r1_and_mIoU(sub)
+        assert invalid == 1
+        # video 1: iou 1.0; video 3: ious [0.6, 0] -> r1@0.5 = 0.5
+        assert r1["0.5"] == pytest.approx((1.0 + 0.5) / 3)
+        assert mIoU == pytest.approx((1.0 + 0.6 + 0.0) / 3)
+
+    def test_matches_reference_impl(self, reference_root):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_metrics_own", reference_root / "lavis" / "tasks" / "metrics_own.py"
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        rng = np.random.default_rng(0)
+        sub = []
+        for _ in range(40):
+            n_pred, n_gt = rng.integers(1, 4), rng.integers(1, 4)
+            mk = lambda n: [
+                sorted([float(rng.integers(0, 50)), float(rng.integers(1, 60))])
+                for _ in range(n)
+            ]
+            sub.append(
+                {"pred_relevant_windows": mk(n_pred), "relevant_windows": mk(n_gt)}
+            )
+        sub[3]["pred_relevant_windows"] = [[-1, -1]]
+        got = r1_and_mIoU(sub)
+        want = ref.r1_and_mIoU(sub)
+        assert got[0] == want[0]
+        assert got[1] == pytest.approx(want[1])
+        assert got[2] == pytest.approx(want[2])
+        assert got[3] == want[3]
+
+
+class TestTALMetrics:
+    def test_perfect_detection(self):
+        results = [
+            {"qid": "v1", "prediction": '[[0, 10, "run"]]', "target": '[[0, 10, "run"]]'},
+            {"qid": "v2", "prediction": '[[5, 9, "jump"]]', "target": '[[5, 9, "jump"]]'},
+        ]
+        m = anet_detection_eval(results)
+        assert m["mAP"] == pytest.approx(100.0)
+
+    def test_wrong_class_scores_zero(self):
+        results = [
+            {"qid": "v1", "prediction": '[[0, 10, "walk"]]', "target": '[[0, 10, "run"]]'},
+        ]
+        m = anet_detection_eval(results)
+        assert m["mAP"] == 0.0
+
+
+class TestConfigValidator:
+    def test_valid_config_passes(self):
+        v = create_runner_config_validator()
+        v.validate({
+            "task": "moment_retrieval", "lr_sched": "linear_warmup_cosine_lr",
+            "init_lr": 3e-4, "max_epoch": 50, "evaluate": False,
+            "train_splits": ["train"],
+        })
+
+    def test_bad_choice_raises(self):
+        v = create_runner_config_validator()
+        with pytest.raises(ValueError):
+            v.validate({"task": "nonexistent_task"})
+
+    def test_bad_type_raises(self):
+        v = create_runner_config_validator()
+        with pytest.raises(ValueError):
+            v.validate({"max_epoch": "fifty"})
+
+
+class TestDataPreprocess:
+    def test_qvh_conversion(self, tmp_path):
+        raw = [
+            {"qid": 1, "vid": "abc_1", "duration": 150, "query": "a person",
+             "relevant_windows": [[0, 10]], "relevant_clip_ids": [0],
+             "saliency_scores": [[1, 2, 3]]},
+        ]
+        inp = tmp_path / "raw.jsonl"
+        inp.write_text("\n".join(json.dumps(r) for r in raw))
+        out = tmp_path / "out.json"
+        r = subprocess.run(
+            [sys.executable, "scripts/data_preprocess.py", "qvh",
+             "--input", str(inp), "--output", str(out)],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        recs = json.loads(out.read_text())
+        assert recs[0]["video"] == "abc_1"
+        assert recs[0]["relevant_windows"] == [[0, 10]]
+        assert "saliency_scores" in recs[0]
+
+    def test_charades_conversion(self, tmp_path):
+        inp = tmp_path / "raw.txt"
+        inp.write_text("VID01 2.5 9.0##a person opens a door\n")
+        durs = tmp_path / "durs.json"
+        durs.write_text(json.dumps({"VID01": 30.5}))
+        out = tmp_path / "out.json"
+        r = subprocess.run(
+            [sys.executable, "scripts/data_preprocess.py", "charades",
+             "--input", str(inp), "--durations", str(durs), "--output", str(out)],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        recs = json.loads(out.read_text())
+        assert recs[0]["relevant_windows"] == [[2.5, 9.0]]
+        assert recs[0]["duration"] == 30.5
+
+    def test_anet_conversion(self, tmp_path):
+        inp = tmp_path / "raw.json"
+        inp.write_text(json.dumps({
+            "v_xyz": {"duration": 120.0, "timestamps": [[0, 30], [50, 90]],
+                      "sentences": ["first thing", "second thing"]},
+        }))
+        out = tmp_path / "out.json"
+        r = subprocess.run(
+            [sys.executable, "scripts/data_preprocess.py", "anet",
+             "--input", str(inp), "--output", str(out)],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        recs = json.loads(out.read_text())
+        assert len(recs) == 2
+        assert recs[1]["relevant_windows"] == [[50, 90]]
+
+
+class TestTracking:
+    def test_jsonl_events(self, tmp_path):
+        from mr_blip_tpu.common import tracking
+
+        tr = tracking.Tracker("p", "n", {"a": 1}, str(tmp_path))
+        tr.log({"train/loss": 1.0})
+        tr.log_table("t", ["c1"], [[1], [2]])
+        tr.finish()
+        lines = [json.loads(l) for l in (tmp_path / "events.jsonl").read_text().splitlines()]
+        types = [l["type"] for l in lines]
+        assert types == ["config", "metrics", "table", "finish"]
