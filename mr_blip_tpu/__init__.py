@@ -28,6 +28,8 @@ _setup_library_paths()
 from mr_blip_tpu.common import optims as _optims  # registers lr schedulers
 from mr_blip_tpu import processors as _processors  # registers processors
 from mr_blip_tpu.models import blip2_mr as _blip2_mr  # registers models
+from mr_blip_tpu.models import blip2_mr_opt as _blip2_mr_opt
+from mr_blip_tpu.models import blip2_fmr as _blip2_fmr
 from mr_blip_tpu.datasets import builders as _builders  # registers builders
 from mr_blip_tpu import tasks as _tasks  # registers tasks
 from mr_blip_tpu.runners import runner_base as _runner_base  # registers runners

@@ -13,8 +13,9 @@ def now() -> str:
 
 
 def get_abs_path(rel_path: str) -> str:
+    # library_root is the REPO root (configs/ lives beside the package)
     root = registry.get_path("library_root") or os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     return os.path.join(root, rel_path)
 
@@ -39,7 +40,9 @@ def cleanup_dir(path: str):
 
 def setup_library_paths():
     """Register library_root / cache_root once at import (reference lavis/__init__.py:21-31)."""
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     if registry.get_path("library_root") is None:
         registry.register_path("library_root", repo_root)
     if registry.get_path("cache_root") is None:

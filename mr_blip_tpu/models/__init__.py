@@ -4,10 +4,50 @@ from mr_blip_tpu.models.base import BaseModel
 from mr_blip_tpu.models.eva_vit import EvaViT, eva_vit_g_config
 from mr_blip_tpu.models.qformer import QFormer, qformer_base_config
 
+
+def load_model(name, model_type=None, is_eval=False, checkpoint=None, **kwargs):
+    """Build a registered model from its default config (reference
+    ``lavis.models.load_model``).
+
+    >>> model = load_model("blip2_mr", "pretrain_flant5xl")
+    """
+    from mr_blip_tpu.common.config import load_yaml
+    from mr_blip_tpu.common.registry import registry
+
+    model_cls = registry.get_model_class(name)
+    assert model_cls is not None, f"unknown model {name!r}"
+    cfg_path = model_cls.default_config_path(model_type)
+    cfg = load_yaml(cfg_path)["model"] if cfg_path else {}
+    cfg.update(kwargs)
+    model = model_cls.from_config(cfg)
+    if checkpoint:
+        model.params = model.load_params_nonstrict(model.params, checkpoint)
+    return model
+
+
+def load_model_and_preprocess(name, model_type=None, is_eval=False, **kwargs):
+    """Model + its train/eval processors (reference
+    ``lavis.models.load_model_and_preprocess``)."""
+    from mr_blip_tpu.processors.video_processors import (
+        Blip2VideoTrainProcessor,
+        BlipVideoEvalProcessor,
+    )
+
+    model = load_model(name, model_type=model_type, is_eval=is_eval, **kwargs)
+    img = getattr(model, "img_size", 224)
+    vis_processors = {
+        "train": Blip2VideoTrainProcessor(image_size=img),
+        "eval": BlipVideoEvalProcessor(image_size=img),
+    }
+    return model, vis_processors
+
+
 __all__ = [
     "BaseModel",
     "EvaViT",
     "eva_vit_g_config",
     "QFormer",
     "qformer_base_config",
+    "load_model",
+    "load_model_and_preprocess",
 ]

@@ -112,7 +112,12 @@ class RunnerBase:
             )
             params = self.model.params
             if self.mesh is not None:
-                params = replicate(params, self.mesh)
+                if self.mesh.shape["tp"] > 1:
+                    from mr_blip_tpu.parallel.sharding_rules import shard_params
+
+                    params = shard_params(params, self.mesh)
+                else:
+                    params = replicate(params, self.mesh)
             state = TrainState.create(params, tx)
             step_fn = make_train_step(self.model._loss_fn, donate=True)
             rng = jax.random.PRNGKey(int(self.run_cfg.get("seed", 42)))

@@ -149,3 +149,41 @@ class TestTrainStep:
             get_leaf(s1.params, "lora_a"), get_leaf(s4.params, "lora_a"),
             rtol=1e-4, atol=1e-5,
         )
+
+
+class TestTensorParallel:
+    def test_tp_mesh_matches_single_device(self, tiny):
+        """dp=2 x tp=2 sharded step must match the unsharded step."""
+        import jax
+        from mr_blip_tpu.parallel.sharding_rules import describe_sharding, shard_params
+
+        model, batch = tiny
+        mask = model.trainable_mask()
+        mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+        tx = make_optimizer(trainable_mask=mask)
+        step = make_train_step(model._loss_fn, donate=False)
+
+        s1 = TrainState.create(model.params, tx)
+        s1, loss1 = step(s1, batch, 1e-2, jax.random.PRNGKey(0))
+
+        with mesh:
+            params_s = shard_params(model.params, mesh)
+            sharded = describe_sharding(model.params, mesh)
+            assert sharded, "no parameters were TP-sharded"
+            s2 = TrainState.create(params_s, tx)
+            batch_s, _ = pad_batch_to_multiple(batch, 2)
+            batch_s = shard_batch(batch_s, mesh)
+            s2, loss2 = step(s2, batch_s, 1e-2, jax.random.PRNGKey(0))
+
+        assert abs(float(loss1) - float(loss2)) < 1e-4
+
+        def get_leaf(p, needle):
+            import jax
+
+            flat = jax.tree_util.tree_leaves_with_path(p)
+            return [np.asarray(v) for k, v in flat if needle in str(k)][0]
+
+        np.testing.assert_allclose(
+            get_leaf(s1.params, "lora_a"), get_leaf(s2.params, "lora_a"),
+            rtol=1e-4, atol=1e-5,
+        )
