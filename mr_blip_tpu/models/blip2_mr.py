@@ -56,6 +56,32 @@ def _zero_self_cache(cache):
     return jax.tree_util.tree_map_with_path(fn, cache)
 
 
+def _split_cache(cache):
+    """Partition the cache into (carried self-attn, static cross-attn).
+
+    Cross-attention K/V never change during decoding; carrying them through
+    the beam-search while_loop makes XLA copy ~GBs per step.  They are
+    closed over instead and merged back before each apply.
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(cache)
+    self_part = {k: v for k, v in flat.items() if "cross_attention" not in k}
+    cross_part = {k: v for k, v in flat.items() if "cross_attention" in k}
+    return (
+        traverse_util.unflatten_dict(self_part),
+        cross_part,  # kept flat for cheap merging
+    )
+
+
+def _merge_cache(self_cache, cross_flat):
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(self_cache))
+    flat.update(cross_flat)
+    return traverse_util.unflatten_dict(flat)
+
+
 def _pad_to(arr: np.ndarray, length: int, axis: int = 1, value=0) -> np.ndarray:
     pad = length - arr.shape[axis]
     if pad <= 0:
@@ -275,7 +301,11 @@ class BLIP2_MR(BaseModel):
     # ------------------------------------------------------ host batch prep
     def prepare_mr_batch(self, samples: Dict[str, Any], need_targets: bool = True) -> Dict[str, Any]:
         """Strings + sampling metadata -> padded numpy arrays + plan."""
-        video = np.asarray(samples["video"], np.float32)  # (B, T, H, W, C)
+        video = samples["video"]  # (B, T, H, W, C) float32/uint8, np or device
+        if not isinstance(video, jax.Array):
+            video = np.asarray(video)
+            if video.dtype != np.uint8:
+                video = video.astype(np.float32)
         b, t = video.shape[:2]
         timestamps = np.asarray(samples["timestamps"], np.float64)
         durations = np.asarray(samples["duration"], np.float64)
@@ -422,19 +452,22 @@ class BLIP2_MR(BaseModel):
                 {"params": params}, dummy, enc, attn, jnp.int32(0),
                 method="decode_step", mutable=["cache"],
             )
-            cache = _zero_self_cache(vars0["cache"])
+            self_cache, cross_cache = _split_cache(_zero_self_cache(vars0["cache"]))
 
-            def decode_step(cache, tokens, position):
+            def decode_step(self_cache, tokens, position):
                 logits, updated = module.apply(
-                    {"params": params, "cache": cache}, tokens, enc, attn,
-                    position, method="decode_step", mutable=["cache"],
+                    {"params": params, "cache": _merge_cache(self_cache, cross_cache)},
+                    tokens, enc, attn, position,
+                    method="decode_step", mutable=["cache"],
                 )
-                return logits[:, 0], updated["cache"]
+                new_self, _ = _split_cache(updated["cache"])
+                return logits[:, 0], new_self
 
             return beam_search(
-                decode_step, cache, batch_size=batch_size, num_beams=num_beams,
-                max_length=max_len, min_length=1, eos_token_id=eos,
-                pad_token_id=pad, decoder_start_token_id=start,
+                decode_step, self_cache, batch_size=batch_size,
+                num_beams=num_beams, max_length=max_len, min_length=1,
+                eos_token_id=eos, pad_token_id=pad,
+                decoder_start_token_id=start,
             )
 
         return generate_fn
@@ -566,17 +599,19 @@ class BLIP2_MR(BaseModel):
                 {"params": params}, dummy, enc, attn, jnp.int32(0),
                 method="decode_step", mutable=["cache"],
             )
-            cache = _zero_self_cache(vars0["cache"])
+            self_cache, cross_cache = _split_cache(_zero_self_cache(vars0["cache"]))
 
-            def decode_step(cache, tokens, position):
+            def decode_step(self_cache, tokens, position):
                 logits, updated = module.apply(
-                    {"params": params, "cache": cache}, tokens, enc, attn,
-                    position, method="decode_step", mutable=["cache"],
+                    {"params": params, "cache": _merge_cache(self_cache, cross_cache)},
+                    tokens, enc, attn, position,
+                    method="decode_step", mutable=["cache"],
                 )
-                return logits[:, 0], updated["cache"]
+                new_self, _ = _split_cache(updated["cache"])
+                return logits[:, 0], new_self
 
             return greedy_decode_with_scores(
-                decode_step, cache, batch_size=batch_size, max_length=max_len,
+                decode_step, self_cache, batch_size=batch_size, max_length=max_len,
                 min_length=min_length,
                 eos_token_id=self.t5_config.eos_token_id,
                 pad_token_id=self.t5_config.pad_token_id, vocab_size=vocab,

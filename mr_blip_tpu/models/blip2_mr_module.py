@@ -59,14 +59,24 @@ class Blip2MRModule(nn.Module):
         return 1 if self.frame_token_aggregation else self.qformer_config.num_query_tokens
 
     def encode_frames(self, frames, deterministic=True):
-        """(B, T, H, W, C) normalized frames -> (B, T*n, d_model) T5 tokens.
+        """(B, T, H, W, C) frames -> (B, T*n, d_model) T5 tokens.
 
         Mirrors forward_mr's vision path (blip2_mr.py:444-510): ViT over the
         flattened B*T frame batch (one big MXU-friendly batch), fp32 LN,
         Q-Former compression to 32 tokens, linear projection, optional mean
         aggregation to 1 token/frame.
+
+        uint8 frames are CLIP-normalized on device (fused into the patch
+        conv by XLA) — processors emit raw bytes so host->HBM transfers are
+        4x smaller than pre-normalized fp32.
         """
         b, t = frames.shape[0], frames.shape[1]
+        if frames.dtype == jnp.uint8:
+            from mr_blip_tpu.processors.video_processors import CLIP_MEAN, CLIP_STD
+
+            mean = jnp.asarray(CLIP_MEAN, self.compute_dtype) * 255.0
+            std = jnp.asarray(CLIP_STD, self.compute_dtype) * 255.0
+            frames = (frames.astype(self.compute_dtype) - mean) / std
         flat = frames.reshape((b * t,) + frames.shape[2:])
         image_embeds = self.visual_encoder(flat)
         if self.freeze_vit:
