@@ -24,7 +24,7 @@ import jax.numpy as jnp
 _BACKEND = os.environ.get("MR_BLIP_ATTENTION_BACKEND", "auto")
 
 # Below this many query positions the fusion wins over a hand-rolled kernel.
-_FLASH_MIN_SEQ = 1024
+_FLASH_MIN_SEQ = 256
 
 
 def set_attention_backend(name: str):
