@@ -1,0 +1,156 @@
+"""CLIP dual encoder (flax linen).
+
+Counterpart of the reference CLIP family (``lavis/models/clip_models/
+model.py:1-1254``): ViT visual tower + causal text transformer, projection
+heads to a shared embedding space, learned logit scale, and the symmetric
+contrastive (InfoNCE) objective with an all-gather over the dp axis for
+cross-device negatives (the reference uses ``all_gather_with_grad``,
+base_model.py:203-240).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.models.layers import Dense, LayerNormFP32, Mlp
+from mr_blip_tpu.models.vit import BaseViTConfig, VisionTransformer
+from mr_blip_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    vision: BaseViTConfig = dataclasses.field(
+        default_factory=lambda: BaseViTConfig(
+            img_size=224, patch_size=16, embed_dim=768, depth=12, num_heads=12
+        )
+    )
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+
+
+def clip_vit_b16_config() -> CLIPConfig:
+    return CLIPConfig()
+
+
+def clip_tiny_config() -> CLIPConfig:
+    return CLIPConfig(
+        embed_dim=16,
+        vision=BaseViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=2,
+                             num_heads=2),
+        vocab_size=100, context_length=12, text_width=32, text_heads=2,
+        text_layers=2,
+    )
+
+
+class _TextBlock(nn.Module):
+    width: int
+    heads: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask):
+        b, n, _ = x.shape
+        h = LayerNormFP32(name="ln_1")(x)
+        qkv = Dense(3 * self.width, compute_dtype=self.compute_dtype,
+                    name="attn_qkv")(h).reshape(b, n, 3, self.heads, -1)
+        attn = dot_product_attention(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], mask=mask
+        ).reshape(b, n, self.width)
+        x = x + Dense(self.width, compute_dtype=self.compute_dtype,
+                      name="attn_out")(attn)
+        x = x + Mlp(self.width * 4, compute_dtype=self.compute_dtype,
+                    name="mlp")(LayerNormFP32(name="ln_2")(x))
+        return x
+
+
+@registry.register_model("clip")
+class CLIP(nn.Module):
+    config: CLIPConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.config
+        self.visual = VisionTransformer(cfg.vision, self.compute_dtype,
+                                        name="visual")
+        self.visual_proj = Dense(cfg.embed_dim, use_bias=False,
+                                 compute_dtype=self.compute_dtype,
+                                 name="visual_proj")
+        self.token_embedding = nn.Embed(
+            cfg.vocab_size, cfg.text_width,
+            embedding_init=nn.initializers.normal(0.02),
+            param_dtype=jnp.float32, name="token_embedding",
+        )
+        self.text_blocks = [
+            _TextBlock(cfg.text_width, cfg.text_heads, self.compute_dtype,
+                       name=f"text_block_{i}")
+            for i in range(cfg.text_layers)
+        ]
+        self.ln_final = LayerNormFP32(name="ln_final")
+        self.text_proj = Dense(cfg.embed_dim, use_bias=False,
+                               compute_dtype=self.compute_dtype,
+                               name="text_proj")
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (cfg.context_length, cfg.text_width), jnp.float32,
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, jnp.log(1.0 / 0.07)), (),
+        )
+
+    def encode_image(self, images):
+        tokens = self.visual(images)
+        return self.visual_proj(tokens[:, 0])
+
+    def encode_text(self, text_ids):
+        cfg = self.config
+        n = text_ids.shape[1]
+        x = self.token_embedding(text_ids).astype(self.compute_dtype)
+        x = x + self.positional_embedding[:n].astype(x.dtype)
+        causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+        for block in self.text_blocks:
+            x = block(x, causal)
+        x = self.ln_final(x)
+        # features at the EOT position (highest token id, CLIP convention)
+        eot = jnp.argmax(text_ids, axis=-1)
+        x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        return self.text_proj(x)
+
+    def __call__(self, images, text_ids):
+        """Returns (logits_per_image, logits_per_text)."""
+        img = self.encode_image(images)
+        txt = self.encode_text(text_ids)
+        img = img / jnp.linalg.norm(img.astype(jnp.float32), axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
+
+
+def clip_contrastive_loss(logits_per_image, axis_name: Optional[str] = None):
+    """Symmetric InfoNCE. With ``axis_name`` the similarity matrix already
+    spans the gathered global batch (caller all-gathers features over dp)."""
+    n = logits_per_image.shape[0]
+    labels = jnp.arange(n)
+    li = -jnp.take_along_axis(
+        jax.nn.log_softmax(logits_per_image, axis=-1), labels[:, None], axis=1
+    ).mean()
+    lt = -jnp.take_along_axis(
+        jax.nn.log_softmax(logits_per_image.T, axis=-1), labels[:, None], axis=1
+    ).mean()
+    return (li + lt) / 2
+
+
+def all_gather_features(x, axis_name="dp"):
+    """Differentiable all-gather (reference all_gather_with_grad)."""
+    return jax.lax.all_gather(x, axis_name, tiled=True)

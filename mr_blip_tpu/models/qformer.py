@@ -35,6 +35,10 @@ class QFormerConfig:
     num_query_tokens: int = 32
     layer_norm_eps: float = 1e-12
     dropout: float = 0.1
+    # text path (multimodal Q-Former; stripped on the default Mr. BLIP path)
+    vocab_size: int = 30522  # bert-base-uncased
+    max_position_embeddings: int = 512
+    with_text: bool = False
 
 
 def qformer_base_config(encoder_width: int = 1408, num_query_tokens: int = 32):
@@ -89,38 +93,61 @@ class QFormerLayer(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, encoder_states, encoder_mask=None, deterministic=True):
+    def __call__(self, x, encoder_states, encoder_mask=None, self_mask=None,
+                 num_queries=None, deterministic=True):
+        """``x`` is [queries ‖ text]; cross-attention and the query FFN act
+        on the first ``num_queries`` positions, text gets its own FFN
+        (reference BertLayer query_length split, Qformer.py:403-470)."""
         cfg = self.config
+        nq = num_queries if num_queries is not None else x.shape[1]
         x = QFormerAttention(cfg, self.compute_dtype, name="self_attention")(
-            x, deterministic=deterministic
+            x, kv_mask=self_mask, deterministic=deterministic
         )
+        q_part, t_part = x[:, :nq], x[:, nq:]
         if self.has_cross_attention:
-            x = QFormerAttention(cfg, self.compute_dtype, name="cross_attention")(
-                x, kv_states=encoder_states, kv_mask=encoder_mask,
+            q_part = QFormerAttention(cfg, self.compute_dtype, name="cross_attention")(
+                q_part, kv_states=encoder_states, kv_mask=encoder_mask,
                 deterministic=deterministic,
             )
-        # Query-token FFN (reference intermediate_query/output_query).
-        h = Dense(
-            cfg.intermediate_size, compute_dtype=self.compute_dtype,
-            name="intermediate_query",
-        )(x)
-        h = nn.gelu(h, approximate=False)
-        h = Dense(
-            cfg.hidden_size, compute_dtype=self.compute_dtype, name="output_query"
-        )(h)
-        if cfg.dropout > 0.0:
-            h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
-        return LayerNormFP32(epsilon=cfg.layer_norm_eps, name="output_query_norm")(x + h)
+
+        def ffn(h, prefix):
+            y = Dense(
+                cfg.intermediate_size, compute_dtype=self.compute_dtype,
+                name=f"intermediate{prefix}",
+            )(h)
+            y = nn.gelu(y, approximate=False)
+            y = Dense(
+                cfg.hidden_size, compute_dtype=self.compute_dtype,
+                name=f"output{prefix}",
+            )(y)
+            if cfg.dropout > 0.0:
+                y = nn.Dropout(rate=cfg.dropout)(y, deterministic=deterministic)
+            return LayerNormFP32(
+                epsilon=cfg.layer_norm_eps, name=f"output{prefix}_norm"
+            )(h + y)
+
+        q_part = ffn(q_part, "_query")
+        if t_part.shape[1] > 0:
+            t_part = ffn(t_part, "")
+            return jnp.concatenate([q_part, t_part], axis=1)
+        return q_part
 
 
 class QFormer(nn.Module):
-    """Query-only Q-Former: (B, M, encoder_width) frames -> (B, Q, hidden)."""
+    """BLIP-2 Q-Former: (B, M, encoder_width) frames -> (B, Q, hidden).
+
+    Query-only by default (the Mr. BLIP configuration); with
+    ``config.with_text`` and ``text_ids`` it runs the multimodal path —
+    queries and text share self-attention, text gets word/position
+    embeddings and the text FFN (reference multimodal_Qformer branch,
+    blip2_mr.py:455-481)."""
 
     config: QFormerConfig
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, encoder_states, encoder_mask=None, deterministic=True):
+    def __call__(self, encoder_states, encoder_mask=None, text_ids=None,
+                 text_mask=None, deterministic=True):
         cfg = self.config
         b = encoder_states.shape[0]
 
@@ -134,7 +161,29 @@ class QFormer(nn.Module):
             query_tokens, (b, cfg.num_query_tokens, cfg.hidden_size)
         ).astype(self.compute_dtype)
 
-        # BertEmbeddings applies LayerNorm + dropout to the query tokens.
+        self_mask = None
+        nq = cfg.num_query_tokens
+        if text_ids is not None:
+            assert cfg.with_text, "construct QFormerConfig(with_text=True)"
+            word = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size,
+                embedding_init=nn.initializers.normal(0.02),
+                param_dtype=jnp.float32, name="word_embeddings",
+            )(text_ids)
+            pos = nn.Embed(
+                cfg.max_position_embeddings, cfg.hidden_size,
+                embedding_init=nn.initializers.normal(0.02),
+                param_dtype=jnp.float32, name="position_embeddings",
+            )(jnp.arange(text_ids.shape[1]))
+            t = (word + pos).astype(self.compute_dtype)
+            x = jnp.concatenate([x, t], axis=1)
+            if text_mask is not None:
+                self_mask = jnp.concatenate(
+                    [jnp.ones((b, nq), jnp.int32), text_mask.astype(jnp.int32)],
+                    axis=1,
+                )
+
+        # BertEmbeddings applies LayerNorm + dropout to the sequence.
         x = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(x)
         if cfg.dropout > 0.0:
             x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
@@ -145,5 +194,20 @@ class QFormer(nn.Module):
                 has_cross_attention=(i % cfg.cross_attention_freq == 0),
                 compute_dtype=self.compute_dtype,
                 name=f"layer_{i}",
-            )(x, encoder_states, encoder_mask, deterministic=deterministic)
-        return x
+            )(x, encoder_states, encoder_mask, self_mask=self_mask,
+              num_queries=nq, deterministic=deterministic)
+        return x[:, :nq]
+
+
+class TemporalQFormer(nn.Module):
+    """Per-video temporal Q-Former (reference init_TemporalQFormer,
+    blip2.py:63-74): one query per frame attending over frame features."""
+
+    config: QFormerConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, frame_features, deterministic=True):
+        return QFormer(self.config, self.compute_dtype, name="qformer")(
+            frame_features, deterministic=deterministic
+        )

@@ -1,0 +1,144 @@
+"""TimeSformer: divided space-time attention video transformer (flax).
+
+Counterpart of the reference ``lavis/models/timesformer/vit.py:1-634``
+(used by ALPRO): each block applies temporal attention (tokens attend
+across frames at the same spatial location) then spatial attention (within
+a frame), each with its own residual, then the MLP.  The cls token
+participates in spatial attention per frame and is averaged across frames
+for temporal steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.models.layers import Dense, LayerNormFP32, Mlp
+from mr_blip_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeSformerConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    n_frms: int = 8
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+
+    @property
+    def patches_per_frame(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+
+def timesformer_base_config(**kw) -> TimeSformerConfig:
+    return TimeSformerConfig(**kw)
+
+
+def timesformer_tiny_config(**kw) -> TimeSformerConfig:
+    defaults = dict(img_size=28, patch_size=14, n_frms=2, embed_dim=32,
+                    depth=2, num_heads=2)
+    defaults.update(kw)
+    return TimeSformerConfig(**defaults)
+
+
+class _MHA(nn.Module):
+    dim: int
+    heads: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        qkv = Dense(3 * self.dim, compute_dtype=self.compute_dtype,
+                    name="qkv")(x).reshape(b, n, 3, self.heads, -1)
+        out = dot_product_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        return Dense(self.dim, compute_dtype=self.compute_dtype,
+                     name="proj")(out.reshape(b, n, self.dim))
+
+
+class _DividedBlock(nn.Module):
+    config: TimeSformerConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, 1 + T*P, D) — cls token then frame-major patch tokens."""
+        cfg = self.config
+        b = x.shape[0]
+        t, p, d = cfg.n_frms, cfg.patches_per_frame, cfg.embed_dim
+        cls, patches = x[:, :1], x[:, 1:]
+
+        # Temporal attention: same spatial location attends across frames.
+        h = LayerNormFP32(name="temporal_norm")(patches)
+        h = h.reshape(b, t, p, d).transpose(0, 2, 1, 3).reshape(b * p, t, d)
+        h = _MHA(d, cfg.num_heads, self.compute_dtype, name="temporal_attn")(h)
+        h = Dense(d, compute_dtype=self.compute_dtype, name="temporal_fc")(h)
+        h = h.reshape(b, p, t, d).transpose(0, 2, 1, 3).reshape(b, t * p, d)
+        patches = patches + h
+
+        # Spatial attention: cls joins each frame.
+        h = LayerNormFP32(name="norm1")(jnp.concatenate([cls, patches], axis=1))
+        cls_n, patches_n = h[:, :1], h[:, 1:]
+        frame_tokens = patches_n.reshape(b, t, p, d).reshape(b * t, p, d)
+        cls_rep = jnp.repeat(cls_n, t, axis=0)  # (B*T, 1, D)
+        h = jnp.concatenate([cls_rep, frame_tokens], axis=1)
+        h = _MHA(d, cfg.num_heads, self.compute_dtype, name="attn")(h)
+        cls_out = h[:, :1].reshape(b, t, 1, d).mean(axis=1)  # avg over frames
+        patch_out = h[:, 1:].reshape(b, t * p, d)
+        cls = cls + cls_out
+        patches = patches + patch_out
+
+        x = jnp.concatenate([cls, patches], axis=1)
+        x = x + Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
+                    name="mlp")(LayerNormFP32(name="norm2")(x))
+        return x
+
+
+@registry.register_model("timesformer")
+class TimeSformer(nn.Module):
+    config: TimeSformerConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, video):
+        """video: (B, T, H, W, C) -> (B, 1 + T*P, D) final-normed tokens."""
+        cfg = self.config
+        b, t = video.shape[0], video.shape[1]
+        assert t == cfg.n_frms, f"expected {cfg.n_frms} frames, got {t}"
+        flat = video.reshape((b * t,) + video.shape[2:])
+        x = nn.Conv(
+            cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+            dtype=self.compute_dtype, param_dtype=jnp.float32,
+            name="patch_embed",
+        )(flat.astype(self.compute_dtype)).reshape(b, t * cfg.patches_per_frame,
+                                                   cfg.embed_dim)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, cfg.patches_per_frame + 1, cfg.embed_dim), jnp.float32,
+        )
+        time_embed = self.param(
+            "time_embed", nn.initializers.normal(0.02),
+            (1, cfg.n_frms, cfg.embed_dim), jnp.float32,
+        )
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, cfg.embed_dim), jnp.float32)
+
+        p = cfg.patches_per_frame
+        x = x.reshape(b, t, p, cfg.embed_dim)
+        x = x + pos[:, 1:].astype(x.dtype)[:, None]
+        x = x + time_embed.astype(x.dtype)[:, :, None]
+        x = x.reshape(b, t * p, cfg.embed_dim)
+        cls_tok = jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(x.dtype)
+        cls_tok = cls_tok + pos[:, :1].astype(x.dtype)
+        x = jnp.concatenate([cls_tok, x], axis=1)
+
+        for i in range(cfg.depth):
+            x = _DividedBlock(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
+        return LayerNormFP32(name="norm")(x)

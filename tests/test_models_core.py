@@ -150,3 +150,48 @@ class TestT5:
         out = model.apply(params, inputs_embeds, dec_ids)
         out0 = model0.apply(params0, inputs_embeds, dec_ids)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-5)
+
+
+class TestMultimodalQFormer:
+    def test_text_path_changes_queries(self):
+        from mr_blip_tpu.models.qformer import QFormer, QFormerConfig
+
+        cfg = QFormerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            encoder_width=32, num_query_tokens=4, vocab_size=100,
+            with_text=True, dropout=0.0,
+        )
+        model = QFormer(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        frames = jnp.array(rng.standard_normal((2, 5, 32), np.float32))
+        text = jnp.array(rng.integers(0, 100, (2, 6)))
+        mask = jnp.ones((2, 6), jnp.int32)
+        params = model.init(
+            jax.random.PRNGKey(0), frames, text_ids=text, text_mask=mask
+        )
+        out_with = model.apply(params, frames, text_ids=text, text_mask=mask)
+        assert out_with.shape == (2, 4, 32)
+        other_text = jnp.array(rng.integers(0, 100, (2, 6)))
+        out_other = model.apply(params, frames, text_ids=other_text, text_mask=mask)
+        assert not np.allclose(np.asarray(out_with), np.asarray(out_other))
+
+    def test_text_mask_blocks_padded_tokens(self):
+        from mr_blip_tpu.models.qformer import QFormer, QFormerConfig
+
+        cfg = QFormerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            encoder_width=32, num_query_tokens=4, vocab_size=100,
+            with_text=True, dropout=0.0,
+        )
+        model = QFormer(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        frames = jnp.array(rng.standard_normal((1, 5, 32), np.float32))
+        text = jnp.array([[5, 6, 7, 0, 0, 0]])
+        mask = jnp.array([[1, 1, 1, 0, 0, 0]])
+        params = model.init(
+            jax.random.PRNGKey(0), frames, text_ids=text, text_mask=mask
+        )
+        out1 = model.apply(params, frames, text_ids=text, text_mask=mask)
+        poked = text.at[0, 3:].set(99)
+        out2 = model.apply(params, frames, text_ids=poked, text_mask=mask)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
