@@ -1,0 +1,150 @@
+"""BLIP v1: captioning / retrieval / VQA over the MED backbone (flax).
+
+Counterpart of the reference BLIP-v1 family (``lavis/models/blip_models/``,
+~3.0k LoC incl. ``med.py`` and ``nlvr_encoder.py``): ViT image encoder with
+the MED text stack in its three modes —
+
+* retrieval: ITC features + ITM head (shared with ALBEF's recipe)
+* captioning: causal MED decoder with LM head and greedy/beam decoding
+* VQA: question encoded multimodally, answer decoded causally over it
+* NLVR: two-image variant (both image token sets concatenated for
+  cross-attention, reference nlvr_encoder.py's merged attention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.models.layers import Dense
+from mr_blip_tpu.models.med import MedConfig, MedLMHead, MedModel, med_tiny_config
+from mr_blip_tpu.models.t5 import cross_entropy_lm_loss
+from mr_blip_tpu.models.vit import BaseViTConfig, VisionTransformer
+
+
+@dataclasses.dataclass(frozen=True)
+class BLIPConfig:
+    embed_dim: int = 256
+    vision: BaseViTConfig = dataclasses.field(default_factory=BaseViTConfig)
+    text: MedConfig = dataclasses.field(default_factory=MedConfig)
+    temp: float = 0.07
+
+
+def blip_base_config() -> BLIPConfig:
+    return BLIPConfig()
+
+
+def blip_tiny_config() -> BLIPConfig:
+    return BLIPConfig(
+        embed_dim=16,
+        vision=BaseViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=2,
+                             num_heads=2),
+        text=med_tiny_config(encoder_width=32),
+    )
+
+
+@registry.register_model("blip_v1")
+class BLIPv1(nn.Module):
+    config: BLIPConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.config
+        self.visual_encoder = VisionTransformer(cfg.vision, self.compute_dtype,
+                                                name="visual_encoder")
+        self.text_encoder = MedModel(cfg.text, self.compute_dtype,
+                                     name="text_encoder")
+        self.text_decoder = MedModel(cfg.text, self.compute_dtype,
+                                     name="text_decoder")
+        self.lm_head = MedLMHead(cfg.text, self.compute_dtype, name="lm_head")
+        self.vision_proj = Dense(cfg.embed_dim, compute_dtype=self.compute_dtype,
+                                 name="vision_proj")
+        self.text_proj = Dense(cfg.embed_dim, compute_dtype=self.compute_dtype,
+                               name="text_proj")
+        self.itm_head = Dense(2, compute_dtype=self.compute_dtype,
+                              name="itm_head")
+
+    # ---------------------------------------------------------- retrieval
+    def itc_features(self, images, text_ids, text_mask=None):
+        img = self.vision_proj(self.visual_encoder(images)[:, 0])
+        txt = self.text_proj(
+            self.text_encoder(text_ids, text_mask=text_mask, mode="text")[:, 0]
+        )
+        img = img / jnp.linalg.norm(img.astype(jnp.float32), axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=-1, keepdims=True)
+        return img, txt
+
+    def itm_logits(self, images, text_ids, text_mask=None):
+        image_states = self.visual_encoder(images)
+        fused = self.text_encoder(
+            text_ids, text_mask=text_mask, image_states=image_states,
+            mode="multimodal",
+        )
+        return self.itm_head(fused[:, 0])
+
+    # --------------------------------------------------------- captioning
+    def caption_loss(self, images, caption_ids, caption_mask):
+        """Teacher-forced LM loss; token 0 is the [DEC] prompt token."""
+        image_states = self.visual_encoder(images)
+        hidden = self.text_decoder(
+            caption_ids[:, :-1], text_mask=caption_mask[:, :-1],
+            image_states=image_states, mode="decoder",
+        )
+        logits = self.lm_head(hidden)
+        labels = jnp.where(caption_mask[:, 1:] == 1, caption_ids[:, 1:], -100)
+        return cross_entropy_lm_loss(logits, labels, caption_mask[:, 1:])
+
+    def caption_step_logits(self, images, prefix_ids):
+        """Logits for the next token after ``prefix_ids`` (greedy decoding
+        driver lives host-side; BLIP captions are short)."""
+        image_states = self.visual_encoder(images)
+        hidden = self.text_decoder(
+            prefix_ids, image_states=image_states, mode="decoder"
+        )
+        return self.lm_head(hidden)[:, -1]
+
+    # ---------------------------------------------------------------- VQA
+    def vqa_answer_loss(self, images, question_ids, question_mask,
+                        answer_ids, answer_mask):
+        image_states = self.visual_encoder(images)
+        q_states = self.text_encoder(
+            question_ids, text_mask=question_mask, image_states=image_states,
+            mode="multimodal",
+        )
+        hidden = self.text_decoder(
+            answer_ids[:, :-1], text_mask=answer_mask[:, :-1],
+            image_states=q_states, image_mask=question_mask, mode="decoder",
+        )
+        logits = self.lm_head(hidden)
+        labels = jnp.where(answer_mask[:, 1:] == 1, answer_ids[:, 1:], -100)
+        return cross_entropy_lm_loss(logits, labels, answer_mask[:, 1:])
+
+    # --------------------------------------------------------------- NLVR
+    def nlvr_logits(self, images_a, images_b, text_ids, text_mask=None):
+        """Two-image reasoning: cross-attend to both images' tokens."""
+        states = jnp.concatenate(
+            [self.visual_encoder(images_a), self.visual_encoder(images_b)], axis=1
+        )
+        fused = self.text_encoder(
+            text_ids, text_mask=text_mask, image_states=states, mode="multimodal"
+        )
+        return self.itm_head(fused[:, 0])
+
+    def __call__(self, images, text_ids, text_mask=None):
+        img_f, txt_f = self.itc_features(images, text_ids, text_mask)
+        sims = img_f @ txt_f.T / self.config.temp
+        n = sims.shape[0]
+        labels = jnp.arange(n)
+        itc = (
+            -jnp.take_along_axis(jax.nn.log_softmax(sims, -1), labels[:, None], 1).mean()
+            - jnp.take_along_axis(jax.nn.log_softmax(sims.T, -1), labels[:, None], 1).mean()
+        ) / 2
+        lm = self.caption_loss(images, text_ids, (text_mask if text_mask is not None
+                                                  else jnp.ones_like(text_ids)))
+        itm_logits = self.itm_logits(images, text_ids, text_mask)
+        return {"itc_loss": itc, "lm_loss": lm, "itm_logits": itm_logits}

@@ -57,6 +57,28 @@ def load_video(
     return frames, indices, fps
 
 
+def load_video_demo(
+    video_path: str,
+    n_frms: int = MAX_INT,
+    height: int = -1,
+    width: int = -1,
+    sampling: str = "uniform",
+    clip_proposal: Optional[Sequence[float]] = None,
+):
+    """Demo variant: also returns the total frame count
+    (reference load_video_demo, data_utils.py:88-141)."""
+    vr = VideoReader(video_path, width=width, height=height)
+    vlen = len(vr)
+    indices = sample_frame_indices(
+        vlen=vlen, fps=vr.get_avg_fps(), n_frms=n_frms, sampling=sampling,
+        clip_proposal=clip_proposal,
+    )
+    frames = vr.get_batch(indices)
+    fps = vr.get_avg_fps()
+    vr.close()
+    return frames, indices, fps, vlen
+
+
 def _resize_bilinear(frames: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Vectorized bilinear resize for (T, H, W, C) arrays."""
     t, h, w, c = frames.shape

@@ -223,11 +223,13 @@ class RunnerBase:
                     loaders[split] = MultiIterLoader(sub_loaders, ratios)
             else:
                 ds = ds_list[0] if len(ds_list) == 1 else ConcatDataset(ds_list)
-                loaders[split] = DataLoader(
-                    ds, batch_size=bsz, shuffle=False, drop_last=False,
-                    num_workers=num_workers,
-                    rank=rank if self.use_dist_eval_sampler else 0,
-                    world_size=world if self.use_dist_eval_sampler else 1,
+                loaders[split] = PrefetchLoader(
+                    DataLoader(
+                        ds, batch_size=bsz, shuffle=False, drop_last=False,
+                        num_workers=num_workers,
+                        rank=rank if self.use_dist_eval_sampler else 0,
+                        world_size=world if self.use_dist_eval_sampler else 1,
+                    )
                 )
         return loaders
 

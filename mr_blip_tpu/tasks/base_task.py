@@ -175,6 +175,12 @@ class BaseTask:
             train_ctx.set_lr(lr)
             loss = self.train_step(train_ctx, samples)
 
+            if not (loss == loss):  # NaN guard: fail fast with context
+                raise FloatingPointError(
+                    f"NaN loss at epoch {inner_epoch} iter {i} "
+                    f"(lr={lr:.3g}); aborting before corrupting the "
+                    "optimizer state"
+                )
             metric_logger.update(loss=float(loss))
             metric_logger.update(lr=float(lr))
             if tracker is not None:
