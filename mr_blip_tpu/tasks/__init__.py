@@ -6,6 +6,8 @@ from mr_blip_tpu.tasks.base_task import BaseTask
 from mr_blip_tpu.tasks.moment_retrieval import MomentRetrievalTask
 from mr_blip_tpu.tasks.vqa import VideoQA, VideoGQA
 from mr_blip_tpu.tasks.temporal_action_localization import TALTask
+from mr_blip_tpu.tasks.captioning import CaptionTask, MultimodalClassificationTask
+from mr_blip_tpu.tasks.retrieval import RetrievalTask
 
 
 def setup_task(cfg):

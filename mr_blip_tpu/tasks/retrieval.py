@@ -1,0 +1,48 @@
+"""Image/video-text retrieval task (reference ``lavis/tasks/retrieval.py``).
+
+Two-stage LAVIS protocol: rank by the contrastive similarity matrix, then
+(optionally) rerank the top-k candidates with the ITM head.  Reports
+R@1/5/10 and median rank in both directions.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from mr_blip_tpu.common import dist as dist_utils
+from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.metrics.caption_metrics import retrieval_metrics
+from mr_blip_tpu.tasks.base_task import BaseTask
+
+
+@registry.register_task("retrieval")
+class RetrievalTask(BaseTask):
+    def __init__(self, k_test: int = 128):
+        super().__init__()
+        self.k_test = k_test
+
+    @classmethod
+    def setup_task(cls, cfg=None, **kwargs):
+        run_cfg = cfg.run_cfg if cfg is not None else {}
+        return cls(k_test=run_cfg.get("k_test", 128))
+
+    def evaluation(self, model, data_loader, **kwargs):
+        """Score the full gallery: model must expose
+        ``compute_sim_matrix(data_loader, k_test) -> (N_img, N_txt)``."""
+        sims = model.compute_sim_matrix(data_loader, k_test=self.k_test)
+        i2t_gt = getattr(data_loader.dataset, "i2t_gt", None) if hasattr(
+            data_loader, "dataset"
+        ) else None
+        return {"sims": np.asarray(sims), "i2t_gt": i2t_gt}
+
+    def after_evaluation(self, val_result, split_name, epoch, **kwargs):
+        return self._report_metrics(val_result, split_name)
+
+    @dist_utils.main_process
+    def _report_metrics(self, val_result, split_name):
+        metrics = retrieval_metrics(val_result["sims"], val_result.get("i2t_gt"))
+        metrics["agg_metrics"] = metrics["r_mean"]
+        logging.info(metrics)
+        return metrics

@@ -163,3 +163,37 @@ class TestTracking:
         lines = [json.loads(l) for l in (tmp_path / "events.jsonl").read_text().splitlines()]
         types = [l["type"] for l in lines]
         assert types == ["config", "metrics", "table", "finish"]
+
+
+class TestCaptionMetrics:
+    def test_bleu_perfect_and_zero(self):
+        from mr_blip_tpu.metrics.caption_metrics import corpus_bleu
+
+        preds = ["a cat sits on the mat today fine"]
+        refs = [["a cat sits on the mat today fine"]]
+        assert corpus_bleu(preds, refs) == pytest.approx(100.0)
+        assert corpus_bleu(["totally wrong words here now"], refs) == 0.0
+
+    def test_cider_orders_by_quality(self):
+        from mr_blip_tpu.metrics.caption_metrics import cider_d
+
+        refs = [["a cat sits on the mat"], ["a dog runs in the park"]]
+        good = cider_d(["a cat sits on the mat", "a dog runs in the park"], refs)
+        bad = cider_d(["something unrelated", "also unrelated"], refs)
+        assert good > bad >= 0.0
+
+    def test_retrieval_identity(self):
+        from mr_blip_tpu.metrics.caption_metrics import retrieval_metrics
+
+        sims = np.eye(10) + 0.01 * np.random.default_rng(0).random((10, 10))
+        m = retrieval_metrics(sims)
+        assert m["txt_r1"] == 100.0
+        assert m["img_r1"] == 100.0
+
+    def test_retrieval_multi_caption_gt(self):
+        from mr_blip_tpu.metrics.caption_metrics import retrieval_metrics
+
+        # 2 images x 4 texts; image i matches texts 2i, 2i+1
+        sims = np.array([[0.1, 0.9, 0.0, 0.0], [0.0, 0.0, 0.8, 0.2]])
+        m = retrieval_metrics(sims, i2t_gt={0: [0, 1], 1: [2, 3]})
+        assert m["txt_r1"] == 100.0
