@@ -132,6 +132,7 @@ class BLIP2_MR(BaseModel):
         freeze_vit: bool = True,
         use_grad_checkpoint: bool = False,
         compute_dtype: str = "bfloat16",
+        sequence_parallel: bool = False,
         seed: int = 42,
         init_params: bool = True,
     ):
@@ -191,6 +192,7 @@ class BLIP2_MR(BaseModel):
             decode_cache_len=max_new_tokens,
             frame_token_aggregation=frame_token_aggregation,
             freeze_vit=freeze_vit,
+            sequence_parallel=sequence_parallel,
         )
         # The answerer reuses the same module class; QA tasks carry separate
         # T5 params for it (reference loads a second T5, blip2_mr.py:150-160).
@@ -758,6 +760,7 @@ class BLIP2_MR(BaseModel):
             freeze_vit=cfg.get("freeze_vit", True),
             use_grad_checkpoint=cfg.get("use_grad_checkpoint", False),
             compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+            sequence_parallel=cfg.get("sequence_parallel", False),
         )
         finetuned = cfg.get("finetuned")
         pretrained = cfg.get("pretrained")

@@ -39,6 +39,7 @@ class Blip2MRModule(nn.Module):
     decode_cache_len: int = 64
     frame_token_aggregation: Optional[str] = None  # None | "mean"
     freeze_vit: bool = True
+    sequence_parallel: bool = False  # shard the B*T frame axis over dp
 
     def setup(self):
         self.visual_encoder = EvaViT(
@@ -69,6 +70,12 @@ class Blip2MRModule(nn.Module):
         uint8 frames are CLIP-normalized on device (fused into the patch
         conv by XLA) — processors emit raw bytes so host->HBM transfers are
         4x smaller than pre-normalized fp32.
+
+        Sequence parallelism: the flattened B*T frame batch is sharded over
+        the dp axis when ``sequence_parallel`` is set — so a single long
+        video (B=1, T=60+) spreads its frames across chips for the ViT and
+        Q-Former, and GSPMD inserts the all-gather before the interleave
+        (the reference has no equivalent; SURVEY §5 long-context note).
         """
         b, t = frames.shape[0], frames.shape[1]
         if frames.dtype == jnp.uint8:
@@ -78,6 +85,13 @@ class Blip2MRModule(nn.Module):
             std = jnp.asarray(CLIP_STD, self.compute_dtype) * 255.0
             frames = (frames.astype(self.compute_dtype) - mean) / std
         flat = frames.reshape((b * t,) + frames.shape[2:])
+        if self.sequence_parallel:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                flat = jax.lax.with_sharding_constraint(flat, P("dp"))
+            except RuntimeError:
+                pass  # no mesh context (single-device run): constraint is moot
         image_embeds = self.visual_encoder(flat)
         if self.freeze_vit:
             image_embeds = jax.lax.stop_gradient(image_embeds)

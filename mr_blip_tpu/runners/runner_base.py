@@ -54,6 +54,12 @@ class TrainCtx:
         if self.mesh is not None:
             batch, _ = pad_batch_to_multiple(batch, self.mesh.shape["dp"])
             batch = shard_batch(batch, self.mesh)
+            with jax.set_mesh(self.mesh):
+                self.state, loss = self._step_fn(
+                    self.state, batch, self._lr, self.rng
+                )
+            self.model.params = self.state.params
+            return float(loss)
         self.state, loss = self._step_fn(self.state, batch, self._lr, self.rng)
         # Keep the model wrapper's params in sync for eval-time generate.
         self.model.params = self.state.params
