@@ -31,6 +31,14 @@ from mr_blip_tpu.models import blip2_mr as _blip2_mr  # registers models
 from mr_blip_tpu.models import blip2_mr_opt as _blip2_mr_opt
 from mr_blip_tpu.models import blip2_fmr as _blip2_fmr
 from mr_blip_tpu.datasets import builders as _builders  # registers builders
+from mr_blip_tpu.datasets import image_datasets as _image_datasets
+from mr_blip_tpu.models import gpt_dialogue as _gpt_dialogue
+from mr_blip_tpu.models import pnp_vqa as _pnp_vqa
+from mr_blip_tpu.models import clip as _clip
+from mr_blip_tpu.models import timesformer as _timesformer
+from mr_blip_tpu.models import albef as _albef
+from mr_blip_tpu.models import blip_v1 as _blip_v1
+from mr_blip_tpu.models import alpro as _alpro
 from mr_blip_tpu import tasks as _tasks  # registers tasks
 from mr_blip_tpu.runners import runner_base as _runner_base  # registers runners
 from mr_blip_tpu.runners import runner_iter as _runner_iter

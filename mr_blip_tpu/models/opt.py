@@ -36,6 +36,8 @@ class OPTConfig:
     bos_token_id: int = 2
     eos_token_id: int = 2
     position_offset: int = 2  # OPT quirk: positions start at offset 2
+    activation: str = "relu"  # "relu" (OPT) | "gelu" (GPT-2 reuse)
+    tie_head: bool = True
     lora_rank: int = 0
     lora_alpha: float = 8.0
     lora_dropout: float = 0.05
@@ -135,7 +137,7 @@ class OPTDecoderLayer(nn.Module):
         h = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="final_norm")(x)
         h = Dense(cfg.ffn_dim, compute_dtype=self.compute_dtype,
                   lora_rank=cfg.lora_rank, name="fc1")(h, deterministic=deterministic)
-        h = nn.relu(h)
+        h = nn.relu(h) if cfg.activation == "relu" else nn.gelu(h, approximate=True)
         h = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype,
                   lora_rank=cfg.lora_rank, name="fc2")(h, deterministic=deterministic)
         return x + h
