@@ -56,3 +56,30 @@ def test_train_cli_end_to_end(synth_data, tmp_path):
     )
     assert {"qid", "prediction", "raw_prediction", "target", "duration"} <= set(val[0])
     assert (job / "log.txt").exists()
+
+
+def test_evaluate_cli_end_to_end(synth_data, tmp_path):
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        PYTHONPATH=REPO,
+    )
+    out_dir = tmp_path / "out_eval"
+    cmd = [
+        sys.executable, os.path.join(REPO, "evaluate.py"),
+        "--cfg-path", os.path.join(REPO, "configs/projects/train/tiny_synthetic.yaml"),
+        "--options",
+        f"datasets.qvh.build_info.annotations.train.storage={synth_data}/train.json",
+        f"datasets.qvh.build_info.annotations.val.storage={synth_data}/val.json",
+        f"datasets.qvh.build_info.annotations.test.storage={synth_data}/test.json",
+        f"run.output_dir={out_dir}", "run.evaluate=True", "run.num_workers=1",
+        "run.batch_size_eval=2",
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    job = next(out_dir.iterdir())
+    results = sorted((job / "result").glob("test_epoch*.json"))
+    assert results, list((job / "result").iterdir())
+    recs = json.loads(results[0].read_text())
+    assert {"qid", "prediction", "target"} <= set(recs[0])
