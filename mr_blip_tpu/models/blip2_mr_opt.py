@@ -242,6 +242,10 @@ class BLIP2_MR_OPT(BLIP2_MR):
             batch["answer_mask"] = _pad_to(ans_enc.attention_mask, _bucket(ans_enc.attention_mask.shape[1], 8))
         return batch
 
+    # the task layer calls prepare_mr_batch generically
+    def prepare_mr_batch(self, samples, need_targets=True):
+        return self.prepare_opt_batch(samples, need_targets=need_targets)
+
     @functools.cached_property
     def _jit_opt_loss(self):
         module = self.module

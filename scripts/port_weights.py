@@ -1,0 +1,88 @@
+"""Port reference PyTorch checkpoints into a mr_blip_tpu parameter file.
+
+Usage:
+    python scripts/port_weights.py \
+        --arch blip2_mr --model-type pretrain_flant5xl \
+        [--eva-vit eva_vit_g.pth] \
+        [--blip2 blip2_pretrained_flant5xl.pth] \
+        [--t5 /path/to/hf-flan-t5-xl (dir with pytorch_model.bin/safetensors)] \
+        [--lora finetuned_lora.pth] \
+        --output params.msgpack
+
+Each source is optional; missing subtrees keep their random initialization
+(matching the reference's non-strict loading, blip2.py:86-104).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--arch", default="blip2_mr")
+    parser.add_argument("--model-type", default="pretrain_flant5xl")
+    parser.add_argument("--eva-vit", help="LAVIS eva_vit_g.pth")
+    parser.add_argument("--blip2", help="BLIP-2 stage-2 checkpoint (.pth)")
+    parser.add_argument("--t5", help="HF T5 model dir or state file")
+    parser.add_argument("--lora", help="PEFT LoRA adapter checkpoint")
+    parser.add_argument("--tokenizer-path", help="local tokenizer dir")
+    parser.add_argument("--output", required=True)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    from mr_blip_tpu.models import load_model
+    from mr_blip_tpu.models import port
+
+    model = load_model(
+        args.arch, args.model_type, tokenizer_path=args.tokenizer_path
+    )
+    params = jax.tree.map(lambda x: __import__("numpy").asarray(x), model.params)
+
+    if args.eva_vit:
+        sd = port.load_torch_state_dict(args.eva_vit)
+        params = port.merge_subtree(params, port.port_eva_vit(sd), "visual_encoder")
+    if args.blip2:
+        sd = port.load_torch_state_dict(args.blip2)
+        params = port.merge_subtree(params, port.port_qformer(sd), "qformer")
+        # stage-2 checkpoints also carry ln_vision + t5_proj
+        extra = {}
+        if "ln_vision.weight" in sd:
+            extra["ln_vision/LayerNorm_0/scale"] = sd["ln_vision.weight"]
+            extra["ln_vision/LayerNorm_0/bias"] = sd["ln_vision.bias"]
+        if "t5_proj.weight" in sd:
+            extra["t5_proj/Dense_0/kernel"] = sd["t5_proj.weight"].T
+            extra["t5_proj/Dense_0/bias"] = sd["t5_proj.bias"]
+        from flax import traverse_util
+
+        params = port.merge_subtree(
+            params, traverse_util.unflatten_dict(extra, sep="/"), ""
+        )
+    if args.t5:
+        path = args.t5
+        if os.path.isdir(path):
+            cands = [f for f in os.listdir(path)
+                     if f.endswith((".bin", ".safetensors"))]
+            assert cands, f"no weight files in {path}"
+            path = os.path.join(path, sorted(cands)[0])
+        sd = port.load_torch_state_dict(path)
+        params = port.merge_subtree(params, port.port_t5_hf(sd), "t5")
+    if args.lora:
+        sd = port.load_torch_state_dict(args.lora)
+        logging.warning(
+            "LoRA adapters: %d tensors found; merge by key-suffix matching",
+            len(port.port_lora_peft(sd)),
+        )
+
+    model.save_params(params, args.output)
+    logging.info("wrote %s", args.output)
+
+
+if __name__ == "__main__":
+    main()
