@@ -10,8 +10,8 @@ validator is permissive and largely dormant); type/choice violations raise.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 
 @dataclass

@@ -16,7 +16,7 @@ import os
 import warnings
 
 from mr_blip_tpu.common import utils
-from mr_blip_tpu.common.config import ConfigDict, load_yaml
+from mr_blip_tpu.common.config import load_yaml
 from mr_blip_tpu.common.registry import registry
 from mr_blip_tpu.datasets.mr_datasets import (
     MCVideoQADataset,

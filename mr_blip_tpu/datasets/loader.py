@@ -16,11 +16,9 @@ with DistributedSampler):
 
 from __future__ import annotations
 
-import queue
 import random
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

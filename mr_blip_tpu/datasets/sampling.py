@@ -11,7 +11,7 @@ each video half.  Short videos repeat the last index.
 from __future__ import annotations
 
 import random as rnd
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -18,7 +18,6 @@ import numpy as np
 
 from mr_blip_tpu.common.registry import registry
 from mr_blip_tpu.models.blip2_mr import BLIP2_MR, _zero_self_cache
-from mr_blip_tpu.models.t5 import shift_right, cross_entropy_lm_loss
 
 
 @registry.register_model("blip2_fmr")

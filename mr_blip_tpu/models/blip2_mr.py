@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from mr_blip_tpu.common.registry import registry
 from mr_blip_tpu.models.base import BaseModel
 from mr_blip_tpu.models.blip2_mr_module import Blip2MRModule
 from mr_blip_tpu.models.eva_vit import eva_vit_g_config, vit_tiny_config
-from mr_blip_tpu.models.generation import beam_search, expand_to_beams, greedy_decode_with_scores
+from mr_blip_tpu.models.generation import beam_search, greedy_decode_with_scores
 from mr_blip_tpu.models.prompt_assembly import build_interleave_plan
 from mr_blip_tpu.models.qformer import qformer_base_config, qformer_tiny_config
 from mr_blip_tpu.models.t5 import t5_flan_xl_config, t5_flan_xxl_config, t5_tiny_config
@@ -178,7 +178,10 @@ class BLIP2_MR(BaseModel):
             if vit_model == "eva_vit_g"
             else qformer_tiny_config(vit_cfg.embed_dim)
         )
-        t5_kw = dict(lora_rank=8 if self.use_lora else 0)
+        t5_kw = dict(
+            lora_rank=8 if self.use_lora else 0,
+            use_remat=use_grad_checkpoint,
+        )
         if tokenizer_path is None:
             t5_kw["vocab_size"] = self.tokenizer.vocab_size
         t5_cfg = self.T5_CONFIGS[t5_model](**t5_kw)

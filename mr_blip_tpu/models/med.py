@@ -17,7 +17,7 @@ only when a multimodal/decoder call happens at init).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ prompt in one pass (block-causal masking inside the written window).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -19,13 +19,12 @@ captions for a frozen LLM instead of a reader.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mr_blip_tpu.common.gradcam import compute_gradcam
 from mr_blip_tpu.common.registry import registry
 
 

@@ -17,7 +17,7 @@ T5 Linears, blip2_mr.py:183-237).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -43,6 +43,7 @@ class T5Config:
     dense_act_fn: str = "gelu"  # exact GELU (reference override)
     is_gated_act: bool = True
     tie_word_embeddings: bool = False
+    use_remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
@@ -273,6 +274,8 @@ class T5Block(nn.Module):
         decode=False,
         deterministic=True,
     ):
+        # NOTE: argument order is load-bearing — nn.remat wraps this with
+        # static_argnums=(6, 7) for (decode, deterministic) (arg 0 = module).
         cfg = self.config
         drop = (
             (lambda y: nn.Dropout(rate=cfg.dropout_rate)(y, deterministic=deterministic))
@@ -321,12 +324,17 @@ class T5Encoder(nn.Module):
         x = inputs_embeds.astype(self.compute_dtype)
         if cfg.dropout_rate > 0.0:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        block_cls = T5Block
+        if cfg.use_remat:
+            # keep only block boundaries; the fp32 attention logits
+            # (H x N x N per layer) are recomputed in the backward
+            block_cls = nn.remat(T5Block, static_argnums=(6, 7))
         for i in range(cfg.num_layers):
-            x = T5Block(
+            x = block_cls(
                 cfg, causal=False, has_cross_attention=False,
                 compute_dtype=self.compute_dtype, name=f"block_{i}",
-            )(x, self_mask=attn_mask, position_bias=position_bias,
-              deterministic=deterministic)
+            )(x, None, attn_mask, None, position_bias,
+              False, deterministic)
         x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
         if cfg.dropout_rate > 0.0:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
@@ -374,15 +382,18 @@ class T5Decoder(nn.Module):
         x = decoder_inputs_embeds.astype(self.compute_dtype)
         if cfg.dropout_rate > 0.0:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
+        block_cls = T5Block
+        if cfg.use_remat and not decode:
+            block_cls = nn.remat(T5Block, static_argnums=(6, 7))
         for i in range(cfg.num_decoder_layers):
-            x = T5Block(
+            x = block_cls(
                 cfg, causal=True, has_cross_attention=True,
                 compute_dtype=self.compute_dtype,
                 decode_cache_len=self.decode_cache_len, name=f"block_{i}",
             )(
-                x, encoder_states=encoder_states, self_mask=self_mask,
-                cross_mask=cross_mask, position_bias=position_bias,
-                decode=decode, deterministic=deterministic,
+                x, encoder_states, self_mask,
+                cross_mask, position_bias,
+                decode, deterministic,
             )
         x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
         if cfg.dropout_rate > 0.0:

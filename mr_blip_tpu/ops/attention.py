@@ -15,7 +15,6 @@ Shapes follow the (batch, length, heads, head_dim) convention.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -26,12 +26,16 @@ DEFAULT_BLOCK_K = 512
 
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool):
-    """One (batch*head, q-block) program: stream K/V blocks, online softmax."""
-    q = q_ref[0]  # (block_q, d)
+    """One (batch*head, q-block) program: stream K/V blocks, online softmax.
+
+    Matmuls keep the input dtype (bf16 on the fast MXU path) with fp32
+    accumulation via preferred_element_type; only the softmax statistics
+    run in fp32.
+    """
+    q = q_ref[0]  # (block_q, d), input dtype
     block_q, d = q.shape
     kv_len = k_ref.shape[1]
-    scale = d ** -0.5
-    q32 = q.astype(jnp.float32) * scale
+    q_scaled = q * jnp.asarray(d ** -0.5, q.dtype)
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
     q_block_idx = pl.program_id(1)
@@ -40,8 +44,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool)
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        logits = jnp.dot(q32, k.astype(jnp.float32).T,
-                         preferred_element_type=jnp.float32)  # (bq, bk)
+        logits = jnp.dot(q_scaled, k.T,
+                         preferred_element_type=jnp.float32)  # (bq, bk) fp32
         if causal:
             q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -60,8 +64,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool)
         correction = jnp.exp(jnp.where(jnp.isfinite(m_prev), m_prev - m_safe, -jnp.inf))
         correction = jnp.where(jnp.isfinite(m_prev), correction, 0.0)
         l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        # p in the input dtype rides the fast MXU path; acc stays fp32.
         acc = acc * correction + jnp.dot(
-            p, v.astype(jnp.float32), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         return acc, m_new, l_new
 

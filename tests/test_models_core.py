@@ -195,3 +195,32 @@ class TestMultimodalQFormer:
         poked = text.at[0, 3:].set(99)
         out2 = model.apply(params, frames, text_ids=poked, text_mask=mask)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+class TestRemat:
+    def test_remat_matches_plain_loss_and_grads(self):
+        """use_remat must change memory, not math."""
+        rng = np.random.default_rng(0)
+        inputs_embeds = jnp.array(rng.standard_normal((2, 7, 32), np.float32))
+        dec_ids = jnp.array(rng.integers(0, 256, (2, 5)))
+        mask = jnp.ones((2, 5), jnp.int32)
+
+        losses, grads = [], []
+        for use_remat in (False, True):
+            cfg = t5_tiny_config(use_remat=use_remat)
+            model = T5ForConditionalGeneration(cfg, compute_dtype=jnp.float32)
+            params = model.init(jax.random.PRNGKey(0), inputs_embeds, dec_ids)
+
+            def loss_fn(p):
+                logits = model.apply(p, inputs_embeds, dec_ids)
+                labels = jnp.where(mask == 1, dec_ids, -100)
+                return cross_entropy_lm_loss(logits, labels, mask)
+
+            loss, grad = jax.value_and_grad(loss_fn)(params)
+            losses.append(float(loss))
+            grads.append(grad)
+
+        assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+        for g0, g1 in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                       rtol=1e-5, atol=1e-6)
