@@ -368,6 +368,8 @@ class RunnerBase:
     def _save_checkpoint(self, cur_epoch, is_best=False):
         if not dist_utils.is_main_process():
             return
+        if self.run_cfg.get("use_orbax", False):
+            return self._save_checkpoint_orbax(cur_epoch, is_best)
         from flax import serialization
 
         params = self.train_ctx.state.params
@@ -389,6 +391,22 @@ class RunnerBase:
         }
         with open(resume_path, "wb") as f:
             f.write(serialization.msgpack_serialize(resume_obj))
+
+    def _save_checkpoint_orbax(self, cur_epoch, is_best=False):
+        """Async-capable orbax checkpoint (sharded arrays supported)."""
+        import orbax.checkpoint as ocp
+
+        name = "orbax_{}".format("best" if is_best else cur_epoch)
+        path = (self.output_dir / name).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {"model": self._trainable_only(self.train_ctx.state.params),
+             "epoch": cur_epoch},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        logging.info("orbax checkpoint saved to %s", path)
 
     def _restore_trainable(self, params, flat_saved):
         from flax import traverse_util

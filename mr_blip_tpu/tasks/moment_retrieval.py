@@ -20,9 +20,40 @@ from mr_blip_tpu.text.span_grammar import moment_str_to_list
 
 @registry.register_task("moment_retrieval")
 class MomentRetrievalTask(BaseTask):
-    def __init__(self):
+    def __init__(self, log_samples_every_n: int = 3000):
         super().__init__()
         self.moment_str_to_list = moment_str_to_list
+        self.log_samples_every_n = log_samples_every_n
+
+    @classmethod
+    def setup_task(cls, cfg=None, **kwargs):
+        run_cfg = cfg.run_cfg if cfg is not None else {}
+        return cls(log_samples_every_n=run_cfg.get("log_samples_every_n", 3000))
+
+    def train_step(self, train_ctx, samples):
+        loss = super().train_step(train_ctx, samples)
+        # Periodic sample table (reference logs frames/query/pred/answer to
+        # W&B every N iters, blip2_mr.py:546-567).
+        i = samples.get("iters", 0)
+        if self.log_samples_every_n and i and i % self.log_samples_every_n == 0:
+            from mr_blip_tpu.common import tracking
+
+            tracker = tracking.get()
+            if tracker is not None:
+                out = train_ctx.model.generate(samples)
+                rows = [
+                    [str(q), rp, p, str(a), float(d)]
+                    for q, rp, p, a, d in zip(
+                        out["qid"], out["raw_prediction"], out["prediction"],
+                        out["answer"], out["duration"],
+                    )
+                ]
+                tracker.log_table(
+                    "Samples_during_training",
+                    ["qid", "pred", "processed_pred", "answer", "duration"],
+                    rows,
+                )
+        return loss
 
     def valid_step(self, model, samples):
         results = []

@@ -74,3 +74,17 @@ class TestCheckpointing:
         runner._save_checkpoint(cur_epoch=3, is_best=False)
         runner.load_checkpoint(str(runner.output_dir / "resume_state.msgpack"))
         assert runner.start_epoch == 4
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_save(self, runner):
+        _ = runner.train_ctx
+        runner.run_cfg["use_orbax"] = True
+        runner._save_checkpoint(cur_epoch=1, is_best=False)
+        import orbax.checkpoint as ocp
+
+        path = (runner.output_dir / "orbax_1").absolute()
+        assert path.exists()
+        restored = ocp.StandardCheckpointer().restore(path)
+        assert restored["epoch"] == 1
+        assert any("lora_a" in k for k in restored["model"])
