@@ -93,6 +93,7 @@ def main():
     env.update(
         COORDINATOR_ADDRESS="127.0.0.1:23456", NUM_PROCESSES="2",
         JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
     )
     procs = []
     for pid in range(2):
