@@ -71,14 +71,31 @@ def dot_product_attention(q, k, v, bias=None, mask=None):
         (B, N, H, D) attention output in v.dtype.
     """
     backend = _BACKEND
-    if backend == "auto":
-        use_flash = (
-            _on_tpu()
-            and q.shape[1] >= _FLASH_MIN_SEQ
-            and q.shape[1] == k.shape[1]
-            and bias is None
+    long_seq = q.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] == k.shape[1]
+    # K-only masks (B, 1, 1, M) ride the bias kernel's validity vector.
+    k_only_mask = (
+        mask is not None
+        and mask.ndim == 4
+        and mask.shape[1] == 1
+        and mask.shape[2] == 1
+    )
+    if backend == "auto" and _on_tpu() and long_seq:
+        from mr_blip_tpu.ops.flash_attention import (
+            flash_attention,
+            flash_attention_bias,
         )
-        backend = "flash" if use_flash else "xla"
+
+        if bias is None and mask is None:
+            return flash_attention(q, k, v)
+        if bias is not None and bias.shape[0] == 1 and (
+            mask is None or k_only_mask
+        ):
+            kv_mask = None
+            if mask is not None:
+                kv_mask = jnp.broadcast_to(
+                    mask[:, 0, 0, :], (q.shape[0], k.shape[1])
+                )
+            return flash_attention_bias(q, k, v, bias, kv_mask)
     if backend == "flash":
         from mr_blip_tpu.ops.flash_attention import flash_attention
 

@@ -150,6 +150,127 @@ def _flash_vjp_bwd(causal, block_q, block_k, residuals, g):
 _flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
+                       *, block_k: int):
+    """Bias+mask variant, one (batch, head, q-block) program.
+
+    bias_ref: (1, 1, block_q, M) additive logits bias (head-sliced);
+    kvmask_ref: (1, 1, M) int8 K-side validity (batch-sliced; the leading
+    singleton keeps the TPU block-shape rules happy).
+    """
+    q = q_ref[0, 0]  # (block_q, d)
+    block_q, d = q.shape
+    kv_len = k_ref.shape[2]
+    q_scaled = q * jnp.asarray(d ** -0.5, q.dtype)
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        # 2-D load: Mosaic rejects 1-D vector intermediates
+        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0  # (1, bk)
+        logits = jnp.where(valid, logits, -jnp.inf)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(logits - m_safe)
+        p = jnp.where(jnp.isfinite(logits), p, 0.0)
+        correction = jnp.exp(jnp.where(jnp.isfinite(m_prev), m_prev - m_safe, -jnp.inf))
+        correction = jnp.where(jnp.isfinite(m_prev), correction, 0.0)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k):
+    """q/k/v: (B, N|M, H, D); bias: (1, H, N, M); kv_mask: (B, M) int8."""
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    block_q = min(block_q, n)
+    block_k = min(block_k, m)
+    grid = (b, h, pl.cdiv(n, block_q))
+    kernel = functools.partial(_flash_bias_kernel, block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, m), lambda bi, hi, qi: (0, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * m * d,
+            bytes_accessed=2 * b * h * (n + 2 * m) * d * q.dtype.itemsize,
+            transcendentals=b * h * n * m,
+        ),
+    )(qt, kt, vt, bias, kv_mask[:, None, :])
+    return out.transpose(0, 2, 1, 3)
+
+
+def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k):
+    out = _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k)
+    return out, (q, k, v, bias, kv_mask)
+
+
+def _flash_bias_vjp_bwd(block_q, block_k, residuals, g):
+    from mr_blip_tpu.ops.attention import xla_attention
+
+    q, k, v, bias, kv_mask = residuals
+    mask = kv_mask[:, None, None, :].astype(bool)
+
+    def f(q, k, v, bias):
+        return xla_attention(q, k, v, bias=bias, mask=mask)
+
+    _, vjp = jax.vjp(f, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias, None
+
+
+_flash_attention_bias.defvjp(_flash_bias_vjp_fwd, _flash_bias_vjp_bwd)
+
+
+def flash_attention_bias(q, k, v, bias, kv_mask=None,
+                         block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    """Flash attention with an additive (1, H, N, M) bias and an optional
+    (B, M) K-side validity mask — the T5-encoder shape (rel-pos bias +
+    padding mask)."""
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    assert bias.shape[0] == 1 and bias.shape[1] == h
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, m), jnp.int8)
+    return _flash_attention_bias(
+        q, k, v, bias, kv_mask.astype(jnp.int8), block_q, block_k
+    )
+
+
 def flash_attention(q, k, v, mask=None, causal=False,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
     """Flash attention over (B, N, H, D) tensors.

@@ -93,3 +93,58 @@ class TestFlashAttention:
         g_xla = jax.grad(lambda x: xla_attention(x, x, x).sum())(q)
         np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_xla),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestFlashAttentionBias:
+    def test_matches_xla_with_bias_and_mask(self):
+        from mr_blip_tpu.ops import flash_attention as fa
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+
+        rng = np.random.default_rng(5)
+        B, N, H, D = 2, 256, 3, 32
+        q = jnp.array(rng.standard_normal((B, N, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, N, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, N, H, D), np.float32))
+        bias = jnp.array(rng.standard_normal((1, H, N, N), np.float32))
+        kv_mask = np.ones((B, N), np.int8)
+        kv_mask[1, 200:] = 0
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+            fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        ):
+            got = fa.flash_attention_bias(
+                q, k, v, bias, jnp.array(kv_mask), block_q=128, block_k=128
+            )
+        mask4 = jnp.array(kv_mask, bool)[:, None, None, :]
+        want = xla_attention(q, k, v, bias=bias, mask=mask4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_backward_matches_xla(self):
+        from mr_blip_tpu.ops import flash_attention as fa
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+
+        rng = np.random.default_rng(6)
+        B, N, H, D = 1, 128, 2, 16
+        q = jnp.array(rng.standard_normal((B, N, H, D), np.float32))
+        bias = jnp.array(rng.standard_normal((1, H, N, N), np.float32))
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+            fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        ):
+            g_flash = jax.grad(
+                lambda x, b: fa.flash_attention_bias(
+                    x, x, x, b, block_q=64, block_k=64
+                ).sum(),
+                argnums=(0, 1),
+            )(q, bias)
+        g_xla = jax.grad(
+            lambda x, b: xla_attention(x, x, x, bias=b).sum(), argnums=(0, 1)
+        )(q, bias)
+        for gf, gx in zip(g_flash, g_xla):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                       rtol=2e-3, atol=2e-3)
