@@ -45,7 +45,8 @@ class Blip2MRModule(nn.Module):
         self.visual_encoder = EvaViT(
             self.vit_config, self.compute_dtype, name="visual_encoder"
         )
-        self.ln_vision = LayerNormFP32(name="ln_vision")
+        # torch nn.LayerNorm default eps (blip2.py:113 LayerNorm subclass).
+        self.ln_vision = LayerNormFP32(epsilon=1e-5, name="ln_vision")
         self.qformer = QFormer(self.qformer_config, self.compute_dtype, name="qformer")
         self.t5_proj = Dense(
             self.t5_config.d_model, compute_dtype=self.compute_dtype, name="t5_proj"
