@@ -172,16 +172,93 @@ def port_t5_hf(state_dict: Dict[str, np.ndarray]) -> dict:
     return out
 
 
+# HF T5 submodule -> flax module-name fragments (see port_t5_hf).
+_T5_LORA_MODULES = {
+    "SelfAttention": "self_attention",
+    "EncDecAttention": "cross_attention",
+    "DenseReluDense": "ff",
+}
+
+
+def _t5_lora_path(hf_path: str) -> str | None:
+    """``encoder.block.0.layer.0.SelfAttention.q`` -> ``encoder/block_0/self_attention/q``.
+
+    Returns None for module paths that carry no LoRA in the flax tree.
+    """
+    if hf_path == "lm_head":
+        return "lm_head"
+    m = re.match(
+        r"(encoder|decoder)\.block\.(\d+)\.layer\.\d+\.(\w+)\.(q|k|v|o|wi|wi_0|wi_1|wo)$",
+        hf_path,
+    )
+    if not m:
+        return None
+    side, block, module, leaf = m.groups()
+    frag = _T5_LORA_MODULES.get(module)
+    if frag is None:
+        return None
+    return f"{side}/block_{block}/{frag}/{leaf}"
+
+
 def port_lora_peft(state_dict: Dict[str, np.ndarray]) -> dict:
-    """PEFT LoRA adapter keys -> lora_a/lora_b leaves (paths under t5)."""
+    """PEFT LoRA adapter state dict -> ``lora_a``/``lora_b`` leaves under t5.
+
+    Handles the reference's finetuned-checkpoint layout (peft 0.13 wrapping,
+    blip2_mr.py:183-237 + runner_base.py:572-600 trainable-only save): keys
+    like ``[t5_model.]base_model.model.encoder.block.0.layer.0.SelfAttention
+    .q.lora_A[.default].weight`` — the optional adapter name between
+    ``lora_A`` and ``weight`` as well as raw ``adapter_model.bin`` layouts
+    (no ``t5_model.`` prefix) both parse. torch stores ``lora_A`` as
+    (r, in) and ``lora_B`` as (out, r); flax wants (in, r)/(r, out), so both
+    transpose.
+    """
     out: dict = {}
+    pat = re.compile(
+        r"(?:^|\.)((?:encoder|decoder)\.block\.\d+\.layer\.\d+\.\w+\.\w+|lm_head)"
+        r"\.lora_(A|B)(?:\.[\w-]+)?\.weight$"
+    )
     for k, v in state_dict.items():
-        m = re.match(r".*?(encoder|decoder|lm_head)(.*)\.lora_(A|B)\.weight$", k)
+        m = pat.search(k)
         if not m:
             continue
-        # Path reconstruction is checkpoint-layout specific; callers merge
-        # by matching flattened key suffixes.
-        out[k] = _np(v)
+        path = _t5_lora_path(m.group(1))
+        if path is None:
+            logging.warning("port_lora_peft: no flax site for %s", k)
+            continue
+        leaf = "lora_a" if m.group(2) == "A" else "lora_b"
+        _set(out, f"{path}/{leaf}", _np(v).T)
+    return out
+
+
+def port_mr_finetuned(state_dict: Dict[str, np.ndarray]) -> dict:
+    """Full reference BLIP2_MR finetuned checkpoint -> framework param tree.
+
+    The reference saves trainable params only (runner_base.py:572-600):
+    LoRA adapters under ``t5_model.``/``answerer_model.``, Q-Former
+    (unless ``qformer_freeze``), ``t5_proj``, ``query_tokens`` — loaded
+    non-strict over the pretrained base (blip2_mr.py:1466-1495). Returns a
+    tree rooted at the model level (subtrees: t5, qformer, t5_proj, ...).
+    """
+    out: dict = {}
+    qf = port_qformer(state_dict)  # picks up Qformer.* + query_tokens
+    if qf:
+        out["qformer"] = qf
+    lora = port_lora_peft(
+        {k: v for k, v in state_dict.items() if not k.startswith("answerer_model.")}
+    )
+    if lora:
+        out["t5"] = lora
+    answerer = port_lora_peft(
+        {k: v for k, v in state_dict.items() if k.startswith("answerer_model.")}
+    )
+    if answerer:
+        out["answerer_t5"] = answerer
+    if "t5_proj.weight" in state_dict:
+        _set(out, "t5_proj/Dense_0/kernel", _np(state_dict["t5_proj.weight"]).T)
+        _set(out, "t5_proj/Dense_0/bias", _np(state_dict["t5_proj.bias"]))
+    if "ln_vision.weight" in state_dict:
+        _set(out, "ln_vision/LayerNorm_0/scale", _np(state_dict["ln_vision.weight"]))
+        _set(out, "ln_vision/LayerNorm_0/bias", _np(state_dict["ln_vision.bias"]))
     return out
 
 

@@ -74,11 +74,16 @@ def main():
         sd = port.load_torch_state_dict(path)
         params = port.merge_subtree(params, port.port_t5_hf(sd), "t5")
     if args.lora:
+        # Reference finetuned checkpoints carry LoRA adapters plus the other
+        # trainables (Q-Former, t5_proj, query_tokens); port all of them.
         sd = port.load_torch_state_dict(args.lora)
-        logging.warning(
-            "LoRA adapters: %d tensors found; merge by key-suffix matching",
-            len(port.port_lora_peft(sd)),
-        )
+        tree = port.port_mr_finetuned(sd)
+        answerer = tree.pop("answerer_t5", None)
+        params = port.merge_subtree(params, tree, "")
+        if answerer is not None and getattr(model, "answerer_params", None) is not None:
+            model.answerer_params = port.merge_subtree(
+                model.answerer_params, answerer, "t5"
+            )
 
     model.save_params(params, args.output)
     logging.info("wrote %s", args.output)

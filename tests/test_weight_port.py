@@ -154,3 +154,130 @@ class TestEvaViTPortRoundTrip:
         assert not unchanged_kernels, unchanged_kernels
         out = model.apply({"params": merged}, x)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLoRAPortParity:
+    """port_lora_peft must reproduce torch PEFT's merged forward exactly
+    (reference LoRA r=8/alpha=8 on every T5 Linear, blip2_mr.py:183-237)."""
+
+    @pytest.fixture(scope="class")
+    def peft_pair(self):
+        peft = pytest.importorskip("peft")
+        from transformers import T5Config as HFT5Config
+        from transformers import T5ForConditionalGeneration as HFT5
+
+        hf_cfg = HFT5Config(
+            vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+            num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+            relative_attention_max_distance=16, dropout_rate=0.0,
+            feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+            decoder_start_token_id=0,
+        )
+        torch.manual_seed(1)
+        hf_model = HFT5(hf_cfg).eval()
+        base_sd = {k: v.clone() for k, v in hf_model.state_dict().items()}
+
+        # the reference regexes every Linear name out of the module repr
+        lora_cfg = peft.LoraConfig(
+            r=2, lora_alpha=8, lora_dropout=0.0, bias="none",
+            target_modules=["q", "k", "v", "o", "wi_0", "wi_1", "wo", "lm_head"],
+        )
+        peft_model = peft.get_peft_model(hf_model, lora_cfg).eval()
+        # lora_B inits to zero; randomize both so the delta is nonzero
+        g = torch.Generator().manual_seed(5)
+        with torch.no_grad():
+            for name, p in peft_model.named_parameters():
+                if "lora_" in name:
+                    p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        return base_sd, peft_model
+
+    def test_all_lora_tensors_mapped(self, peft_pair):
+        from mr_blip_tpu.models.port import port_lora_peft
+        from flax import traverse_util
+
+        _, peft_model = peft_pair
+        sd = peft_model.state_dict()
+        n_lora_torch = len([k for k in sd if ".lora_A" in k or ".lora_B" in k])
+        tree = port_lora_peft(sd)
+        n_ported = len(traverse_util.flatten_dict(tree))
+        assert n_ported == n_lora_torch and n_ported > 0, (n_ported, n_lora_torch)
+
+    def test_logits_match_peft(self, peft_pair):
+        from mr_blip_tpu.models.port import port_lora_peft
+
+        base_sd, peft_model = peft_pair
+        cfg = T5Config(
+            vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+            num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+            relative_attention_max_distance=16, dropout_rate=0.0,
+            dense_act_fn="gelu_new", is_gated_act=True, tie_word_embeddings=False,
+            lora_rank=2, lora_alpha=8.0, lora_dropout=0.0,
+        )
+        model = T5ForConditionalGeneration(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        B, N, M = 2, 6, 4
+        input_ids = rng.integers(3, 120, (B, N))
+        dec_ids = rng.integers(3, 120, (B, M))
+
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 3, 32), jnp.float32), jnp.array([[0, 1]]),
+        )["params"]
+        tree = {"t5": params}
+        tree = merge_subtree(tree, port_t5_hf(base_sd), "t5")
+        tree = merge_subtree(tree, port_lora_peft(peft_model.state_dict()), "t5")
+        variables = {"params": tree["t5"]}
+
+        with torch.no_grad():
+            want = peft_model(
+                input_ids=torch.tensor(input_ids),
+                decoder_input_ids=torch.tensor(dec_ids),
+            ).logits.numpy()
+            base_only = merge_subtree({"t5": params}, port_t5_hf(base_sd), "t5")
+            embeds = model.apply(
+                {"params": base_only["t5"]}, jnp.array(input_ids),
+                method="embed_tokens",
+            )
+            base_logits = model.apply(
+                {"params": base_only["t5"]}, embeds, jnp.array(dec_ids)
+            )
+
+        embeds = model.apply(variables, jnp.array(input_ids), method="embed_tokens")
+        logits = model.apply(variables, embeds, jnp.array(dec_ids))
+        # the adapters must actually move the logits ...
+        assert not np.allclose(np.asarray(logits), np.asarray(base_logits), atol=1e-3)
+        # ... and match torch PEFT bit-close
+        np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4, atol=2e-4)
+
+    def test_mr_finetuned_checkpoint_routing(self, peft_pair):
+        """A reference-layout finetuned checkpoint (t5_model.-prefixed LoRA +
+        Qformer + t5_proj + query_tokens, runner_base.py:572-600) routes every
+        tensor into the right subtree."""
+        from mr_blip_tpu.models.port import port_mr_finetuned
+
+        _, peft_model = peft_pair
+        rng = np.random.default_rng(4)
+        sd = {
+            f"t5_model.{k}": v
+            for k, v in peft_model.state_dict().items()
+            if "lora_" in k
+        }
+        sd.update({
+            f"answerer_model.{k}": v
+            for k, v in peft_model.state_dict().items()
+            if "lora_" in k
+        })
+        sd["query_tokens"] = rng.standard_normal((1, 4, 32)).astype(np.float32)
+        sd["t5_proj.weight"] = rng.standard_normal((32, 32)).astype(np.float32)
+        sd["t5_proj.bias"] = rng.standard_normal((32,)).astype(np.float32)
+        sd["Qformer.bert.embeddings.LayerNorm.weight"] = np.ones(32, np.float32)
+        sd["Qformer.bert.embeddings.LayerNorm.bias"] = np.zeros(32, np.float32)
+
+        tree = port_mr_finetuned(sd)
+        assert "t5" in tree and "answerer_t5" in tree and "qformer" in tree
+        assert "query_tokens" in tree["qformer"]
+        assert tree["t5_proj"]["Dense_0"]["kernel"].shape == (32, 32)
+        from flax import traverse_util
+
+        n_lora = len([k for k in sd if "t5_model." in k])
+        assert len(traverse_util.flatten_dict(tree["t5"])) == n_lora
