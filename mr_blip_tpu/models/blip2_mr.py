@@ -470,7 +470,7 @@ class BLIP2_MR(BaseModel):
 
             return beam_search(
                 decode_step, self_cache, batch_size=batch_size,
-                num_beams=num_beams, max_length=max_len, min_length=1,
+                num_beams=num_beams, max_length=max_len, min_new_tokens=0,
                 eos_token_id=eos, pad_token_id=pad,
                 decoder_start_token_id=start,
             )
@@ -590,9 +590,9 @@ class BLIP2_MR(BaseModel):
         max_len = self.max_new_tokens
         vocab = self.t5_config.vocab_size
 
-        @functools.partial(jax.jit, static_argnames=("batch_size", "min_length"))
+        @functools.partial(jax.jit, static_argnames=("batch_size", "min_new_tokens"))
         def qa_fn(params, frames, text_ids, text_mask, batch_size: int,
-                  min_length: int):
+                  min_new_tokens: int):
             def encode(mod):
                 frames_for_t5 = mod.encode_frames(frames)
                 embeds, attn = mod.qa_encoder_input(frames_for_t5, text_ids, text_mask)
@@ -617,7 +617,7 @@ class BLIP2_MR(BaseModel):
 
             return greedy_decode_with_scores(
                 decode_step, self_cache, batch_size=batch_size, max_length=max_len,
-                min_length=min_length,
+                min_new_tokens=min_new_tokens,
                 eos_token_id=self.t5_config.eos_token_id,
                 pad_token_id=self.t5_config.pad_token_id, vocab_size=vocab,
             )

@@ -4,7 +4,8 @@ The whole decode loop is one ``lax.while_loop`` over a static-shape KV
 cache, so a single jit compilation covers every step — the TPU-native
 replacement for the reference's HF ``generate`` call
 (``blip2_mr.py:883-899``).  Semantics follow HF beam search: per-step
-log-softmax accumulation, EOS suppressed below ``min_length``, 2K candidate
+log-softmax accumulation, EOS banned until ``min_new_tokens`` precede it
+(HF MinNewTokensLengthLogitsProcessor semantics), 2K candidate
 expansion so finished beams can be refilled, and final score
 ``sum_logprobs / len**length_penalty``.
 
@@ -57,6 +58,7 @@ class BeamState:
     finished_seqs: jnp.ndarray      # (B, K, L)
     finished_scores: jnp.ndarray    # (B, K)
     finished_flags: jnp.ndarray     # (B, K)
+    done: jnp.ndarray               # (B,) frozen batches (HF _done)
     cache: Any
 
 
@@ -64,7 +66,7 @@ jax.tree_util.register_dataclass(
     BeamState,
     data_fields=[
         "cur_len", "alive_seqs", "alive_log_probs", "finished_seqs",
-        "finished_scores", "finished_flags", "cache",
+        "finished_scores", "finished_flags", "done", "cache",
     ],
     meta_fields=[],
 )
@@ -76,7 +78,7 @@ def beam_search(
     batch_size: int,
     num_beams: int = 5,
     max_length: int = 50,
-    min_length: int = 1,
+    min_new_tokens: int = 0,
     eos_token_id: int = 1,
     pad_token_id: int = 0,
     decoder_start_token_id: int = 0,
@@ -108,18 +110,23 @@ def beam_search(
         finished_seqs=jnp.full_like(alive_seqs, pad_token_id),
         finished_scores=jnp.full((batch_size, num_beams), NEG_INF),
         finished_flags=jnp.zeros((batch_size, num_beams), bool),
+        done=jnp.zeros((batch_size,), bool),
         cache=init_cache,
     )
 
+    def batch_done(state: BeamState):
+        """HF early-stop heuristic (early_stopping=False): a batch freezes
+        once K hyps exist and the worst kept beats the best alive candidate
+        normalized at the current generated length."""
+        all_full = jnp.all(state.finished_flags, axis=1)
+        cur = jnp.maximum(state.cur_len, 1).astype(jnp.float32)
+        best_alive = state.alive_log_probs[:, 0] / (cur ** length_penalty)
+        worst_finished = jnp.min(state.finished_scores, axis=1)
+        return all_full & (worst_finished >= best_alive)
+
     def not_done(state: BeamState):
         not_max = state.cur_len < max_length
-        # Best possible alive score (assuming max length) vs worst finished.
-        best_alive = state.alive_log_probs[:, 0] / (max_length ** length_penalty)
-        worst_finished = jnp.min(
-            jnp.where(state.finished_flags, state.finished_scores, NEG_INF), axis=1
-        )
-        improvement_possible = jnp.any(best_alive > worst_finished)
-        return jnp.logical_and(not_max, improvement_possible)
+        return jnp.logical_and(not_max, ~jnp.all(state.done))
 
     def step(state: BeamState):
         # 1) one decoder step for every alive beam
@@ -131,10 +138,10 @@ def beam_search(
         vocab = log_probs.shape[-1]
         log_probs = log_probs.reshape(batch_size, num_beams, vocab)
 
-        # suppress EOS below min_length (new token index is cur_len, 0-based
-        # over generated tokens)
+        # ban EOS until min_new_tokens have been generated before it
+        # (HF MinNewTokensLengthLogitsProcessor: new_tokens < min_new_tokens)
         log_probs = jnp.where(
-            (state.cur_len + 1 < min_length)
+            (state.cur_len < min_new_tokens)
             & (jnp.arange(vocab)[None, None] == eos_token_id),
             NEG_INF,
             log_probs,
@@ -154,6 +161,14 @@ def beam_search(
             cand_seqs, topk_token[:, :, None], state.cur_len + 1, axis=2
         )
         is_eos = topk_token == eos_token_id
+        # HF only accepts EOS hypotheses ranked within the top K of the 2K
+        # candidates (BeamSearchScorer.process: beam_token_rank >= group_size
+        # -> skip), and frozen (done) batches stop collecting hypotheses.
+        eos_counts = (
+            is_eos
+            & (jnp.arange(2 * kept_beams)[None, :] < kept_beams)
+            & ~state.done[:, None]
+        )
 
         # 2) alive set: best K non-EOS candidates
         alive_scores = jnp.where(is_eos, NEG_INF, topk_log_probs)
@@ -164,41 +179,54 @@ def beam_search(
         source_beams = jnp.take_along_axis(topk_beam, alive_idx, axis=1)  # (B, K)
         new_cache = _gather_beams(new_cache, source_beams, batch_size, num_beams)
 
-        # 3) finished set: EOS candidates merged into the pool
+        # 3) finished set: accepted EOS candidates merged into the pool.
+        # Normalization counts start + pre-EOS tokens = cur_len + 1, matching
+        # HF BeamHypotheses.add (sum includes the EOS logprob, the stored hyp
+        # does not include the EOS token).
         new_len = state.cur_len.astype(jnp.float32) + 1.0
         fin_scores_cand = jnp.where(
-            is_eos, topk_log_probs / (new_len ** length_penalty), NEG_INF
+            eos_counts, topk_log_probs / (new_len ** length_penalty), NEG_INF
         )
         all_fin_seqs = jnp.concatenate([state.finished_seqs, cand_seqs], axis=1)
         all_fin_scores = jnp.concatenate(
             [state.finished_scores, fin_scores_cand], axis=1
         )
-        all_fin_flags = jnp.concatenate([state.finished_flags, is_eos], axis=1)
+        all_fin_flags = jnp.concatenate([state.finished_flags, eos_counts], axis=1)
         new_fin_scores, fin_idx = jax.lax.top_k(all_fin_scores, kept_beams)
         new_fin_seqs = jnp.take_along_axis(all_fin_seqs, fin_idx[:, :, None], axis=1)
         new_fin_flags = jnp.take_along_axis(all_fin_flags, fin_idx, axis=1)
 
-        return BeamState(
+        new_state = BeamState(
             cur_len=state.cur_len + 1,
             alive_seqs=new_alive_seqs,
             alive_log_probs=new_alive_scores,
             finished_seqs=new_fin_seqs,
             finished_scores=new_fin_scores,
             finished_flags=new_fin_flags,
+            done=state.done,
             cache=new_cache,
+        )
+        return dataclasses.replace(
+            new_state, done=state.done | batch_done(new_state)
         )
 
     state = jax.lax.while_loop(not_done, step, state)
 
-    # Fall back to alive beams where nothing finished.
-    none_finished = jnp.any(state.finished_flags, axis=1)
-    final_seqs = jnp.where(
-        none_finished[:, None, None], state.finished_seqs, state.alive_seqs
+    # Finalize: at a max-length exit HF's MaxLengthCriteria marks every
+    # running candidate finished, so the top beams join the pool normalized
+    # by the generated length (= cur_len here); batches already done stopped
+    # collecting hypotheses.
+    alive_final_scores = jnp.where(
+        state.done[:, None],
+        NEG_INF,
+        state.alive_log_probs
+        / (jnp.maximum(state.cur_len, 1).astype(jnp.float32) ** length_penalty),
     )
-    alive_final_scores = state.alive_log_probs / (max_length ** length_penalty)
-    final_scores = jnp.where(
-        none_finished[:, None], state.finished_scores, alive_final_scores
-    )
+    pool_seqs = jnp.concatenate([state.finished_seqs, state.alive_seqs], axis=1)
+    pool_scores = jnp.concatenate([state.finished_scores, alive_final_scores], axis=1)
+    best = jnp.argmax(pool_scores, axis=1)
+    final_seqs = jnp.take_along_axis(pool_seqs, best[:, None, None], axis=1)
+    final_scores = jnp.take_along_axis(pool_scores, best[:, None], axis=1)
     # Drop the start token from the output.
     return final_seqs[:, 0, 1:], final_scores[:, 0]
 
@@ -213,7 +241,7 @@ def greedy_decode_with_scores(
     init_cache,
     batch_size: int,
     max_length: int,
-    min_length: int = 1,
+    min_new_tokens: int = 0,
     eos_token_id: int = 1,
     pad_token_id: int = 0,
     decoder_start_token_id: int = 0,
@@ -232,7 +260,7 @@ def greedy_decode_with_scores(
         logits, cache = decode_step(cache, cur, t)
         logits = logits.astype(jnp.float32)
         logits = jnp.where(
-            (t + 1 < min_length)
+            (t < min_new_tokens)
             & (jnp.arange(logits.shape[-1])[None] == eos_token_id),
             NEG_INF,
             logits,

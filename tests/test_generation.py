@@ -64,7 +64,12 @@ def _sequence_log_prob(model, params, enc, seq, eos, start=0):
 
 
 class TestBeamSearch:
-    def test_matches_bruteforce_best_sequence(self):
+    def test_score_is_consistent_with_teacher_forcing(self):
+        """The returned score must equal the teacher-forced normalized log
+        prob of the returned sequence (pins the length normalization).
+        Sequence-level agreement with HF generate is covered separately in
+        test_generation_hf_parity.py (HF semantics are not globally optimal,
+        so a brute-force oracle is the wrong spec)."""
         max_len = 3
         vocab = 6
         cfg, model, params, inputs_embeds = _build(
@@ -73,30 +78,30 @@ class TestBeamSearch:
         eos = cfg.eos_token_id
         enc = model.apply(params, inputs_embeds, method="encode")
 
-        num_beams = vocab  # exhaustive beam width for exactness at this size
+        num_beams = vocab
         enc_beams = expand_to_beams(enc, num_beams)
         cache = _init_cache(model, params, enc_beams, num_beams)
         seqs, scores = beam_search(
             _make_decode_step(model, params, enc_beams), cache,
             batch_size=1, num_beams=num_beams, max_length=max_len,
-            min_length=1, eos_token_id=eos, pad_token_id=cfg.pad_token_id,
+            min_new_tokens=0, eos_token_id=eos, pad_token_id=cfg.pad_token_id,
         )
-
-        # Brute force: all sequences that end with EOS within max_len.
-        best_score, best_seq = -1e30, None
-        for L in range(1, max_len + 1):
-            for prefix in itertools.product(range(vocab), repeat=L - 1):
-                if eos in prefix:
-                    continue
-                seq = list(prefix) + [eos]
-                lp = _sequence_log_prob(model, params, enc, seq, eos)
-                score = lp / (L ** 1.0)
-                if score > best_score:
-                    best_score, best_seq = score, seq
         got = [int(t) for t in np.asarray(seqs[0])]
         got = got[: got.index(eos) + 1] if eos in got else got
-        assert got == best_seq, (got, best_seq, float(scores[0]), best_score)
-        assert abs(float(scores[0]) - best_score) < 1e-4
+        lp = _sequence_log_prob(model, params, enc, got, eos)
+        assert abs(float(scores[0]) - lp / len(got)) < 1e-4
+
+        # and the result is at least as good as the pure-greedy rollout
+        greedy = []
+        for _ in range(max_len):
+            dec_in = jnp.array([[0] + greedy])
+            logits = model.apply(params, dec_in, enc, method="decode")
+            tok = int(jnp.argmax(logits[0, -1]))
+            greedy.append(tok)
+            if tok == eos:
+                break
+        greedy_score = _sequence_log_prob(model, params, enc, greedy, eos) / len(greedy)
+        assert float(scores[0]) >= greedy_score - 1e-4
 
     def test_min_length_suppresses_eos(self):
         max_len = 4
@@ -107,7 +112,7 @@ class TestBeamSearch:
         cache = _init_cache(model, params, enc_b, 2 * k)
         seqs, _ = beam_search(
             _make_decode_step(model, params, enc_b), cache,
-            batch_size=2, num_beams=k, max_length=max_len, min_length=3,
+            batch_size=2, num_beams=k, max_length=max_len, min_new_tokens=3,
             eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
         )
         for row in np.asarray(seqs):
