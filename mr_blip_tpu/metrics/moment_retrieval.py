@@ -18,6 +18,7 @@ Two scoring modes share one implementation:
 
 from __future__ import annotations
 
+import atexit
 import copy
 import json
 import multiprocessing as mp
@@ -25,6 +26,20 @@ from collections import OrderedDict, defaultdict
 from functools import partial
 
 import numpy as np
+
+# fork-after-JAX deadlocks: XLA spins threads holding locks that a forked
+# child inherits mid-flight (the reference forked under torch and lived with
+# the lottery). Spawned workers re-import cleanly but pay a multi-second
+# startup, so one pool is created lazily and reused for the whole process.
+_POOL = None
+
+
+def _get_pool(num_workers):
+    global _POOL
+    if _POOL is None:
+        _POOL = mp.get_context("spawn").Pool(num_workers)
+        atexit.register(_POOL.terminate)
+    return _POOL
 
 from mr_blip_tpu.metrics.span_ops import (
     IOU_THDS_DEFAULT,
@@ -100,12 +115,12 @@ def compute_mr_ap(
     )
 
     qid2ap_list = {}
-    if num_workers > 1 and len(data_triples) > 1:
-        with mp.Pool(num_workers) as pool:
-            for qid, scores in pool.imap_unordered(
-                compute_ap_from_triple, data_triples, chunksize=chunksize
-            ):
-                qid2ap_list[qid] = scores
+    if num_workers > 1 and len(data_triples) > 64:
+        pool = _get_pool(num_workers)
+        for qid, scores in pool.imap_unordered(
+            compute_ap_from_triple, data_triples, chunksize=chunksize
+        ):
+            qid2ap_list[qid] = scores
     else:
         for data_triple in data_triples:
             qid, scores = compute_ap_from_triple(data_triple)
@@ -282,12 +297,12 @@ def compute_hl_ap(qid2preds, qid2gt_scores_binary, num_workers=8, chunksize=50):
             y_predict = np.array(qid2pred_scores[qid])
             input_tuples.append((idx, w_idx, y_true, y_predict))
 
-    if num_workers > 1 and len(input_tuples) > 1:
-        with mp.Pool(num_workers) as pool:
-            for idx, w_idx, score in pool.imap_unordered(
-                _hl_ap_for_tuple, input_tuples, chunksize=chunksize
-            ):
-                ap_scores[idx, w_idx] = score
+    if num_workers > 1 and len(input_tuples) > 64:
+        pool = _get_pool(num_workers)
+        for idx, w_idx, score in pool.imap_unordered(
+            _hl_ap_for_tuple, input_tuples, chunksize=chunksize
+        ):
+            ap_scores[idx, w_idx] = score
     else:
         for input_tuple in input_tuples:
             idx, w_idx, score = _hl_ap_for_tuple(input_tuple)

@@ -383,10 +383,16 @@ class RunnerBase:
         logging.info("Saving checkpoint at epoch %s to %s.", cur_epoch, path)
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(save_obj))
-        # full state for resume
+        # full state for resume: params + optimizer moments + step counter,
+        # matching the reference's model+optimizer+scaler+epoch resume
+        # (reference runner_base.py:622-644) — dropping Adam state silently
+        # re-runs warmup on a resumed schedule.
         resume_path = os.path.join(self.output_dir, "resume_state.msgpack")
+        state = self.train_ctx.state
         resume_obj = {
             "params": serialization.to_state_dict(params),
+            "opt_state": serialization.to_state_dict(state.opt_state),
+            "step": int(state.step),
             "epoch": cur_epoch,
         }
         with open(resume_path, "wb") as f:
@@ -436,7 +442,9 @@ class RunnerBase:
             )
 
     def load_checkpoint(self, path):
-        """Resume: restores params and start_epoch (runner_base.py:622-644)."""
+        """Resume: restores params, optimizer state (Adam moments + accum
+        counters), step, and start_epoch (reference runner_base.py:622-644
+        restores model+optimizer+scaler+epoch)."""
         from flax import serialization
 
         with open(path, "rb") as f:
@@ -451,6 +459,17 @@ class RunnerBase:
                 )
         elif "model" in obj:
             self.model.params = self._restore_trainable(self.model.params, obj["model"])
+        if "opt_state" in obj and not self.evaluate_only:
+            ctx = self.train_ctx  # builds the optimizer lazily if needed
+            # train_ctx.state.params may predate the param restore above
+            ctx.state = ctx.state.replace(params=self.model.params)
+            restored_opt = serialization.from_state_dict(
+                ctx.state.opt_state, obj["opt_state"]
+            )
+            ctx.state = ctx.state.replace(
+                opt_state=restored_opt,
+                step=jax.numpy.asarray(int(obj.get("step", 0)), jax.numpy.int32),
+            )
         self.start_epoch = int(obj.get("epoch", -1)) + 1
         logging.info("Resume checkpoint loaded from %s (epoch %d)", path,
                      self.start_epoch)

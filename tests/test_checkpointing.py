@@ -75,6 +75,52 @@ class TestCheckpointing:
         runner.load_checkpoint(str(runner.output_dir / "resume_state.msgpack"))
         assert runner.start_epoch == 4
 
+    def test_resume_restores_optimizer_state(self, runner):
+        """Train a few steps, save, resume into a fresh runner-like state:
+        Adam moments and the step counter must round-trip (reference resumes
+        model+optimizer+scaler+epoch, runner_base.py:622-644)."""
+        import jax
+        import jax.numpy as jnp
+
+        ctx = runner.train_ctx
+        loader = iter(runner.train_loader)
+        task = runner.task
+        ctx.set_lr(1e-3)
+        for _ in range(2):
+            samples = next(loader)
+            task.train_step(ctx, samples)
+        runner._save_checkpoint(cur_epoch=0, is_best=False)
+        saved_state = ctx.state
+
+        # wipe: fresh optimizer state + perturbed params
+        from mr_blip_tpu.runners import TrainState
+
+        ctx.state = TrainState.create(
+            jax.tree.map(lambda x: x * 0 + 1.0, saved_state.params),
+            saved_state.tx,
+        )
+        runner.load_checkpoint(str(runner.output_dir / "resume_state.msgpack"))
+
+        assert int(runner.train_ctx.state.step) == int(saved_state.step) != 0
+        flat_s = jax.tree_util.tree_leaves_with_path(saved_state.opt_state)
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(runner.train_ctx.state.opt_state))
+        restored_nonzero = 0
+        for k, v in flat_s:
+            got = flat_r[k]
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(v), atol=1e-6,
+                err_msg=f"opt_state leaf {k} not restored",
+            )
+            if np.asarray(v).size and np.any(np.asarray(v) != 0):
+                restored_nonzero += 1
+        assert restored_nonzero > 0  # Adam moments actually carried data
+        flat_p = dict(jax.tree_util.tree_leaves_with_path(saved_state.params))
+        flat_pr = dict(jax.tree_util.tree_leaves_with_path(runner.train_ctx.state.params))
+        for k, v in flat_p.items():
+            np.testing.assert_allclose(
+                np.asarray(flat_pr[k]), np.asarray(v), atol=1e-6
+            )
+
 
 class TestOrbaxCheckpoint:
     def test_orbax_save(self, runner):
