@@ -9,11 +9,31 @@ span decoding (max 50 new tokens) — the reference QVH eval configuration
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
-vs_baseline: the reference publishes no throughput numbers, so the baseline
-is an estimate of the 8xA100 eval pipeline at ~40 frames/sec/chip
-(~1.5 s per 60-frame video per GPU: ViT-g fp16 over 60 frames plus beam-5
-T5-XL decoding with HF generate).  BASELINE.json's target of >=2x the A100
-frames/sec/chip corresponds to vs_baseline >= 2.0.
+vs_baseline: the reference publishes no throughput numbers (SURVEY §6), so
+the denominator is a FLOPs-derived estimate of the reference pipeline on one
+A100-80GB (fp16 peak 312 TFLOP/s), per 60-frame video:
+
+  ViT-g fwd     39 blocks x 257 tok x 25.2 MMAC/tok = 0.505 TFLOP/frame
+                x 60 frames = 30.3 TFLOP, at ~30% MFU (eager timm-style
+                fp16: no flash attention, head dim 88, fp32-cast LNs)
+                -> 0.32 s
+  Q-Former      ~0.6 TFLOP (cross K/V projections dominate)   -> ~6 ms
+  T5-XL encoder ~2k interleaved tokens x 2.3 GFLOP/tok = 4.6 TFLOP
+                at ~35% MFU                                    -> 42 ms
+  beam-5 decode ~15 steps, HF KV-cached: weight streaming (3.2 GB fp16
+                @ ~1.7 TB/s) + kernel-launch overhead ~16 ms/step,
+                batch 8 amortized                              -> ~31 ms
+  host          per-sample Python interleave loops + tokenizer calls
+                (blip2_mr.py:572-824), partially overlapped    -> ~60 ms
+
+  total ~0.46-0.50 s/video -> ~125 frames/sec/chip (range ~90-180
+  depending on achieved ViT MFU and host overlap).
+
+BASELINE.json's target of >=2x the A100 frames/sec/chip corresponds to
+vs_baseline >= 2.0 under this estimate. Note the hardware context: one
+v5e chip has 197 TFLOP/s bf16 peak vs the A100's 312 TFLOP/s fp16 —
+matching or beating per-chip throughput on 63% of the peak FLOPs implies
+a substantially higher MFU (ours: ViT stage ~58%).
 """
 
 import json
@@ -25,7 +45,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-A100_BASELINE_FPS_PER_CHIP = 40.0
+# FLOPs-derived estimate of the reference on one A100 (assumption chain in
+# the module docstring); the reference publishes no measured throughput.
+A100_BASELINE_FPS_PER_CHIP = 125.0
 
 N_FRAMES = 60
 BATCH = 4  # the reference QVH eval batch size (eval/qvh.yaml)
@@ -44,9 +66,13 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
+    # min_new_tokens=12 forces the decode loop to the typical span-string
+    # length ("[[10, 25]]" ≈ 10-14 tokens + EOS): with placeholder params the
+    # HF-exact early stop would otherwise finish in ~2 steps and undercount
+    # decode time.
     model = BLIP2_MR(
         img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
-        task="lora", num_beams=5, max_new_tokens=50,
+        task="lora", num_beams=5, max_new_tokens=50, min_new_tokens=12,
         compute_dtype="bfloat16", init_params=False,
     )
     model.params = model.init_params_fast(jax.random.PRNGKey(0), mode="zeros")
@@ -80,15 +106,21 @@ def main():
     log(f"first generate (compile+run): {time.time() - t0:.0f}s, "
         f"prediction={out['prediction'][0][:60]!r}")
 
-    # timed steady-state runs
-    times = []
-    for i in range(REPEATS):
-        t0 = time.time()
-        model.generate(samples)
-        times.append(time.time() - t0)
-        log(f"run {i}: {times[-1]:.3f}s")
+    # Steady-state pipelined throughput: batch i+1's host prep overlaps
+    # batch i's device compute, exactly like the task evaluation loop
+    # (MomentRetrievalTask.evaluation dispatch/collect pipeline).
+    n_iters = REPEATS + 2
+    t0 = time.time()
+    pending = model.generate_dispatch(samples)
+    for i in range(n_iters - 1):
+        nxt = model.generate_dispatch(samples)
+        model.generate_collect(pending)
+        pending = nxt
+    model.generate_collect(pending)
+    per_batch = (time.time() - t0) / n_iters
+    log(f"pipelined steady state: {per_batch:.3f}s/batch over {n_iters} iters")
 
-    per_video = float(np.median(times)) / BATCH
+    per_video = per_batch / BATCH
     fps = N_FRAMES / per_video
     result = {
         "metric": "e2e video->span inference (60f, ViT-g+FlanT5-XL, beam5)",

@@ -121,6 +121,7 @@ class BLIP2_MR(BaseModel):
         tokenizer_path: str | None = None,
         num_query_token: int = 32,
         num_beams: int = 5,
+        min_new_tokens: int = 0,
         max_txt_len: int = 200,
         max_new_tokens: int = 50,
         input_time_format: str = "seconds_integers",
@@ -146,6 +147,7 @@ class BLIP2_MR(BaseModel):
         self.frame_token_aggregation = frame_token_aggregation
         self.max_txt_len = max_txt_len
         self.max_new_tokens = max_new_tokens
+        self.min_new_tokens = min_new_tokens
         self.num_beams = num_beams
         self.num_frames_for_answer = num_frames_for_answer
         self.resample_frames = resample_frames
@@ -470,7 +472,8 @@ class BLIP2_MR(BaseModel):
 
             return beam_search(
                 decode_step, self_cache, batch_size=batch_size,
-                num_beams=num_beams, max_length=max_len, min_new_tokens=0,
+                num_beams=num_beams, max_length=max_len,
+                min_new_tokens=self.min_new_tokens,
                 eos_token_id=eos, pad_token_id=pad,
                 decoder_start_token_id=start,
             )
@@ -488,15 +491,27 @@ class BLIP2_MR(BaseModel):
 
     __call__ = forward
 
-    def generate(self, samples) -> Dict[str, Any]:
-        """Span generation: beam search -> decode -> grammar repair."""
-        out: Dict[str, Any] = {}
+    def generate_dispatch(self, samples) -> Dict[str, Any]:
+        """Host prep + asynchronous device dispatch; pair with
+        ``generate_collect``.
+
+        JAX dispatch is async, so the returned handle's arrays compute in
+        the background while the caller tokenizes/preps the next batch —
+        host/device pipelining the reference only had for H2D transfers
+        (PrefetchLoader, dataloader_utils.py:46-124).
+        """
         batch = self.prepare_mr_batch(samples, need_targets=False)
         batch.pop("video_prompt")
         b = batch["frames"].shape[0]
-        seqs, _scores = self._jit_generate(self.params, batch, b)
+        seqs, scores = self._jit_generate(self.params, batch, b)
+        return {"seqs": seqs, "scores": scores, "samples": samples}
+
+    def generate_collect(self, handle) -> Dict[str, Any]:
+        """Block on a ``generate_dispatch`` handle and post-process."""
+        samples = handle["samples"]
+        out: Dict[str, Any] = {}
         pred_ans = self.tokenizer.batch_decode(
-            np.asarray(seqs), skip_special_tokens=True
+            np.asarray(handle["seqs"]), skip_special_tokens=True
         )
 
         durations = samples["duration"]
@@ -512,6 +527,10 @@ class BLIP2_MR(BaseModel):
         out["answer"] = samples.get("relevant_windows")
         out["qid"] = samples.get("query_id")
         return out
+
+    def generate(self, samples) -> Dict[str, Any]:
+        """Span generation: beam search -> decode -> grammar repair."""
+        return self.generate_collect(self.generate_dispatch(samples))
 
     # --------------------------------------------------------- QA two-stage
     def get_relevant_frames(self, samples, relevant_moments_out, n_frames):

@@ -85,10 +85,25 @@ class ViTAttention(nn.Module):
             ).astype(qkv.dtype)
             qkv = qkv + bias
 
-        qkv = qkv.reshape(b, n, 3, cfg.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v)
-        out = out.reshape(b, n, cfg.embed_dim)
+        import jax
+
+        if (
+            jax.default_backend() == "tpu"
+            and qkv.dtype == jnp.bfloat16
+            and n * 3 * cfg.embed_dim * 2 <= 4 * 1024 * 1024
+        ):
+            # Packed-QKV Pallas path: attention runs straight off the QKV
+            # projection output — neither the q/k/v split nor the
+            # (B, N, H, D) head transposes (head_dim 88 is not lane-aligned,
+            # so those relayout copies cost more than the attention math).
+            from mr_blip_tpu.ops.flash_attention import flash_attention_qkv_packed
+
+            out = flash_attention_qkv_packed(qkv, cfg.num_heads)
+        else:
+            qkv = qkv.reshape(b, n, 3, cfg.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            out = dot_product_attention(q, k, v)
+            out = out.reshape(b, n, cfg.embed_dim)
         return Dense(cfg.embed_dim, compute_dtype=self.compute_dtype, name="proj")(out)
 
 

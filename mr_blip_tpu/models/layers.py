@@ -30,6 +30,16 @@ class LayerNormFP32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.use_bias and self.use_scale and x.ndim >= 2:
+            # Fused path: fp32 statistics without materializing an fp32
+            # activation copy — Pallas kernel on TPU for 16-bit inputs, an
+            # equivalent jnp formulation elsewhere (ops/layer_norm.py).
+            # The child module keeps the "LayerNorm_0/{scale,bias}" param
+            # layout every checkpoint/port function expects.
+            from mr_blip_tpu.ops.layer_norm import fused_layer_norm
+
+            scale, bias = _LNParams(x.shape[-1], name="LayerNorm_0")()
+            return fused_layer_norm(x, scale, bias, self.epsilon)
         orig_dtype = x.dtype
         y = nn.LayerNorm(
             epsilon=self.epsilon,
@@ -39,6 +49,22 @@ class LayerNormFP32(nn.Module):
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
         return y.astype(orig_dtype)
+
+
+class _LNParams(nn.Module):
+    """Parameter-only child scope matching nn.LayerNorm's naming."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
 
 
 class RMSNormFP32(nn.Module):

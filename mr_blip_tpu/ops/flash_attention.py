@@ -271,6 +271,185 @@ def flash_attention_bias(q, k, v, bias, kv_mask=None,
     )
 
 
+def _mha_folded_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
+                       head_dim: int):
+    """Self-attention with heads folded in the last axis.
+
+    Blocks arrive in the model's natural (rows, H*D) activation layout, so
+    no (B, N, H, D) transposes ever materialize in HBM — at ViT-g geometry
+    (16 heads of 88, not lane-aligned) those relayout copies cost more than
+    the attention math itself. K/V fit VMEM whole (short sequences), so the
+    softmax is single-shot rather than online.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    scale = jnp.asarray(head_dim ** -0.5, q.dtype)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, sl] * scale
+        logits = jax.lax.dot_general(
+            qh, k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, kv_len)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jnp.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def flash_attention_mha(q, k, v, num_heads: int, block_q: int = 512):
+    """Multi-head self-attention over (B, N, H*D) folded-head tensors.
+
+    For short K/V (fits VMEM: N*H*D*itemsize ≲ 2 MB per operand, e.g. the
+    ViT's 257 tokens) this avoids every HBM-level head transpose. Backward
+    recomputes via XLA attention (inference-hot path; the ViT is frozen in
+    Mr. BLIP finetuning).
+    """
+    b, n, hd = q.shape
+    assert hd % num_heads == 0
+    head_dim = hd // num_heads
+    return _flash_mha(q, k, v, num_heads, head_dim, min(block_q, n))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_mha(q, k, v, num_heads, head_dim, block_q):
+    b, n, hd = q.shape
+    kv_len = k.shape[1]
+    grid = (b, pl.cdiv(n, block_q))
+    kernel = functools.partial(
+        _mha_folded_kernel, num_heads=num_heads, head_dim=head_dim
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_len, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_len, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * kv_len * hd,
+            bytes_accessed=2 * b * (n + 2 * kv_len) * hd * q.dtype.itemsize,
+            transcendentals=b * n * kv_len * num_heads,
+        ),
+    )(q, k, v)
+
+
+def _qkv_packed_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int):
+    """Self-attention straight off the packed (rows, 3*H*D) QKV projection.
+
+    One program per image: q/k/v and every head are sliced in VMEM, so the
+    (B, N, 3HD) -> 3x(B, N, H, D) split/transpose copies never hit HBM.
+    """
+    blk = qkv_ref[0]
+    hd = num_heads * head_dim
+    scale = jnp.asarray(head_dim ** -0.5, blk.dtype)
+    for h in range(num_heads):
+        q = blk[:, h * head_dim:(h + 1) * head_dim] * scale
+        k = blk[:, hd + h * head_dim:hd + (h + 1) * head_dim]
+        v = blk[:, 2 * hd + h * head_dim:2 * hd + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+            p.astype(blk.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_qkv_packed(qkv, num_heads, head_dim):
+    b, n, three_hd = qkv.shape
+    kernel = functools.partial(
+        _qkv_packed_kernel, num_heads=num_heads, head_dim=head_dim
+    )
+    hd = three_hd // 3
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, three_hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, hd), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * hd,
+            bytes_accessed=b * n * (three_hd + hd) * qkv.dtype.itemsize,
+            transcendentals=b * n * n * num_heads,
+        ),
+    )(qkv)
+
+
+def _qkv_packed_reference(qkv, num_heads, head_dim):
+    hd = num_heads * head_dim
+    q, k, v = qkv[..., :hd], qkv[..., hd:2 * hd], qkv[..., 2 * hd:]
+    return _mha_reference(q, k, v, num_heads, head_dim)
+
+
+def _qkv_vjp_fwd(qkv, num_heads, head_dim):
+    return _flash_qkv_packed(qkv, num_heads, head_dim), qkv
+
+
+def _qkv_vjp_bwd(num_heads, head_dim, qkv, g):
+    _, vjp = jax.vjp(lambda q: _qkv_packed_reference(q, num_heads, head_dim), qkv)
+    return vjp(g)
+
+
+_flash_qkv_packed.defvjp(_qkv_vjp_fwd, _qkv_vjp_bwd)
+
+
+def flash_attention_qkv_packed(qkv, num_heads: int):
+    """Self-attention over the packed (B, N, 3*H*D) QKV tensor; the whole
+    sequence must fit VMEM (N * 3HD * itemsize ≲ 4 MB — e.g. ViT's 257
+    tokens at d=1408)."""
+    b, n, three_hd = qkv.shape
+    assert three_hd % (3 * num_heads) == 0
+    return _flash_qkv_packed(qkv, num_heads, three_hd // (3 * num_heads))
+
+
+def _mha_reference(q, k, v, num_heads, head_dim):
+    from mr_blip_tpu.ops.attention import xla_attention
+
+    b, n, hd = q.shape
+    m = k.shape[1]
+    out = xla_attention(
+        q.reshape(b, n, num_heads, head_dim),
+        k.reshape(b, m, num_heads, head_dim),
+        v.reshape(b, m, num_heads, head_dim),
+    )
+    return out.reshape(b, n, hd)
+
+
+def _mha_vjp_fwd(q, k, v, num_heads, head_dim, block_q):
+    return _flash_mha(q, k, v, num_heads, head_dim, block_q), (q, k, v)
+
+
+def _mha_vjp_bwd(num_heads, head_dim, block_q, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: _mha_reference(q, k, v, num_heads, head_dim), q, k, v
+    )
+    return vjp(g)
+
+
+_flash_mha.defvjp(_mha_vjp_fwd, _mha_vjp_bwd)
+
+
 def flash_attention(q, k, v, mask=None, causal=False,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
     """Flash attention over (B, N, H, D) tensors.

@@ -55,9 +55,36 @@ class MomentRetrievalTask(BaseTask):
                 )
         return loss
 
+    def evaluation(self, model, data_loader, **kwargs):
+        """One-deep pipelined eval: batch i+1's host prep (tokenization,
+        interleave plan, H2D) overlaps batch i's device compute via the
+        model's async dispatch/collect split."""
+        if not hasattr(model, "generate_dispatch"):
+            return super().evaluation(model, data_loader, **kwargs)
+        from mr_blip_tpu.common.logger import MetricLogger
+
+        metric_logger = MetricLogger(delimiter="  ")
+        results, pending = [], None
+        for i, samples in enumerate(
+            metric_logger.log_every(data_loader, 10, "Evaluation")
+        ):
+            samples = dict(samples)
+            samples.update({"iters": i})
+            handle = model.generate_dispatch(samples)
+            if pending is not None:
+                results.extend(self._rows_from_outputs(model.generate_collect(pending)))
+            pending = handle
+        if pending is not None:
+            results.extend(self._rows_from_outputs(model.generate_collect(pending)))
+        dist_utils.barrier()
+        return results
+
     def valid_step(self, model, samples):
+        return self._rows_from_outputs(model.generate(samples))
+
+    @staticmethod
+    def _rows_from_outputs(outputs):
         results = []
-        outputs = model.generate(samples)
         answer = outputs["answer"]
         qid = outputs["qid"]
         pred = outputs["prediction"]
