@@ -186,6 +186,14 @@ class BLIP2_MR(BaseModel):
         )
         if tokenizer_path is None:
             t5_kw["vocab_size"] = self.tokenizer.vocab_size
+        else:
+            # Model vocab = max(config default, tokenizer vocab padded to a
+            # lane multiple) — mirrors flan-t5's 32100-piece tokenizer vs
+            # 32128-row embedding; also lets tiny configs host test
+            # tokenizers larger than their default vocab.
+            default_vocab = self.T5_CONFIGS[t5_model]().vocab_size
+            padded = -(-self.tokenizer.vocab_size // 128) * 128
+            t5_kw["vocab_size"] = max(default_vocab, padded)
         t5_cfg = self.T5_CONFIGS[t5_model](**t5_kw)
 
         self.vit_config, self.qformer_config, self.t5_config = vit_cfg, qf_cfg, t5_cfg

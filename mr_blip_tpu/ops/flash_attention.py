@@ -234,23 +234,252 @@ def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k):
     return out.transpose(0, 2, 1, 3)
 
 
+def _flash_bias_stats_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
+                             o_ref, lse_ref, *, block_k: int):
+    """Forward that additionally writes the row logsumexp (for backward)."""
+    q = q_ref[0, 0]
+    block_q, d = q.shape
+    kv_len = k_ref.shape[2]
+    q_scaled = q * jnp.asarray(d ** -0.5, q.dtype)
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        logits = jnp.where(valid, logits, -jnp.inf)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(logits - m_safe)
+        p = jnp.where(jnp.isfinite(logits), p, 0.0)
+        correction = jnp.exp(jnp.where(jnp.isfinite(m_prev), m_prev - m_safe, -jnp.inf))
+        correction = jnp.where(jnp.isfinite(m_prev), correction, 0.0)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    lse_ref[0, 0] = (m_safe + jnp.log(jnp.maximum(l, 1e-30))).T  # (1, bq)
+
+
+def _flash_bias_fwd_stats(qt, kt, vt, bias, kvmask, block_q, block_k):
+    """qt/kt/vt: (B, H, N|M, D). Returns (out (B,H,N,D), lse (B,H,N))."""
+    b, h, n, d = qt.shape
+    m = kt.shape[2]
+    grid = (b, h, pl.cdiv(n, block_q))
+    kernel = functools.partial(_flash_bias_stats_kernel, block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, m), lambda bi, hi, qi: (0, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), qt.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
+        ),
+    )(qt, kt, vt, bias, kvmask)
+
+
+def _flash_bias_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
+                              do_ref, lse_ref, delta_ref, dq_ref,
+                              *, block_k: int):
+    """dq for one (b, h, q-block): stream K/V, recompute p from the saved
+    logsumexp, ds = p * (dO v^T - delta), dq = ds k * scale."""
+    q = q_ref[0, 0]
+    block_q, d = q.shape
+    kv_len = k_ref.shape[2]
+    scale = jnp.asarray(d ** -0.5, jnp.float32)
+    q_scaled = q * scale.astype(q.dtype)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0].T                  # (bq, 1) fp32
+    delta = delta_ref[0, 0].T              # (bq, 1) fp32
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+
+    def body(i, dq_acc):
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq_acc + jnp.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bias_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
+                               do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                               *, block_q: int):
+    """dk/dv for one (b, h, k-block): stream Q blocks, recompute p^T."""
+    k = k_ref[0, 0]
+    block_k, d = k.shape
+    n = q_ref.shape[2]
+    scale = jnp.asarray(d ** -0.5, jnp.float32)
+    valid = kvmask_ref[0, :, :] != 0       # (1, bk)
+    num_q_blocks = pl.cdiv(n, block_q)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, :, pl.ds(i * block_q, block_q)].T    # (bq, 1)
+        delta = delta_ref[0, 0, :, pl.ds(i * block_q, block_q)].T
+        q_scaled = q * scale.astype(q.dtype)
+        logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+        logits += bias_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)  # (bq, bk)
+        dv_acc = dv_acc + jnp.dot(
+            p.T.astype(do.dtype), do, preferred_element_type=jnp.float32
+        )
+        dp = jnp.dot(do, v_ref[0, 0].T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jnp.dot(
+            ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (zeros, zeros))
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
 def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k):
-    out = _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k)
-    return out, (q, k, v, bias, kv_mask)
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    bq = min(block_q, n)
+    bk = min(block_k, m)
+    out_t, lse = _flash_bias_fwd_stats(qt, kt, vt, bias, kv_mask[:, None, :], bq, bk)
+    out = out_t.transpose(0, 2, 1, 3)
+    return out, (q, k, v, bias, kv_mask, out, lse)
 
 
 def _flash_bias_vjp_bwd(block_q, block_k, residuals, g):
-    from mr_blip_tpu.ops.attention import xla_attention
+    """Pallas two-pass backward: dq pass + dk/dv pass with recomputed p.
 
-    q, k, v, bias, kv_mask = residuals
-    mask = kv_mask[:, None, None, :].astype(bool)
+    The rel-pos bias gradient is NOT produced (returned as zeros): under the
+    reference's LoRA training the relative_attention_bias embedding is
+    frozen (blip2_mr.py:183-237 trains lora_a/lora_b only), so its gradient
+    is discarded by the optimizer anyway. Full-finetuning of rel-pos biases
+    requires the XLA attention backend (set MR_BLIP_ATTENTION_BACKEND=xla).
+    """
+    q, k, v, bias, kv_mask, out, lse = residuals
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    bq = min(block_q, n)
+    bk = min(block_k, m)
 
-    def f(q, k, v, bias):
-        return xla_attention(q, k, v, bias=bias, mask=mask)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    got = g.transpose(0, 2, 1, 3)
+    # delta = rowsum(dO * O) per (b, h, n) — cheap elementwise in XLA.
+    delta = jnp.einsum(
+        "bnhd,bnhd->bhn", g.astype(jnp.float32), out.astype(jnp.float32)
+    )[:, :, None, :]  # (B, H, 1, N): lane-major rows for the kernels
+    kvm = kv_mask[:, None, :]
 
-    _, vjp = jax.vjp(f, q, k, v, bias)
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias, None
+    dq_t = pl.pallas_call(
+        functools.partial(_flash_bias_bwd_dq_kernel, block_k=bk),
+        grid=(b, h, pl.cdiv(n, bq)),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, m), lambda bi, hi, qi: (0, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+    )(qt, kt, vt, bias, kvm, got, lse, delta)
+
+    dk_t, dv_t = pl.pallas_call(
+        functools.partial(_flash_bias_bwd_dkv_kernel, block_q=bq),
+        grid=(b, h, pl.cdiv(m, bk)),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, bk), lambda bi, hi, ki: (0, hi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, m, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, m, d), v.dtype),
+        ),
+    )(qt, kt, vt, bias, kvm, got, lse, delta)
+
+    dq = dq_t.transpose(0, 2, 1, 3)
+    dk = dk_t.transpose(0, 2, 1, 3)
+    dv = dv_t.transpose(0, 2, 1, 3)
+    return dq, dk, dv, jnp.zeros_like(bias), None
 
 
 _flash_attention_bias.defvjp(_flash_bias_vjp_fwd, _flash_bias_vjp_bwd)

@@ -123,28 +123,46 @@ class TestFlashAttentionBias:
                                    rtol=2e-3, atol=2e-3)
 
     def test_backward_matches_xla(self):
+        """Pallas two-pass backward: dq/dk/dv match the XLA VJP (ragged
+        K mask included). dbias is intentionally zero — the rel-pos bias
+        embedding is frozen under the reference's LoRA training; full
+        finetuning of it requires the XLA backend (see _flash_bias_vjp_bwd
+        docstring)."""
         from mr_blip_tpu.ops import flash_attention as fa
         import unittest.mock as mock
         from jax.experimental import pallas as pl
 
         rng = np.random.default_rng(6)
-        B, N, H, D = 1, 128, 2, 16
+        B, N, H, D = 2, 128, 2, 16
         q = jnp.array(rng.standard_normal((B, N, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, N, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, N, H, D), np.float32))
         bias = jnp.array(rng.standard_normal((1, H, N, N), np.float32))
+        kv_mask = np.ones((B, N), np.int8)
+        kv_mask[1, 100:] = 0
+        kv_mask = jnp.array(kv_mask)
+
+        def loss_flash(q, k, v, b):
+            out = fa.flash_attention_bias(
+                q, k, v, b, kv_mask, block_q=64, block_k=64
+            )
+            return (out * jnp.cos(out)).sum()  # non-trivial cotangent
+
+        mask4 = jnp.array(kv_mask, bool)[:, None, None, :]
+
+        def loss_xla(q, k, v, b):
+            out = xla_attention(q, k, v, bias=b, mask=mask4)
+            return (out * jnp.cos(out)).sum()
 
         orig = pl.pallas_call
         with mock.patch.object(
             fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
         ):
-            g_flash = jax.grad(
-                lambda x, b: fa.flash_attention_bias(
-                    x, x, x, b, block_q=64, block_k=64
-                ).sum(),
-                argnums=(0, 1),
-            )(q, bias)
-        g_xla = jax.grad(
-            lambda x, b: xla_attention(x, x, x, bias=b).sum(), argnums=(0, 1)
-        )(q, bias)
-        for gf, gx in zip(g_flash, g_xla):
-            np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
-                                       rtol=2e-3, atol=2e-3)
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, gf, gx in zip("qkv", g_flash[:3], g_xla[:3]):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name} mismatch",
+            )
+        assert not np.any(np.asarray(g_flash[3]))  # dbias: documented zeros

@@ -10,7 +10,6 @@ import pytest
 
 from mr_blip_tpu.metrics.simple import compute_IoU, r1_and_mIoU
 from mr_blip_tpu.common.config_validator import create_runner_config_validator
-from mr_blip_tpu.tasks.temporal_action_localization import anet_detection_eval
 
 
 class TestSimpleMetrics:
@@ -61,20 +60,71 @@ class TestSimpleMetrics:
 
 
 class TestTALMetrics:
-    def test_perfect_detection(self):
+    @staticmethod
+    def _report(results, tmp_path, classes=None):
+        """Run TALTask._report_metrics over a result file (full reference
+        flow: parse -> validate vs class table -> ANETdetection -> dict)."""
+        import json as _json
+
+        from mr_blip_tpu.common.registry import registry
+        from mr_blip_tpu.tasks.temporal_action_localization import TALTask
+
+        classes_path = None
+        if classes is not None:
+            classes_path = str(tmp_path / "classes.txt")
+            with open(classes_path, "w") as f:
+                f.write("\n".join(classes))
+        f = tmp_path / "res.json"
+        f.write_text(_json.dumps(results))
+        registry.register_path("output_dir", str(tmp_path))
+        task = TALTask(classes_path=classes_path)
+        return task._report_metrics(str(f), "val")
+
+    def test_perfect_detection(self, tmp_path):
         results = [
             {"qid": "v1", "prediction": '[[0, 10, "run"]]', "target": '[[0, 10, "run"]]'},
             {"qid": "v2", "prediction": '[[5, 9, "jump"]]', "target": '[[5, 9, "jump"]]'},
         ]
-        m = anet_detection_eval(results)
-        assert m["mAP"] == pytest.approx(100.0)
+        m = self._report(results, tmp_path)
+        assert m["agg_metrics"] == pytest.approx(1.0)
+        assert m["r1"]["0.5"] == pytest.approx(1.0)
+        assert m["mAP"]["0.95"] == pytest.approx(1.0)
+        assert m["invalid_predictions"] == 0
 
-    def test_wrong_class_scores_zero(self):
+    def test_wrong_class_scores_zero(self, tmp_path):
         results = [
             {"qid": "v1", "prediction": '[[0, 10, "walk"]]', "target": '[[0, 10, "run"]]'},
         ]
-        m = anet_detection_eval(results)
-        assert m["mAP"] == 0.0
+        m = self._report(results, tmp_path)
+        assert m["agg_metrics"] == 0.0
+
+    def test_class_table_mismatch_counted(self, tmp_path):
+        """Labels outside the class table are replaced by the reference's
+        mismatch literal and counted (temporal_action_localization.py:168-172)."""
+        results = [
+            {"qid": "v1", "prediction": '[[0, 10, "moonwalk"]]', "target": '[[0, 10, "run"]]'},
+            {"qid": "v2", "prediction": '[[5, 9, "run"]]', "target": '[[5, 9, "run"]]'},
+        ]
+        m = self._report(results, tmp_path, classes=["run", "jump"])
+        assert m["class_label_mismatch"] == 1
+
+    def test_invalid_predictions_fraction(self, tmp_path):
+        results = [
+            {"qid": "v1", "prediction": "garbage", "target": '[[0, 10, "run"]]'},
+            {"qid": "v2", "prediction": '[[5, 9, "run"]]', "target": '[[5, 9, "run"]]'},
+        ]
+        m = self._report(results, tmp_path)
+        assert m["invalid_predictions"] == pytest.approx(0.5)
+
+    def test_recall_at_1_partial(self, tmp_path):
+        """Two GT segments, only one matched by the top-1x predictions."""
+        results = [
+            {"qid": "v1",
+             "prediction": '[[0, 10, "run"], [50, 60, "run"]]',
+             "target": '[[0, 10, "run"], [90, 99, "run"]]'},
+        ]
+        m = self._report(results, tmp_path)
+        assert 0.0 < m["r1"]["0.5"] <= 0.5 + 1e-9
 
 
 class TestConfigValidator:
