@@ -39,6 +39,7 @@ from mr_blip_tpu.models import timesformer as _timesformer
 from mr_blip_tpu.models import albef as _albef
 from mr_blip_tpu.models import blip_v1 as _blip_v1
 from mr_blip_tpu.models import alpro as _alpro
+from mr_blip_tpu.models import zoo_wrappers as _zoo_wrappers
 from mr_blip_tpu import tasks as _tasks  # registers tasks
 from mr_blip_tpu.runners import runner_base as _runner_base  # registers runners
 from mr_blip_tpu.runners import runner_iter as _runner_iter

@@ -4,10 +4,12 @@ Counterpart of the reference ALBEF family (``lavis/models/albef_models/``,
 ~2.3k LoC): ViT image encoder + BERT text encoder with cross-attention
 fusion, trained with the three ALBEF objectives —
 
-* ITC: image-text contrastive over projected cls features (queue/momentum
-  distillation is deployment-configurable; the in-batch form is computed
-  here, matching the reference's non-distilled branch)
-* ITM: image-text matching head on the fused cls token
+* ITC: image-text contrastive over projected cls features, with momentum
+  distillation + feature queues (``albef_pretrain_losses`` below mirrors
+  albef_pretrain.py:105-310); ``__call__`` keeps the simple in-batch form
+  used by the eval paths
+* ITM: image-text matching head on the fused cls token, with hard-negative
+  mining in the pretraining objective
 * MLM is delegated to the MED LM head.
 
 Used for retrieval / VQA / NLVR fine-tunes in the reference zoo.
@@ -84,11 +86,26 @@ class ALBEF(nn.Module):
     def itm_logits(self, images, text_ids, text_mask=None):
         """Image-text matching logits from the fused cls token."""
         image_states = self.encode_image(images)
+        return self.itm_logits_with_states(image_states, text_ids, text_mask)
+
+    def itm_logits_with_states(self, image_states, text_ids, text_mask=None):
+        """ITM over precomputed image states (hard-negative pairing reuses
+        gathered image token sets, albef_pretrain.py:236-274)."""
         fused = self.text_encoder(
             text_ids, text_mask=text_mask, image_states=image_states,
             mode="multimodal",
         )
         return self.itm_head(fused[:, 0])
+
+    def pretrain_states(self, images, text_ids, text_mask=None):
+        """(image_states, img_feat, txt_feat): one encoder pass shared by
+        the ITC and ITM objectives."""
+        image_states = self.encode_image(images)
+        img = self.vision_proj(image_states[:, 0])
+        txt = self.text_proj(self.encode_text(text_ids, text_mask)[:, 0])
+        img = img / jnp.linalg.norm(img.astype(jnp.float32), axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=-1, keepdims=True)
+        return image_states, img, txt
 
     def __call__(self, images, text_ids, text_mask=None):
         """Training objectives: ITC loss + ITM logits for in-batch pairs."""
@@ -102,3 +119,142 @@ class ALBEF(nn.Module):
         ) / 2
         itm_logits = self.itm_logits(images, text_ids, text_mask)
         return {"itc_loss": itc, "itm_logits": itm_logits, "sims": sims}
+
+
+# ----------------------------------------------------------------------------
+# ALBEF pretraining objectives with momentum distillation + feature queues
+# (reference albef_pretrain.py:105-310), as pure functions over an explicit
+# momentum state so the whole step stays jittable/donate-able on TPU.
+# ----------------------------------------------------------------------------
+
+MOMENTUM_SUBTREES = ("visual_encoder", "text_encoder", "vision_proj", "text_proj")
+
+
+def init_momentum_state(params, embed_dim, queue_size=1024, seed=0):
+    """EMA param copy + normalized random feature queues + ring pointer."""
+    rng = jax.random.PRNGKey(seed)
+    r1, r2 = jax.random.split(rng)
+    iq = jax.random.normal(r1, (queue_size, embed_dim), jnp.float32)
+    tq = jax.random.normal(r2, (queue_size, embed_dim), jnp.float32)
+    iq = iq / jnp.linalg.norm(iq, axis=-1, keepdims=True)
+    tq = tq / jnp.linalg.norm(tq, axis=-1, keepdims=True)
+    return {
+        "m_params": {k: params[k] for k in MOMENTUM_SUBTREES},
+        "image_queue": iq,
+        "text_queue": tq,
+        "queue_ptr": jnp.zeros((), jnp.int32),
+    }
+
+
+def _ema(m_tree, tree, momentum):
+    return jax.tree.map(
+        lambda m, p: m * momentum + p.astype(m.dtype) * (1.0 - momentum),
+        m_tree, tree,
+    )
+
+
+def _soft_ce(logits, targets):
+    return -(targets * jax.nn.log_softmax(logits, axis=-1)).sum(-1).mean()
+
+
+def albef_pretrain_losses(module, params, state, images, text_ids,
+                          text_mask, rng, alpha=0.4, momentum=0.995):
+    """One ALBEF pretraining objective evaluation.
+
+    Returns (losses dict, new momentum state). Mirrors the reference:
+
+    * EMA momentum encoders refresh first (albef_pretrain.py:167);
+    * ITC logits score the batch against [momentum batch ‖ queue] features,
+      targets = alpha * softmax(momentum sims) + (1-alpha) * one-hot;
+    * hard-negative ITM: one negative text per image and one negative image
+      per text, sampled from the in-batch similarity softmax with the
+      diagonal masked (albef_pretrain.py:223-280), labels [1_B, 0_2B];
+    * queues ring-enqueue the momentum features (queue_size % B == 0).
+
+    ``alpha`` carries the caller's ramp-up schedule
+    (reference _rampup_factor).
+    """
+    b = images.shape[0]
+    temp = module.config.temp
+    new_m = _ema(state["m_params"],
+                 {k: params[k] for k in MOMENTUM_SUBTREES}, momentum)
+
+    image_states, img_f, txt_f = module.apply(
+        {"params": params}, images, text_ids, text_mask,
+        method="pretrain_states",
+    )
+    m_params_full = {**params, **new_m}
+    _, img_f_m, txt_f_m = module.apply(
+        {"params": m_params_full}, images, text_ids, text_mask,
+        method="pretrain_states",
+    )
+    img_f_m = jax.lax.stop_gradient(img_f_m.astype(jnp.float32))
+    txt_f_m = jax.lax.stop_gradient(txt_f_m.astype(jnp.float32))
+
+    image_feat_all = jnp.concatenate([img_f_m, state["image_queue"]], axis=0)
+    text_feat_all = jnp.concatenate([txt_f_m, state["text_queue"]], axis=0)
+
+    sim_i2t = img_f.astype(jnp.float32) @ text_feat_all.T / temp   # (B, B+Q)
+    sim_t2i = txt_f.astype(jnp.float32) @ image_feat_all.T / temp
+    sim_i2t_m = jax.lax.stop_gradient(img_f_m @ text_feat_all.T / temp)
+    sim_t2i_m = jax.lax.stop_gradient(txt_f_m @ image_feat_all.T / temp)
+
+    onehot = jax.nn.one_hot(jnp.arange(b), sim_i2t.shape[1])
+    t_i2t = alpha * jax.nn.softmax(sim_i2t_m, -1) + (1 - alpha) * onehot
+    t_t2i = alpha * jax.nn.softmax(sim_t2i_m, -1) + (1 - alpha) * onehot
+    loss_itc = (_soft_ce(sim_i2t, t_i2t) + _soft_ce(sim_t2i, t_t2i)) / 2
+
+    # hard negatives from the in-batch block, diagonal masked
+    neg_inf = jnp.finfo(jnp.float32).min
+    w_i2t = jnp.where(jnp.eye(b, dtype=bool), neg_inf, sim_i2t[:, :b])
+    w_t2i = jnp.where(jnp.eye(b, dtype=bool), neg_inf, sim_t2i[:, :b])
+    r1, r2 = jax.random.split(rng)
+    neg_text_idx = jax.random.categorical(r1, w_i2t, axis=-1)   # per image
+    neg_image_idx = jax.random.categorical(r2, w_t2i, axis=-1)  # per text
+
+    if text_mask is None:
+        text_mask = jnp.ones_like(text_ids)
+    pos_logits = module.apply(
+        {"params": params}, image_states, text_ids, text_mask,
+        method="itm_logits_with_states",
+    )
+    # image with its hard-negative text; text with its hard-negative image
+    neg1 = module.apply(
+        {"params": params}, image_states, text_ids[neg_text_idx],
+        text_mask[neg_text_idx], method="itm_logits_with_states",
+    )
+    neg2 = module.apply(
+        {"params": params}, image_states[neg_image_idx], text_ids, text_mask,
+        method="itm_logits_with_states",
+    )
+    itm_logits = jnp.concatenate([pos_logits, neg1, neg2], axis=0)
+    itm_labels = jnp.concatenate(
+        [jnp.ones(b, jnp.int32), jnp.zeros(2 * b, jnp.int32)]
+    )
+    loss_itm = -jnp.take_along_axis(
+        jax.nn.log_softmax(itm_logits.astype(jnp.float32), -1),
+        itm_labels[:, None], axis=1,
+    ).mean()
+
+    # ring enqueue (reference _dequeue_and_enqueue: queue_size % B == 0)
+    q = state["image_queue"].shape[0]
+    ptr = state["queue_ptr"]
+    image_queue = jax.lax.dynamic_update_slice(state["image_queue"], img_f_m,
+                                               (ptr, 0))
+    text_queue = jax.lax.dynamic_update_slice(state["text_queue"], txt_f_m,
+                                              (ptr, 0))
+    new_state = {
+        "m_params": new_m,
+        "image_queue": image_queue,
+        "text_queue": text_queue,
+        "queue_ptr": (ptr + b) % q,
+    }
+    losses = {"loss_itc": loss_itc, "loss_itm": loss_itm,
+              "loss": loss_itc + loss_itm}
+    return losses, new_state
+
+
+def rampup_factor(epoch, iters, num_iters_per_epoch):
+    """Reference alpha warmup: linear over the first epoch
+    (albef_pretrain.py _rampup_factor)."""
+    return min(1.0, (epoch * num_iters_per_epoch + iters) / num_iters_per_epoch)

@@ -108,6 +108,17 @@ class BLIPv1(nn.Module):
         )
         return self.lm_head(hidden)[:, -1]
 
+    def caption_step_logits_at(self, images, buffer_ids, pos):
+        """Next-token logits at ``pos`` of a fixed-size padded buffer —
+        the causal mask ignores the not-yet-written tail, so one static
+        shape serves every decode step (scan-friendly on TPU)."""
+        image_states = self.visual_encoder(images)
+        hidden = self.text_decoder(
+            buffer_ids, image_states=image_states, mode="decoder"
+        )
+        step = jax.lax.dynamic_index_in_dim(hidden, pos, axis=1, keepdims=False)
+        return self.lm_head(step)
+
     # ---------------------------------------------------------------- VQA
     def vqa_answer_loss(self, images, question_ids, question_mask,
                         answer_ids, answer_mask):

@@ -73,7 +73,7 @@ class _TextBlock(nn.Module):
         return x
 
 
-@registry.register_model("clip")
+@registry.register_model("clip_feature_extractor")
 class CLIP(nn.Module):
     config: CLIPConfig
     compute_dtype: Any = jnp.bfloat16

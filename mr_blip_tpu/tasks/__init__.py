@@ -8,6 +8,7 @@ from mr_blip_tpu.tasks.vqa import VideoQA, VideoGQA
 from mr_blip_tpu.tasks.temporal_action_localization import TALTask
 from mr_blip_tpu.tasks.captioning import CaptionTask, MultimodalClassificationTask
 from mr_blip_tpu.tasks.retrieval import RetrievalTask
+from mr_blip_tpu.tasks.dialogue import DialogueTask
 
 
 def setup_task(cfg):

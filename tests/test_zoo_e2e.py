@@ -1,0 +1,202 @@
+"""End-to-end zoo wiring: dataset -> model -> task -> metric.
+
+Closes the round-1 gap where zoo models existed as compute graphs without
+task-facing wrappers: captioning trains and decodes through CaptionTask to
+BLEU/CIDEr; CLIP scores a retrieval gallery through RetrievalTask to R@K
+(with the real byte-BPE when the merge table asset is present); ALBEF runs
+the full momentum-distillation + hard-negative-ITM pretraining objective;
+the dialogue task evaluates the GPT dialogue wrapper.
+"""
+
+import numpy as np
+import pytest
+
+import mr_blip_tpu  # noqa: F401  (registry side effects)
+from mr_blip_tpu.common.registry import registry
+
+CLIP_BPE_ASSET = "/root/reference/lavis/models/clip_models/bpe_simple_vocab_16e6.txt.gz"
+
+
+class _ListLoader:
+    """Minimal batch loader over pre-collated sample dicts."""
+
+    def __init__(self, batches, dataset=None):
+        self.batches = batches
+        self.dataset = dataset
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _caption_batches(n_batches=2, b=2, img=28, seed=0):
+    rng = np.random.default_rng(seed)
+    batches = []
+    k = 0
+    for _ in range(n_batches):
+        caps = [f"object {k + i} in a scene" for i in range(b)]
+        batches.append({
+            "image": rng.standard_normal((b, img, img, 3)).astype(np.float32),
+            "text_input": caps,
+            "image_id": [f"img{k + i}" for i in range(b)],
+            "gt_captions": [[c] for c in caps],
+        })
+        k += b
+    return batches
+
+
+class TestCaptionE2E:
+    def test_train_step_and_eval_metrics(self, tmp_path):
+        model_cls = registry.get_model_class("blip_caption")
+        model = model_cls(model_size="tiny")
+        batches = _caption_batches()
+
+        # loss is finite and differentiable through the wrapper's jit
+        loss0 = float(model(batches[0])["loss"])
+        assert np.isfinite(loss0)
+
+        # full task loop: generate per batch -> save -> BLEU/CIDEr report
+        task_cls = registry.get_task_class("captioning")
+        task = task_cls(num_beams=1, max_len=12)
+        registry.register_path("result_dir", str(tmp_path))
+        results = task.evaluation(model, _ListLoader(batches))
+        assert len(results) == 4
+        metrics = task.after_evaluation(results, "val", 0)
+        for key in ("Bleu_4", "CIDEr", "agg_metrics"):
+            assert key in metrics and np.isfinite(metrics[key])
+
+    def test_generate_shapes(self):
+        model = registry.get_model_class("blip_caption")(model_size="tiny")
+        out = model.generate(_caption_batches(1)[0], max_length=8)
+        assert len(out["captions"]) == 2
+        assert all(isinstance(c, str) for c in out["captions"])
+
+
+class TestClipRetrievalE2E:
+    @pytest.mark.parametrize("use_bpe", [False, True])
+    def test_gallery_recall(self, use_bpe):
+        import os
+
+        bpe = CLIP_BPE_ASSET if use_bpe and os.path.exists(CLIP_BPE_ASSET) else None
+        if use_bpe and bpe is None:
+            pytest.skip("CLIP BPE asset not mounted")
+        model = registry.get_model_class("clip")(model_size="tiny", bpe_path=bpe)
+        if use_bpe:
+            assert model.tokenizer is not None
+            assert model.tokenizer.vocab_size == 49408
+
+        batches = _caption_batches(n_batches=2, b=2)
+        loader = _ListLoader(batches)
+        task = registry.get_task_class("retrieval")()
+        val = task.evaluation(model, loader)
+        assert val["sims"].shape == (4, 4)
+        metrics = task.after_evaluation(val, "val", 0)
+        for key in ("txt_r1", "img_r1", "r_mean", "agg_metrics"):
+            assert key in metrics
+
+    def test_contrastive_loss_trains(self):
+        model = registry.get_model_class("clip")(model_size="tiny")
+        loss = float(model(_caption_batches(1, b=3)[0])["loss"])
+        assert np.isfinite(loss) and loss > 0
+
+
+class TestAlbefPretraining:
+    def test_momentum_distillation_objective(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mr_blip_tpu.models.albef import (
+            ALBEF, albef_pretrain_losses, albef_tiny_config,
+            init_momentum_state, rampup_factor,
+        )
+
+        cfg = albef_tiny_config()
+        module = ALBEF(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b, img = 4, cfg.vision.img_size
+        images = jnp.asarray(rng.standard_normal((b, img, img, 3)), jnp.float32)
+        text_ids = jnp.asarray(rng.integers(4, 90, (b, 6)), jnp.int32)
+        text_mask = jnp.ones((b, 6), jnp.int32)
+        params = module.init(jax.random.PRNGKey(0), images, text_ids)["params"]
+        state = init_momentum_state(params, cfg.embed_dim, queue_size=16)
+
+        alpha = 0.4 * rampup_factor(epoch=0, iters=50, num_iters_per_epoch=100)
+        losses, new_state = jax.jit(
+            lambda p, s, rng: albef_pretrain_losses(
+                module, p, s, images, text_ids, text_mask, rng, alpha=alpha
+            )
+        )(params, state, jax.random.PRNGKey(1))
+
+        assert np.isfinite(float(losses["loss_itc"]))
+        assert np.isfinite(float(losses["loss_itm"]))
+        # queue rotated by b
+        assert int(new_state["queue_ptr"]) == b
+        # the enqueued rows are the momentum features (unit norm)
+        row = np.asarray(new_state["image_queue"][0])
+        assert np.isclose(np.linalg.norm(row), 1.0, atol=1e-3)
+
+    def test_ema_moves_toward_params(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mr_blip_tpu.models.albef import (
+            ALBEF, MOMENTUM_SUBTREES, albef_pretrain_losses,
+            albef_tiny_config, init_momentum_state,
+        )
+
+        cfg = albef_tiny_config()
+        module = ALBEF(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        b, img = 2, cfg.vision.img_size
+        images = jnp.asarray(rng.standard_normal((b, img, img, 3)), jnp.float32)
+        text_ids = jnp.asarray(rng.integers(4, 90, (b, 5)), jnp.int32)
+        mask = jnp.ones((b, 5), jnp.int32)
+        params = module.init(jax.random.PRNGKey(0), images, text_ids)["params"]
+        state = init_momentum_state(params, cfg.embed_dim, queue_size=8)
+        # perturb params; EMA should drift toward them
+        params2 = jax.tree.map(lambda x: x + 1.0, params)
+        _, new_state = albef_pretrain_losses(
+            module, params2, state, images, text_ids, mask,
+            jax.random.PRNGKey(2), alpha=0.0, momentum=0.9,
+        )
+        old_leaf = jax.tree.leaves(state["m_params"]["vision_proj"])[0]
+        new_leaf = jax.tree.leaves(new_state["m_params"]["vision_proj"])[0]
+        np.testing.assert_allclose(
+            np.asarray(new_leaf),
+            np.asarray(old_leaf) * 0.9 + (np.asarray(old_leaf) + 1.0) * 0.1,
+            rtol=1e-5,
+        )
+
+    def test_hard_negatives_avoid_diagonal(self):
+        """The ITM negatives must never pair a sample with itself."""
+        import jax
+        import jax.numpy as jnp
+
+        neg_inf = jnp.finfo(jnp.float32).min
+        sims = jnp.asarray(np.random.default_rng(3).standard_normal((6, 6)),
+                           jnp.float32)
+        w = jnp.where(jnp.eye(6, dtype=bool), neg_inf, sims)
+        idx = jax.random.categorical(jax.random.PRNGKey(0), w, axis=-1)
+        assert not np.any(np.asarray(idx) == np.arange(6))
+
+
+class TestDialogueE2E:
+    def test_task_reports_mean_loss(self):
+        model = registry.get_model_class("gpt_dialogue_model")(
+            model_size="tiny", video_feature_dim=16
+        )
+        rng = np.random.default_rng(0)
+        batches = []
+        for _ in range(2):
+            batches.append({
+                "video_feats": rng.standard_normal((2, 3, 16)).astype(np.float32),
+                "text_input": ["what happens in the video ?"] * 2,
+                "response": ["a person walks by"] * 2,
+            })
+        task = registry.get_task_class("dialogue")()
+        results = task.evaluation(model, _ListLoader(batches))
+        assert len(results) == 2
+        metrics = task.after_evaluation(results, "val", 0)
+        assert np.isfinite(metrics["agg_metrics"])
