@@ -51,6 +51,14 @@ def main():
     args = parse_args()
     cfg = Config(args)
 
+    if cfg.run_cfg.get("validate_config", False):
+        # Enforce the run-config vocabulary (the reference ships the same
+        # validator but never calls it, lavis/common/config.py:261-468).
+        from mr_blip_tpu.common.config_validator import (
+            create_runner_config_validator,
+        )
+
+        create_runner_config_validator().validate(dict(cfg.run_cfg))
     dist_utils.init_distributed_mode(cfg.run_cfg)
     seed = int(cfg.run_cfg.get("seed", 42)) + dist_utils.get_rank()
     random.seed(seed)

@@ -89,4 +89,11 @@ def create_runner_config_validator() -> ConfigValidator:
                 "wandb_name", "device", "dist_url"):
         v.add_argument(key, type=str)
     v.add_argument("world_size", type=int)
+    # framework extensions beyond the reference vocabulary
+    for key in ("validate_config", "use_orbax", "orbax_async", "sequence_parallel"):
+        v.add_argument(key, type=bool)
+    v.add_argument("tal_classes_path", type=str,
+                   help="TAL class table (ANet_classes.txt)")
+    for key in ("k_test", "log_samples_every_n"):
+        v.add_argument(key, type=int)
     return v

@@ -78,6 +78,7 @@ class RunnerBase:
         self._train_ctx = None
         self._dataloaders = None
         self._lr_sched = None
+        self._orbax_ckptr = None
         self._mesh = None
         self.start_epoch = 0
 
@@ -399,20 +400,51 @@ class RunnerBase:
             f.write(serialization.msgpack_serialize(resume_obj))
 
     def _save_checkpoint_orbax(self, cur_epoch, is_best=False):
-        """Async-capable orbax checkpoint (sharded arrays supported)."""
+        """Orbax checkpoint (sharded arrays supported). With
+        ``run.orbax_async`` the save overlaps the next epoch's compute; the
+        shared checkpointer serializes in-flight saves and is drained at
+        runner teardown."""
         import orbax.checkpoint as ocp
 
         name = "orbax_{}".format("best" if is_best else cur_epoch)
         path = (self.output_dir / name).absolute()
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
+        if self._orbax_ckptr is None:
+            self._orbax_ckptr = ocp.StandardCheckpointer()
+        self._orbax_ckptr.save(
             path,
             {"model": self._trainable_only(self.train_ctx.state.params),
              "epoch": cur_epoch},
             force=True,
         )
-        ckptr.wait_until_finished()
-        logging.info("orbax checkpoint saved to %s", path)
+        if not self.run_cfg.get("orbax_async", False):
+            self._orbax_ckptr.wait_until_finished()
+        logging.info("orbax checkpoint saved to %s%s", path,
+                     " (async)" if self.run_cfg.get("orbax_async") else "")
+
+    def finalize_checkpoints(self):
+        """Drain pending async orbax saves (call before process exit)."""
+        if self._orbax_ckptr is not None:
+            self._orbax_ckptr.wait_until_finished()
+
+    def _restore_orbax(self, name="orbax_best"):
+        """Restore trainable params from an orbax directory (multi-host
+        safe: every process restores its addressable shards)."""
+        import orbax.checkpoint as ocp
+
+        path = (self.output_dir / name).absolute()
+        if not path.exists():
+            return False
+        restored = ocp.StandardCheckpointer().restore(path)
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(restored["model"], sep="/")
+        self.model.params = self._restore_trainable(self.model.params, flat)
+        if self._train_ctx is not None:
+            self._train_ctx.state = self._train_ctx.state.replace(
+                params=self.model.params
+            )
+        logging.info("orbax checkpoint restored from %s", path)
+        return True
 
     def _restore_trainable(self, params, flat_saved):
         from flax import traverse_util
@@ -429,6 +461,8 @@ class RunnerBase:
     def _reload_best_model(self):
         from flax import serialization
 
+        if self.run_cfg.get("use_orbax", False) and self._restore_orbax():
+            return
         path = os.path.join(self.output_dir, "checkpoint_best.msgpack")
         if not os.path.exists(path):
             logging.warning("no best checkpoint found at %s", path)

@@ -134,3 +134,31 @@ class TestOrbaxCheckpoint:
         restored = ocp.StandardCheckpointer().restore(path)
         assert restored["epoch"] == 1
         assert any("lora_a" in k for k in restored["model"])
+
+    def test_orbax_async_save_and_restore(self, runner):
+        """Async orbax save drains at finalize; best-reload restores from
+        the orbax dir when use_orbax is on."""
+        import jax
+        import numpy as np
+
+        _ = runner.train_ctx
+        runner.run_cfg["use_orbax"] = True
+        runner.run_cfg["orbax_async"] = True
+        runner._save_checkpoint(cur_epoch=0, is_best=True)
+        runner.finalize_checkpoints()
+        assert (runner.output_dir / "orbax_best").exists()
+
+        orig = runner.model.params
+
+        def perturb(pth, leaf):
+            return leaf + 1.0 if "lora_a" in str(pth) else leaf
+
+        runner.model.params = jax.tree_util.tree_map_with_path(perturb, orig)
+        runner._reload_best_model()
+        flat_o = dict(jax.tree_util.tree_leaves_with_path(orig))
+        flat_n = dict(jax.tree_util.tree_leaves_with_path(runner.model.params))
+        for k in flat_o:
+            if "lora_a" in str(k):
+                np.testing.assert_allclose(
+                    np.asarray(flat_n[k]), np.asarray(flat_o[k]), atol=1e-6
+                )

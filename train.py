@@ -70,6 +70,14 @@ def main():
     args = parse_args()
     cfg = Config(args)
 
+    if cfg.run_cfg.get("validate_config", False):
+        # Enforce the run-config vocabulary (the reference ships the same
+        # validator but never calls it, lavis/common/config.py:261-468).
+        from mr_blip_tpu.common.config_validator import (
+            create_runner_config_validator,
+        )
+
+        create_runner_config_validator().validate(dict(cfg.run_cfg))
     dist_utils.init_distributed_mode(cfg.run_cfg)
     setup_seeds(cfg)
     setup_logger()
@@ -86,6 +94,7 @@ def main():
     if resume_path:
         runner.load_checkpoint(resume_path)
     runner.train()
+    runner.finalize_checkpoints()
 
 
 if __name__ == "__main__":
