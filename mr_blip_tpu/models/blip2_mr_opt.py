@@ -337,8 +337,9 @@ class BLIP2_MR_OPT(BLIP2_MR):
 
         return generate_fn
 
-    def generate(self, samples):
-        out: Dict[str, Any] = {}
+    def generate_dispatch(self, samples):
+        """Host prep + async dispatch (pairs with the inherited
+        ``generate_collect``, whose decode/grammar tail is identical)."""
         batch = self.prepare_opt_batch(samples, need_targets=False)
         # Left-pad the text block so the seed (= last prompt token) is real
         # for every sample.
@@ -363,24 +364,13 @@ class BLIP2_MR_OPT(BLIP2_MR):
             + batch["frames"].shape[1] * self.qformer_config.num_query_tokens
             + batch["end_ids"].shape[1] + batch["text_ids"].shape[1]
         )
-        seqs, _ = self._jit_opt_generate(
+        seqs, scores = self._jit_opt_generate(
             self.params, batch, jnp.asarray(start_tokens), b, prompt_len
         )
-        pred_ans = self.tokenizer.batch_decode(np.asarray(seqs), skip_special_tokens=True)
+        return {"seqs": seqs, "scores": scores, "samples": samples}
 
-        durations = samples["duration"]
-        out["duration"] = [float(d) for d in np.asarray(durations)]
-        if self.input_time_format in ("relative_integers", "relative_floats"):
-            prediction = [self.post_process(p) for p in pred_ans]
-            out["prediction"] = self.convert_to_absolute_time(
-                prediction, out["duration"], self.input_time_format
-            )
-        else:
-            out["prediction"] = [self.post_process(p) for p in pred_ans]
-        out["raw_prediction"] = pred_ans
-        out["answer"] = samples.get("relevant_windows")
-        out["qid"] = samples.get("query_id")
-        return out
+    def generate(self, samples):
+        return self.generate_collect(self.generate_dispatch(samples))
 
     @classmethod
     def from_config(cls, cfg):

@@ -172,6 +172,51 @@ def port_t5_hf(state_dict: Dict[str, np.ndarray]) -> dict:
     return out
 
 
+def port_opt_hf(state_dict: Dict[str, np.ndarray]) -> dict:
+    """HF ``OPTForCausalLM`` state dict -> OPT params subtree.
+
+    Covers the OPT-2.7b/6.7b layout used by the reference's vendored stack
+    (``modeling_opt.py``): decoder embeddings (position table includes the
+    offset-2 rows), per-layer pre-LNs, q/k/v/out projections, ReLU FFN, and
+    the top-level final LayerNorm. The LM head is tied to the token
+    embedding in both frameworks, so ``lm_head.weight`` is skipped.
+    """
+    out: dict = {}
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    pre = "model.decoder."
+    _set(out, "embed_tokens/embedding", sd[pre + "embed_tokens.weight"])
+    _set(out, "embed_positions/embedding", sd[pre + "embed_positions.weight"])
+    _set(out, "final_norm/LayerNorm_0/scale", sd[pre + "final_layer_norm.weight"])
+    _set(out, "final_norm/LayerNorm_0/bias", sd[pre + "final_layer_norm.bias"])
+    layers = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(re.escape(pre) + r"layers\.(\d+)\.", k))
+        }
+    )
+    for i in layers:
+        p = f"{pre}layers.{i}."
+        b = f"layer_{i}/"
+        for w in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(out, b + f"self_attn/{w}/Dense_0/kernel",
+                 sd[p + f"self_attn.{w}.weight"].T)
+            _set(out, b + f"self_attn/{w}/Dense_0/bias",
+                 sd[p + f"self_attn.{w}.bias"])
+        _set(out, b + "self_attn_norm/LayerNorm_0/scale",
+             sd[p + "self_attn_layer_norm.weight"])
+        _set(out, b + "self_attn_norm/LayerNorm_0/bias",
+             sd[p + "self_attn_layer_norm.bias"])
+        _set(out, b + "final_norm/LayerNorm_0/scale",
+             sd[p + "final_layer_norm.weight"])
+        _set(out, b + "final_norm/LayerNorm_0/bias",
+             sd[p + "final_layer_norm.bias"])
+        for w in ("fc1", "fc2"):
+            _set(out, b + f"{w}/Dense_0/kernel", sd[p + f"{w}.weight"].T)
+            _set(out, b + f"{w}/Dense_0/bias", sd[p + f"{w}.bias"])
+    return out
+
+
 # HF T5 submodule -> flax module-name fragments (see port_t5_hf).
 _T5_LORA_MODULES = {
     "SelfAttention": "self_attention",

@@ -281,3 +281,62 @@ class TestLoRAPortParity:
 
         n_lora = len([k for k in sd if "t5_model." in k])
         assert len(traverse_util.flatten_dict(tree["t5"])) == n_lora
+
+
+class TestOPTPortParity:
+    """My flax OPT must compute HF transformers' OPT exactly (the reference
+    vendors modeling_opt.py for the blip2_opt_mr variant)."""
+
+    @pytest.fixture(scope="class")
+    def opt_pair(self):
+        from transformers import OPTConfig as HFOPTConfig
+        from transformers import OPTForCausalLM as HFOPT
+
+        from mr_blip_tpu.models.opt import OPTConfig, OPTForCausalLM
+        from mr_blip_tpu.models.port import port_opt_hf
+
+        hf_cfg = HFOPTConfig(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, ffn_dim=64, max_position_embeddings=64,
+            dropout=0.0, attention_dropout=0.0, activation_function="relu",
+            do_layer_norm_before=True, word_embed_proj_dim=32,
+            pad_token_id=1, bos_token_id=2, eos_token_id=2,
+        )
+        torch.manual_seed(3)
+        hf = HFOPT(hf_cfg).eval()
+
+        cfg = OPTConfig(
+            vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+            ffn_dim=64, max_position_embeddings=64, dropout=0.0,
+        )
+        model = OPTForCausalLM(cfg, compute_dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 32), jnp.float32)
+        )["params"]
+        merged = merge_subtree({"m": params}, port_opt_hf(hf.state_dict()), "m")["m"]
+        return hf, model, merged
+
+    def test_all_tensors_mapped(self, opt_pair):
+        from flax import traverse_util
+
+        hf, model, params = opt_pair
+        n_flax = len(traverse_util.flatten_dict(params))
+        # HF: every flax tensor + lm_head.weight (tied, skipped)
+        n_hf = len(hf.state_dict())
+        assert n_flax == n_hf - 1, (n_flax, n_hf)
+
+    def test_logits_match_hf(self, opt_pair):
+        hf, model, params = opt_pair
+        rng = np.random.default_rng(0)
+        B, N = 2, 9
+        ids = rng.integers(3, 120, (B, N))
+        mask = np.ones((B, N), np.int64)
+
+        with torch.no_grad():
+            want = hf(input_ids=torch.tensor(ids),
+                      attention_mask=torch.tensor(mask)).logits.numpy()
+        embeds = model.apply({"params": params}, jnp.asarray(ids),
+                             method="embed_tokens")
+        got = model.apply({"params": params}, embeds,
+                          attention_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
