@@ -21,6 +21,9 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeat suite runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mrblip_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pathlib
 

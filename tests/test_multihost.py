@@ -1,8 +1,11 @@
 """Two-process multi-host smoke: framework dist init + cross-process psum."""
 
+import pytest
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
