@@ -132,6 +132,7 @@ class BLIP2_MR(BaseModel):
         resample_frames: bool = False,
         freeze_vit: bool = True,
         use_grad_checkpoint: bool = False,
+        fast_gelu: bool = False,
         compute_dtype: str = "bfloat16",
         sequence_parallel: bool = False,
         seed: int = 42,
@@ -173,7 +174,8 @@ class BLIP2_MR(BaseModel):
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute_dtype]
         self.compute_dtype = dtype
         vit_cfg = self.VIT_CONFIGS[vit_model](
-            img_size=img_size, use_checkpoint=use_grad_checkpoint
+            img_size=img_size, use_checkpoint=use_grad_checkpoint,
+            fast_gelu=fast_gelu,
         ) if vit_model == "eva_vit_g" else self.VIT_CONFIGS[vit_model](img_size=img_size)
         qf_cfg = (
             qformer_base_config(vit_cfg.embed_dim, num_query_token)
@@ -788,6 +790,7 @@ class BLIP2_MR(BaseModel):
             num_frames_for_answer=cfg.get("num_frames_for_answer", 4),
             resample_frames=cfg.get("resample_frames", False),
             freeze_vit=cfg.get("freeze_vit", True),
+            fast_gelu=cfg.get("fast_gelu", False),
             use_grad_checkpoint=cfg.get("use_grad_checkpoint", False),
             compute_dtype=cfg.get("compute_dtype", "bfloat16"),
             sequence_parallel=cfg.get("sequence_parallel", False),

@@ -36,15 +36,19 @@ class ViTConfig:
     qkv_bias: bool = True
     drop_rate: float = 0.0
     use_checkpoint: bool = False
+    # perf opt-in: tanh-GELU instead of exact erf (breaks bit-parity)
+    fast_gelu: bool = False
 
     @property
     def num_patches(self) -> int:
         return (self.img_size // self.patch_size) ** 2
 
 
-def eva_vit_g_config(img_size: int = 224, use_checkpoint: bool = False) -> ViTConfig:
+def eva_vit_g_config(img_size: int = 224, use_checkpoint: bool = False,
+                     fast_gelu: bool = False) -> ViTConfig:
     """EVA ViT-g/14: mlp_hidden = int(1408 * 4.3637) = 6144 (eva_vit.py:422-428)."""
-    return ViTConfig(img_size=img_size, use_checkpoint=use_checkpoint)
+    return ViTConfig(img_size=img_size, use_checkpoint=use_checkpoint,
+                     fast_gelu=fast_gelu)
 
 
 def vit_tiny_config(img_size: int = 28) -> ViTConfig:
@@ -118,7 +122,8 @@ class ViTBlock(nn.Module):
             LayerNormFP32(name="norm1")(x)
         )
         x = x + Mlp(
-            cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype, name="mlp"
+            cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
+            approximate_gelu=cfg.fast_gelu, name="mlp",
         )(LayerNormFP32(name="norm2")(x))
         return x
 

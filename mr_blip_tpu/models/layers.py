@@ -136,13 +136,19 @@ class Dense(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Two-layer GELU MLP (ViT / BERT style)."""
+    """Two-layer GELU MLP (ViT / BERT style).
+
+    ``approximate_gelu`` swaps exact erf-GELU for the tanh approximation —
+    ~10% faster on the v5e VPU, but no longer bit-matched to the reference
+    (torch nn.GELU is erf); perf opt-in only.
+    """
 
     hidden_features: int
     out_features: Optional[int] = None
     compute_dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     dropout: float = 0.0
+    approximate_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -153,7 +159,7 @@ class Mlp(nn.Module):
             param_dtype=self.param_dtype,
             name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.approximate_gelu)
         x = Dense(
             out_features,
             compute_dtype=self.compute_dtype,
