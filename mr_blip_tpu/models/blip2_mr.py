@@ -140,6 +140,16 @@ class BLIP2_MR(BaseModel):
     ):
         self.task = task
         self.use_lora = "lora" in task
+        if "lora" not in task and "qformer" not in task:
+            import os as _os
+
+            if _os.environ.get("MR_BLIP_ATTENTION_BACKEND", "auto") == "auto":
+                logging.warning(
+                    "task=%r trains the full T5, but the flash attention "
+                    "backward returns zero gradient for the relative-position "
+                    "bias (frozen under the reference's LoRA training). Set "
+                    "MR_BLIP_ATTENTION_BACKEND=xla to train it.", task,
+                )
         self.use_localizer = "with_localizer" in task
         self.use_oracle_localizer = "oracle_localizer" in task
         self.is_qa = "QA" in task
@@ -781,6 +791,7 @@ class BLIP2_MR(BaseModel):
             tokenizer_path=cfg.get("tokenizer_path"),
             num_query_token=cfg.get("num_query_token", 32),
             num_beams=cfg.get("num_beams", 5),
+            min_new_tokens=cfg.get("min_len", cfg.get("min_new_tokens", 0)),
             max_txt_len=cfg.get("max_len", 200),
             max_new_tokens=cfg.get("max_new_tokens", 50),
             input_time_format=cfg.get("input_time_format", "seconds_integers"),

@@ -331,7 +331,8 @@ class BLIP2_MR_OPT(BLIP2_MR):
 
             return beam_search(
                 decode_step, cache, batch_size=batch_size, num_beams=num_beams,
-                max_length=max_new, eos_token_id=eos, pad_token_id=pad,
+                max_length=max_new, min_new_tokens=self.min_new_tokens,
+                eos_token_id=eos, pad_token_id=pad,
                 decoder_start_token_id=start_tokens,
             )
 
@@ -381,6 +382,7 @@ class BLIP2_MR_OPT(BLIP2_MR):
             tokenizer_path=cfg.get("tokenizer_path"),
             num_query_token=cfg.get("num_query_token", 32),
             num_beams=cfg.get("num_beams", 5),
+            min_new_tokens=cfg.get("min_len", cfg.get("min_new_tokens", 0)),
             max_txt_len=cfg.get("max_len", 200),
             max_new_tokens=cfg.get("max_new_tokens", 50),
             input_time_format=cfg.get("input_time_format", "seconds_integers"),

@@ -206,6 +206,10 @@ class ClipModel(BaseModel):
         if self.tokenizer is not None:
             return jnp.asarray(self.tokenizer(texts))
         ids, _ = self._word_tok(texts, self.config.context_length)
+        # CLIP pools text features at argmax(ids) (EOT = highest vocab id);
+        # remap the word tokenizer's eos accordingly.
+        ids = np.where(ids == self._word_tok.eos_token_id,
+                       self.config.vocab_size - 1, ids)
         if ids.shape[1] < self.config.context_length:
             ids = np.pad(ids, ((0, 0),
                                (0, self.config.context_length - ids.shape[1])))
@@ -222,7 +226,8 @@ class ClipModel(BaseModel):
 
     def compute_sim_matrix(self, data_loader, k_test: int = 128):
         """Full-gallery similarity (RetrievalTask protocol): encode every
-        image and caption, return (N_img, N_txt) cosine logits."""
+        image and caption, return the (N_img, N_txt) cosine matrix
+        (features L2-normalized, matching the reference CLIP protocol)."""
         img_feats, txt_feats = [], []
         seen_images = {}
         for batch in data_loader:
@@ -237,6 +242,8 @@ class ClipModel(BaseModel):
                     )
         img = np.stack(img_feats)
         txt = np.concatenate(txt_feats)
+        img = img / np.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
         return img @ txt.T
 
 

@@ -46,12 +46,18 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool)
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         logits = jnp.dot(q_scaled, k.T,
                          preferred_element_type=jnp.float32)  # (bq, bk) fp32
+        # pl.ds clamps the last partial block's start (when kv_len is not a
+        # block multiple), re-reading rows already covered by the previous
+        # block — mask the re-read prefix out of this block's softmax.
+        start = jnp.minimum(i * block_k, kv_len - block_k)
+        k_pos = start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        if kv_len % block_k:
+            logits = jnp.where(k_pos >= i * block_k, logits, -jnp.inf)
         if causal:
             q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
-            )
-            k_pos = i * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
             )
             logits = jnp.where(q_pos >= k_pos, logits, -jnp.inf)
 
@@ -172,6 +178,14 @@ def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
         logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         # 2-D load: Mosaic rejects 1-D vector intermediates
         valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0  # (1, bk)
+        if kv_len % block_k:
+            # pl.ds clamps the last partial block's start; mask the re-read
+            # prefix so those K rows are not double-counted. Full-2D iota:
+            # Mosaic can't sublane-broadcast a (1, bk) intermediate.
+            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            )
+            valid = valid & (k_pos >= i * block_k)
         logits = jnp.where(valid, logits, -jnp.inf)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -250,6 +264,14 @@ def _flash_bias_stats_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
         logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        if kv_len % block_k:
+            # pl.ds clamps the last partial block's start; mask the re-read
+            # prefix so those K rows are not double-counted. Full-2D iota:
+            # Mosaic can't sublane-broadcast a (1, bk) intermediate.
+            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            )
+            valid = valid & (k_pos >= i * block_k)
         logits = jnp.where(valid, logits, -jnp.inf)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -329,6 +351,14 @@ def _flash_bias_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
         logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        if kv_len % block_k:
+            # pl.ds clamps the last partial block's start; mask the re-read
+            # prefix so those K rows are not double-counted. Full-2D iota:
+            # Mosaic can't sublane-broadcast a (1, bk) intermediate.
+            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            )
+            valid = valid & (k_pos >= i * block_k)
         p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -362,7 +392,14 @@ def _flash_bias_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
         q_scaled = q * scale.astype(q.dtype)
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
         logits += bias_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)  # (bq, bk)
+        row_ok = valid
+        if n % block_q:
+            # mask Q rows re-read by the clamped last partial block
+            q_pos = jnp.minimum(i * block_q, n - block_q) + (
+                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            )
+            row_ok = row_ok & (q_pos >= i * block_q)
+        p = jnp.where(row_ok, jnp.exp(logits - lse), 0.0)  # (bq, bk)
         dv_acc = dv_acc + jnp.dot(
             p.T.astype(do.dtype), do, preferred_element_type=jnp.float32
         )
@@ -500,80 +537,6 @@ def flash_attention_bias(q, k, v, bias, kv_mask=None,
     )
 
 
-def _mha_folded_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
-                       head_dim: int):
-    """Self-attention with heads folded in the last axis.
-
-    Blocks arrive in the model's natural (rows, H*D) activation layout, so
-    no (B, N, H, D) transposes ever materialize in HBM — at ViT-g geometry
-    (16 heads of 88, not lane-aligned) those relayout copies cost more than
-    the attention math itself. K/V fit VMEM whole (short sequences), so the
-    softmax is single-shot rather than online.
-    """
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    scale = jnp.asarray(head_dim ** -0.5, q.dtype)
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q[:, sl] * scale
-        logits = jax.lax.dot_general(
-            qh, k[:, sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, kv_len)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jnp.dot(
-            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
-
-
-def flash_attention_mha(q, k, v, num_heads: int, block_q: int = 512):
-    """Multi-head self-attention over (B, N, H*D) folded-head tensors.
-
-    For short K/V (fits VMEM: N*H*D*itemsize ≲ 2 MB per operand, e.g. the
-    ViT's 257 tokens) this avoids every HBM-level head transpose. Backward
-    recomputes via XLA attention (inference-hot path; the ViT is frozen in
-    Mr. BLIP finetuning).
-    """
-    b, n, hd = q.shape
-    assert hd % num_heads == 0
-    head_dim = hd // num_heads
-    return _flash_mha(q, k, v, num_heads, head_dim, min(block_q, n))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_mha(q, k, v, num_heads, head_dim, block_q):
-    b, n, hd = q.shape
-    kv_len = k.shape[1]
-    grid = (b, pl.cdiv(n, block_q))
-    kernel = functools.partial(
-        _mha_folded_kernel, num_heads=num_heads, head_dim=head_dim
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, hd), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, hd), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * n * kv_len * hd,
-            bytes_accessed=2 * b * (n + 2 * kv_len) * hd * q.dtype.itemsize,
-            transcendentals=b * n * kv_len * num_heads,
-        ),
-    )(q, k, v)
-
-
 def _qkv_packed_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int):
     """Self-attention straight off the packed (rows, 3*H*D) QKV projection.
 
@@ -662,21 +625,6 @@ def _mha_reference(q, k, v, num_heads, head_dim):
         v.reshape(b, m, num_heads, head_dim),
     )
     return out.reshape(b, n, hd)
-
-
-def _mha_vjp_fwd(q, k, v, num_heads, head_dim, block_q):
-    return _flash_mha(q, k, v, num_heads, head_dim, block_q), (q, k, v)
-
-
-def _mha_vjp_bwd(num_heads, head_dim, block_q, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v: _mha_reference(q, k, v, num_heads, head_dim), q, k, v
-    )
-    return vjp(g)
-
-
-_flash_mha.defvjp(_mha_vjp_fwd, _mha_vjp_bwd)
 
 
 def flash_attention(q, k, v, mask=None, causal=False,

@@ -8,7 +8,8 @@ thresholds .5:.05:.95 (greedy GT locking) and per-class top-1x recall, and
 reports the reference's metric dict
 (``temporal_action_localization.py:136-216``):
 ``agg_metrics``=average mAP, ``r1``/``mAP`` per-threshold dicts,
-``invalid_predictions`` and ``class_label_mismatch`` fractions.
+``invalid_predictions`` fraction and ``class_label_mismatch`` count
+(raw count, matching the reference dict).
 
 Class table: the reference reads ``lavis/tasks/ANet_classes.txt`` — a file
 it does not actually ship (construction would crash without user data). We

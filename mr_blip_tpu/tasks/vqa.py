@@ -223,10 +223,9 @@ class GQARCTask(VQARCTask):
             samples["image"], samples["text_input"],
             question_ids=samples.get("question_ids"),
         )
+        gts = samples.get("answers") or [None] * len(answers)
         rows = []
-        for ans, qid, gt in zip(
-            answers, samples["question_id"], samples.get("answers", [])
-        ):
+        for ans, qid, gt in zip(answers, samples["question_id"], gts):
             gold = gt[0] if isinstance(gt, (list, tuple)) and gt else gt
             rows.append({"question_id": qid, "answer": ans, "gt_ans": gold})
         return rows

@@ -22,11 +22,13 @@ import re
 from functools import lru_cache
 from typing import List
 
+# CLIP's pattern uses \p{L}/\p{N}; stdlib `re` equivalents: [^\W\d_]+ is
+# "unicode letters", and the final class is "not whitespace/letter/number"
+# ((?:[^\w\s]|_)+ — underscore is \w but neither letter nor number).
 _WORD_RE = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|[0-9]|(?:[^\w\s]|_)+",
+    re.IGNORECASE | re.UNICODE,
 )
 
 

@@ -166,3 +166,75 @@ class TestFlashAttentionBias:
                 err_msg=f"d{name} mismatch",
             )
         assert not np.any(np.asarray(g_flash[3]))  # dbias: documented zeros
+
+
+class TestNonMultipleLengths:
+    """Sequence lengths that are NOT multiples of the block size: the
+    in-kernel pl.ds loops clamp the last partial block's start, so without
+    tail masking rows get double-counted (caught by round-2 review with a
+    numerical repro at N=96, block 64)."""
+
+    def _interp(self):
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        orig = pl.pallas_call
+        return mock.patch.object(
+            fa.pl, "pallas_call",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+        )
+
+    @pytest.mark.parametrize("n", [96, 130, 257])
+    def test_plain_forward_tail(self, n):
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(0)
+        B, H, D = 1, 2, 16
+        q = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        with self._interp():
+            got = fa.flash_attention(q, k, v, block_q=64, block_k=64)
+        want = xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("n", [96, 130])
+    def test_bias_forward_and_backward_tail(self, n):
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(1)
+        B, H, D = 1, 2, 16
+        q = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        bias = jnp.array(rng.standard_normal((1, H, n, n), np.float32))
+        kv_mask = np.ones((B, n), np.int8)
+        kv_mask[0, n - 7:] = 0  # ragged real mask on top of the tail
+        kv_mask = jnp.array(kv_mask)
+        mask4 = jnp.array(kv_mask, bool)[:, None, None, :]
+
+        def loss_flash(q, k, v, b):
+            return fa.flash_attention_bias(
+                q, k, v, b, kv_mask, block_q=64, block_k=64
+            ).astype(jnp.float32).sum()
+
+        def loss_xla(q, k, v, b):
+            return xla_attention(q, k, v, bias=b, mask=mask4).astype(
+                jnp.float32
+            ).sum()
+
+        with self._interp():
+            out = fa.flash_attention_bias(q, k, v, bias, kv_mask,
+                                          block_q=64, block_k=64)
+            g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v, bias)
+        want = xla_attention(q, k, v, bias=bias, mask=mask4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+        g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v, bias)
+        for name, gf, gx in zip("qkv", g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name} at n={n}",
+            )

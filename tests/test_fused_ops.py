@@ -11,7 +11,6 @@ import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
 from mr_blip_tpu.ops.attention import xla_attention
-from mr_blip_tpu.ops.flash_attention import _flash_mha
 from mr_blip_tpu.ops.layer_norm import _fused_layer_norm, _ln_reference
 
 
@@ -73,46 +72,6 @@ class TestFusedLayerNorm:
                          argnums=(0, 1, 2))(x, scale, bias)
         for a, b_ in zip(g, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
-
-
-class TestFoldedHeadAttention:
-    def test_matches_xla_attention(self):
-        rng = np.random.default_rng(0)
-        B, N, H, D = 2, 65, 4, 24  # deliberately unaligned lengths/head dim
-        q = rng.standard_normal((B, N, H * D)).astype(np.float32)
-        k = rng.standard_normal((B, N, H * D)).astype(np.float32)
-        v = rng.standard_normal((B, N, H * D)).astype(np.float32)
-        want = xla_attention(
-            jnp.asarray(q).reshape(B, N, H, D),
-            jnp.asarray(k).reshape(B, N, H, D),
-            jnp.asarray(v).reshape(B, N, H, D),
-        ).reshape(B, N, H * D)
-        with pltpu.force_tpu_interpret_mode():
-            got = _flash_mha(
-                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, D, N
-            )
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
-
-    def test_gradients_match(self):
-        rng = np.random.default_rng(1)
-        B, N, H, D = 1, 16, 2, 8
-        q = jnp.asarray(rng.standard_normal((B, N, H * D)).astype(np.float32))
-        k = jnp.asarray(rng.standard_normal((B, N, H * D)).astype(np.float32))
-        v = jnp.asarray(rng.standard_normal((B, N, H * D)).astype(np.float32))
-
-        def ref(q, k, v):
-            return xla_attention(
-                q.reshape(B, N, H, D), k.reshape(B, N, H, D), v.reshape(B, N, H, D)
-            ).sum()
-
-        with pltpu.force_tpu_interpret_mode():
-            g = jax.grad(
-                lambda q, k, v: _flash_mha(q, k, v, H, D, N).sum(),
-                argnums=(0, 1, 2),
-            )(q, k, v)
-        g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
-        for a, b_ in zip(g, g_ref):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
 
 
 class TestPackedQKVAttention:
