@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from mr_blip_tpu.models.layers import Dense, RMSNormFP32
 from mr_blip_tpu.ops.attention import dot_product_attention
+from mr_blip_tpu.ops.relpos import relative_position_bucket
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +51,10 @@ class T5Config:
     lora_rank: int = 0
     lora_alpha: float = 8.0
     lora_dropout: float = 0.05
+    # Compute the encoder rel-pos bias inside the flash kernel instead of
+    # materializing the (1, H, N, N) tensor — O(N) memory, required for
+    # long-context (ANet-120s+) sequences where the bias would not fit HBM.
+    relpos_in_kernel: bool = False
 
 
 def t5_flan_xl_config(**kw) -> T5Config:
@@ -69,35 +74,21 @@ def t5_tiny_config(**kw) -> T5Config:
     return T5Config(**defaults)
 
 
-def relative_position_bucket(relative_position, bidirectional, num_buckets, max_distance):
-    """T5 bucket function (modeling_t5.py:T5Attention._relative_position_bucket)."""
-    ret = 0
-    n = -relative_position
-    if bidirectional:
-        num_buckets //= 2
-        ret += (n < 0).astype(jnp.int32) * num_buckets
-        n = jnp.abs(n)
-    else:
-        n = jnp.maximum(n, 0)
-    max_exact = num_buckets // 2
-    is_small = n < max_exact
-    val_if_large = max_exact + (
-        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
-        / jnp.log(max_distance / max_exact)
-        * (num_buckets - max_exact)
-    ).astype(jnp.int32)
-    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
-    ret += jnp.where(is_small, n, val_if_large)
-    return ret
-
-
 class T5RelativeBias(nn.Module):
     """Relative position bias embedding (owned by layer 0, shared onward)."""
 
     config: T5Config
     bidirectional: bool
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.table = self.param(
+            "rel_embedding",
+            nn.initializers.normal(1.0),
+            (cfg.relative_attention_num_buckets, cfg.num_heads),
+            jnp.float32,
+        )
+
     def __call__(self, query_positions, key_positions):
         cfg = self.config
         rel = key_positions[None, :] - query_positions[:, None]  # (Nq, Nk)
@@ -107,14 +98,12 @@ class T5RelativeBias(nn.Module):
             num_buckets=cfg.relative_attention_num_buckets,
             max_distance=cfg.relative_attention_max_distance,
         )
-        table = self.param(
-            "rel_embedding",
-            nn.initializers.normal(1.0),
-            (cfg.relative_attention_num_buckets, cfg.num_heads),
-            jnp.float32,
-        )
-        bias = table[buckets]  # (Nq, Nk, H)
+        bias = self.table[buckets]  # (Nq, Nk, H)
         return bias.transpose(2, 0, 1)[None]  # (1, H, Nq, Nk)
+
+    def head_major_table(self):
+        """(H, num_buckets) fp32 table for the in-kernel relpos path."""
+        return self.table.T
 
 
 class T5Attention(nn.Module):
@@ -134,6 +123,7 @@ class T5Attention(nn.Module):
         position_bias=None,
         decode: bool = False,
         deterministic: bool = True,
+        relpos_table=None,
     ):
         cfg = self.config
         inner = cfg.num_heads * cfg.d_kv
@@ -178,7 +168,10 @@ class T5Attention(nn.Module):
                 q = q.reshape(b_enc, beams * n, cfg.num_heads, cfg.d_kv)
                 if mask is not None and mask.shape[0] == b:
                     mask = mask.reshape((b_enc, beams) + mask.shape[1:])[:, 0]
-                out = dot_product_attention(q, k, v, bias=position_bias, mask=mask)
+                out = dot_product_attention(
+                    q, k, v, bias=position_bias, mask=mask,
+                    bias_grad=cfg.lora_rank == 0,
+                )
                 out = out.reshape(b, n, inner)
                 return dense("o")(out, deterministic=deterministic)
         else:
@@ -224,7 +217,18 @@ class T5Attention(nn.Module):
         # T5 applies no 1/sqrt(d) scale; pre-multiply q by sqrt(d) to cancel
         # the scale inside dot_product_attention.
         q = q * (cfg.d_kv ** 0.5)
-        out = dot_product_attention(q, k, v, bias=position_bias, mask=mask)
+        if relpos_table is not None:
+            from mr_blip_tpu.ops.attention import relpos_attention
+
+            out = relpos_attention(
+                q, k, v, relpos_table,
+                kv_mask=None if mask is None else mask[:, 0, 0, :],
+                num_buckets=cfg.relative_attention_num_buckets,
+                max_distance=cfg.relative_attention_max_distance,
+            )
+        else:
+            out = dot_product_attention(q, k, v, bias=position_bias, mask=mask,
+                                        bias_grad=cfg.lora_rank == 0)
         out = out.reshape(b, n, inner)
         return dense("o")(out, deterministic=deterministic)
 
@@ -273,9 +277,11 @@ class T5Block(nn.Module):
         position_bias=None,
         decode=False,
         deterministic=True,
+        relpos_table=None,
     ):
         # NOTE: argument order is load-bearing — nn.remat wraps this with
-        # static_argnums=(6, 7) for (decode, deterministic) (arg 0 = module).
+        # static_argnums=(6, 7) for (decode, deterministic) (arg 0 = module);
+        # relpos_table must stay AFTER them (it is a traced pytree leaf).
         cfg = self.config
         drop = (
             (lambda y: nn.Dropout(rate=cfg.dropout_rate)(y, deterministic=deterministic))
@@ -287,7 +293,7 @@ class T5Block(nn.Module):
                         decode_cache_len=self.decode_cache_len,
                         name="self_attention")(
             h, mask=self_mask, position_bias=position_bias, decode=decode,
-            deterministic=deterministic,
+            deterministic=deterministic, relpos_table=relpos_table,
         )
         x = x + drop(h)
         if self.has_cross_attention:
@@ -314,9 +320,17 @@ class T5Encoder(nn.Module):
         cfg = self.config
         n = inputs_embeds.shape[1]
         positions = jnp.arange(n)
-        position_bias = T5RelativeBias(cfg, bidirectional=True, name="rel_bias")(
-            positions, positions
-        )
+        rel_mod = T5RelativeBias(cfg, bidirectional=True, name="rel_bias")
+        if cfg.relpos_in_kernel:
+            # O(N)-memory path: the bias never materializes; the flash
+            # kernel computes it from the table (XLA fallback materializes).
+            position_bias = None
+            relpos_table = rel_mod.head_major_table()
+        else:
+            relpos_table = None
+            position_bias = rel_mod(positions, positions).astype(
+                self.compute_dtype  # bf16 bias halves HBM traffic/footprint
+            )
         attn_mask = None
         if mask is not None:
             attn_mask = mask[:, None, None, :].astype(bool)  # (B,1,1,N)
@@ -334,7 +348,7 @@ class T5Encoder(nn.Module):
                 cfg, causal=False, has_cross_attention=False,
                 compute_dtype=self.compute_dtype, name=f"block_{i}",
             )(x, None, attn_mask, None, position_bias,
-              False, deterministic)
+              False, deterministic, relpos_table)
         x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
         if cfg.dropout_rate > 0.0:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
@@ -370,7 +384,7 @@ class T5Decoder(nn.Module):
             k_pos = q_pos
         position_bias = T5RelativeBias(cfg, bidirectional=False, name="rel_bias")(
             q_pos, k_pos
-        )
+        ).astype(self.compute_dtype)
 
         self_mask = None
         if decoder_mask is not None and not decode:

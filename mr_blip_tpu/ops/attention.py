@@ -57,7 +57,7 @@ def xla_attention(q, k, v, bias=None, mask=None):
     return out
 
 
-def dot_product_attention(q, k, v, bias=None, mask=None):
+def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False):
     """Multi-head attention with automatic backend selection.
 
     Args:
@@ -67,6 +67,8 @@ def dot_product_attention(q, k, v, bias=None, mask=None):
         bias: optional additive logits bias, broadcastable to (B, H, N, M).
         mask: optional boolean mask, broadcastable to (B, H, N, M);
             True = attend.
+        bias_grad: static; set when the bias itself is trained so the flash
+            backward emits the true dbias (XLA backend always does).
     Returns:
         (B, N, H, D) attention output in v.dtype.
     """
@@ -95,11 +97,45 @@ def dot_product_attention(q, k, v, bias=None, mask=None):
                 kv_mask = jnp.broadcast_to(
                     mask[:, 0, 0, :], (q.shape[0], k.shape[1])
                 )
-            return flash_attention_bias(q, k, v, bias, kv_mask)
+            return flash_attention_bias(q, k, v, bias, kv_mask,
+                                        bias_grad=bias_grad)
     if backend == "flash":
         from mr_blip_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask)
+    return xla_attention(q, k, v, bias=bias, mask=mask)
+
+
+def relpos_attention(q, k, v, table, kv_mask=None, num_buckets=32,
+                     max_distance=128):
+    """Attention with the T5 bidirectional rel-pos bias derived from a
+    (H, num_buckets) table.
+
+    On TPU with a long sequence this dispatches to the Pallas kernel that
+    computes the bias in-kernel (O(N) memory, no (1, H, N, M) tensor); on
+    other platforms / short sequences it materializes the bias and uses the
+    XLA path — numerically identical (same bucket function and constants).
+
+    ``kv_mask``: optional (B, M) K-side validity. The table gradient is only
+    produced on the materialized path (the kernel path documents dtable=0 —
+    frozen under reference LoRA training).
+    """
+    backend = _BACKEND
+    if (backend in ("auto", "flash") and _on_tpu()
+            and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] == k.shape[1]):
+        from mr_blip_tpu.ops.flash_attention import flash_attention_relpos
+
+        return flash_attention_relpos(
+            q, k, v, table, kv_mask=kv_mask,
+            num_buckets=num_buckets, max_distance=max_distance,
+        )
+    from mr_blip_tpu.ops.relpos import materialize_relpos_bias
+
+    bias = materialize_relpos_bias(
+        table.T, jnp.arange(q.shape[1]), jnp.arange(k.shape[1]),
+        bidirectional=True, num_buckets=num_buckets, max_distance=max_distance,
+    )
+    mask = None if kv_mask is None else kv_mask.astype(bool)[:, None, None, :]
     return xla_attention(q, k, v, bias=bias, mask=mask)
 
 

@@ -15,6 +15,7 @@ memory saving is what matters).  Shapes are (B, N, H, D) like
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -208,9 +209,16 @@ def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k):
-    """q/k/v: (B, N|M, H, D); bias: (1, H, N, M); kv_mask: (B, M) int8."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k, bias_grad):
+    """q/k/v: (B, N|M, H, D); bias: (1, H, N, M); kv_mask: (B, M) int8.
+
+    Grid order is (head, q-block, batch) with batch innermost: the bias
+    block's index map is constant across batch, so Pallas keeps the tile
+    resident in VMEM and the O(N*M) bias is fetched once per (h, q-block)
+    instead of once per (b, h, q-block) — bias HBM traffic is the largest
+    per-tile term (bq*M bytes vs m*d for K/V).
+    """
     b, n, h, d = q.shape
     m = k.shape[1]
     qt = q.transpose(0, 2, 1, 3)
@@ -218,25 +226,25 @@ def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k):
     vt = v.transpose(0, 2, 1, 3)
     block_q = min(block_q, n)
     block_k = min(block_k, m)
-    grid = (b, h, pl.cdiv(n, block_q))
+    grid = (h, pl.cdiv(n, block_q), b)
     kernel = functools.partial(_flash_bias_kernel, block_k=block_k)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, m), lambda bi, hi, qi: (0, hi, qi, 0),
+            pl.BlockSpec((1, 1, block_q, m), lambda hi, qi, bi: (0, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda bi, hi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               lambda hi, qi, bi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -300,27 +308,27 @@ def _flash_bias_fwd_stats(qt, kt, vt, bias, kvmask, block_q, block_k):
     """qt/kt/vt: (B, H, N|M, D). Returns (out (B,H,N,D), lse (B,H,N))."""
     b, h, n, d = qt.shape
     m = kt.shape[2]
-    grid = (b, h, pl.cdiv(n, block_q))
+    grid = (h, pl.cdiv(n, block_q), b)  # batch innermost: bias tile reused
     kernel = functools.partial(_flash_bias_stats_kernel, block_k=block_k)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, m), lambda bi, hi, qi: (0, hi, qi, 0),
+            pl.BlockSpec((1, 1, block_q, m), lambda hi, qi, bi: (0, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda bi, hi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, qi),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, qi, bi: (bi, hi, 0, qi),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -362,6 +370,61 @@ def _flash_bias_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
         p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
+        return dq_acc + jnp.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bias_bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
+                                    do_ref, lse_ref, delta_ref,
+                                    dq_ref, dbias_ref, *, block_k: int):
+    """dq + dbias for one (h, q-block, b) program.
+
+    dbias[h, i, j] = sum_b ds[b, h, i, j]; with batch innermost in the grid
+    the dbias block's index map is constant across b, so the block stays in
+    VMEM and is accumulated in place (zeroed at b == 0, flushed after the
+    last batch element).
+    """
+    q = q_ref[0, 0]
+    block_q, d = q.shape
+    kv_len = k_ref.shape[2]
+    scale = jnp.asarray(d ** -0.5, jnp.float32)
+    q_scaled = q * scale.astype(q.dtype)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0].T                  # (bq, 1) fp32
+    delta = delta_ref[0, 0].T              # (bq, 1) fp32
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    bi = pl.program_id(2)
+
+    @pl.when(bi == 0)
+    def _():
+        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    def body(i, dq_acc):
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        if kv_len % block_k:
+            # pl.ds clamps the last partial block's start; zero the re-read
+            # prefix — its ds contribution was accumulated by the previous
+            # block already (dbias uses += so zeros are safe).
+            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            )
+            valid = valid & (k_pos >= i * block_k)
+        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        sl = pl.ds(jnp.minimum(i * block_k, kv_len - block_k), block_k) \
+            if kv_len % block_k else pl.ds(i * block_k, block_k)
+        dbias_ref[0, 0, :, sl] += ds.astype(dbias_ref.dtype)
         return dq_acc + jnp.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
@@ -416,7 +479,7 @@ def _flash_bias_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k):
+def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k, bias_grad):
     b, n, h, d = q.shape
     m = k.shape[1]
     qt = q.transpose(0, 2, 1, 3)
@@ -429,20 +492,26 @@ def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k):
     return out, (q, k, v, bias, kv_mask, out, lse)
 
 
-def _flash_bias_vjp_bwd(block_q, block_k, residuals, g):
+def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, residuals, g):
     """Pallas two-pass backward: dq pass + dk/dv pass with recomputed p.
 
-    The rel-pos bias gradient is NOT produced (returned as zeros): under the
-    reference's LoRA training the relative_attention_bias embedding is
-    frozen (blip2_mr.py:183-237 trains lora_a/lora_b only), so its gradient
-    is discarded by the optimizer anyway. Full-finetuning of rel-pos biases
-    requires the XLA attention backend (set MR_BLIP_ATTENTION_BACKEND=xla).
+    When ``bias_grad`` the dq pass additionally accumulates
+    dbias = sum_b ds into a (1, H, N, M) fp32 output (batch innermost in
+    the grid, block accumulated in VMEM). When not set it is skipped and
+    zeros are returned: under the reference's LoRA training the
+    relative_attention_bias embedding is frozen (blip2_mr.py:183-237
+    trains lora_a/lora_b only), so its gradient is discarded by the
+    optimizer anyway and the O(H*N*M) fp32 buffer is pure waste.
     """
     q, k, v, bias, kv_mask, out, lse = residuals
     b, n, h, d = q.shape
     m = k.shape[1]
     bq = min(block_q, n)
     bk = min(block_k, m)
+    if bias_grad and bq * m * 4 > 4 * 2 ** 20:
+        # dbias fp32 output block (bq, m) rides VMEM next to the bias block;
+        # shrink the q-block to keep the working set under the VMEM budget.
+        bq = max(128, bq // 2)
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -454,57 +523,77 @@ def _flash_bias_vjp_bwd(block_q, block_k, residuals, g):
     )[:, :, None, :]  # (B, H, 1, N): lane-major rows for the kernels
     kvm = kv_mask[:, None, :]
 
-    dq_t = pl.pallas_call(
-        functools.partial(_flash_bias_bwd_dq_kernel, block_k=bk),
-        grid=(b, h, pl.cdiv(n, bq)),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, m), lambda bi, hi, qi: (0, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda bi, hi, qi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
-    )(qt, kt, vt, bias, kvm, got, lse, delta)
+    dq_in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, m), lambda hi, qi, bi: (0, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq_out_spec = pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM)
+    if bias_grad:
+        dq_t, dbias = pl.pallas_call(
+            functools.partial(_flash_bias_bwd_dq_dbias_kernel, block_k=bk),
+            grid=(h, pl.cdiv(n, bq), b),
+            in_specs=dq_in_specs,
+            out_specs=(
+                dq_out_spec,
+                pl.BlockSpec((1, 1, bq, m), lambda hi, qi, bi: (0, hi, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+                jax.ShapeDtypeStruct((1, h, n, m), jnp.float32),
+            ),
+        )(qt, kt, vt, bias, kvm, got, lse, delta)
+        dbias = dbias.astype(bias.dtype)
+    else:
+        dq_t = pl.pallas_call(
+            functools.partial(_flash_bias_bwd_dq_kernel, block_k=bk),
+            grid=(h, pl.cdiv(n, bq), b),
+            in_specs=dq_in_specs,
+            out_specs=dq_out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        )(qt, kt, vt, bias, kvm, got, lse, delta)
+        dbias = jnp.zeros_like(bias)
 
     dk_t, dv_t = pl.pallas_call(
         functools.partial(_flash_bias_bwd_dkv_kernel, block_q=bq),
-        grid=(b, h, pl.cdiv(m, bk)),
+        grid=(h, pl.cdiv(m, bk), b),
         in_specs=[
-            pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, n, d), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, bk), lambda bi, hi, ki: (0, hi, 0, ki),
+            pl.BlockSpec((1, 1, n, bk), lambda hi, ki, bi: (0, hi, 0, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk), lambda bi, hi, ki: (bi, 0, ki),
+            pl.BlockSpec((1, 1, bk), lambda hi, ki, bi: (bi, 0, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, d), lambda bi, hi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, n, d), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n), lambda bi, hi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, 1, n), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n), lambda bi, hi, ki: (bi, hi, 0, 0),
+            pl.BlockSpec((1, 1, 1, n), lambda hi, ki, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -516,24 +605,469 @@ def _flash_bias_vjp_bwd(block_q, block_k, residuals, g):
     dq = dq_t.transpose(0, 2, 1, 3)
     dk = dk_t.transpose(0, 2, 1, 3)
     dv = dv_t.transpose(0, 2, 1, 3)
-    return dq, dk, dv, jnp.zeros_like(bias), None
+    return dq, dk, dv, dbias, None
 
 
 _flash_attention_bias.defvjp(_flash_bias_vjp_fwd, _flash_bias_vjp_bwd)
 
 
 def flash_attention_bias(q, k, v, bias, kv_mask=None,
-                         block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+                         block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                         bias_grad=False):
     """Flash attention with an additive (1, H, N, M) bias and an optional
     (B, M) K-side validity mask — the T5-encoder shape (rel-pos bias +
-    padding mask)."""
+    padding mask).
+
+    ``bias_grad`` (static) makes the backward pass emit the true dbias
+    (needed when the rel-pos embedding itself is trained, i.e. full
+    finetuning); off by default because it materializes an O(H*N*M) fp32
+    buffer that LoRA training (frozen bias, reference blip2_mr.py:183-237)
+    never reads.
+    """
     b, n, h, d = q.shape
     m = k.shape[1]
     assert bias.shape[0] == 1 and bias.shape[1] == h
     if kv_mask is None:
         kv_mask = jnp.ones((b, m), jnp.int8)
     return _flash_attention_bias(
-        q, k, v, bias, kv_mask.astype(jnp.int8), block_q, block_k
+        q, k, v, bias, kv_mask.astype(jnp.int8), block_q, block_k, bool(bias_grad)
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel T5 relative-position bias ("relpos" kernels).
+#
+# For long sequences the materialized (1, H, N, M) bias is the dominant HBM
+# cost of encoder attention (O(N^2 * H) bytes — 4 GB at N=8192 bf16) and an
+# O(N^2) memory footprint that caps context length. These kernels never
+# materialize it: the bias is computed from the (num_buckets, H) embedding
+# table inside the kernel. The T5 bucket function is CONSTANT for
+# |rel| >= max_distance (see ops/relpos.py), so the K loop is split into
+# three segments — far-past (scalar bias), near-diagonal (exact per-element
+# buckets via a num_buckets-way select), far-future (scalar bias). Only
+# O(N / block) tiles pay the select cost; everything else adds a scalar.
+# Bidirectional (encoder) flavor only — the causal decoder path is short
+# (span strings) and keeps the XLA backend.
+# ---------------------------------------------------------------------------
+
+
+def _relpos_bias_tile(tab_ref, head, q_start, k_start, shape, *, nb, maxd):
+    """fp32 (bq, bk) bias tile = table[bucket(k_pos - q_pos), head].
+
+    Bucket math must match ops.relpos.relative_position_bucket bit-for-bit
+    (bidirectional flavor), including the 1e-6 epsilon inside the log.
+    """
+    ri = q_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    ci = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rel = ci - ri  # key - query
+    num_b = nb // 2
+    ret = (rel > 0).astype(jnp.int32) * num_b  # n = -rel < 0
+    nrel = jnp.abs(rel)
+    max_exact = num_b // 2
+    val_if_large = max_exact + (
+        jnp.log(nrel.astype(jnp.float32) / max_exact + 1e-6)
+        / math.log(maxd / max_exact) * (num_b - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_b - 1)
+    bucket = ret + jnp.where(nrel < max_exact, nrel, val_if_large)
+    bias = jnp.zeros(shape, jnp.float32)
+    for u in range(nb):
+        bias = jnp.where(bucket == u, tab_ref[head, u], bias)
+    return bias
+
+
+def _relpos_segments(q_start, block_q, block_k, kv_len, num_k_blocks, maxd):
+    """K-block loop bounds: [0, lo) far-past, [lo, hi) near, [hi, nkb) far-future."""
+    # far-past: whole tile has rel <= -maxd, i.e. i*bk + bk-1 - q_start <= -maxd
+    lo = (q_start - maxd - block_k + 1) // block_k + 1
+    lo = jnp.clip(lo, 0, num_k_blocks)
+    # far-future: whole tile has rel >= maxd, i.e. i*bk - (q_start + bq - 1) >= maxd
+    hi = -((q_start + block_q - 1 + maxd) // -block_k)  # ceil div
+    hi = jnp.clip(hi, lo, num_k_blocks)
+    return lo, hi
+
+
+def _flash_relpos_stats_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
+                               o_ref, lse_ref, *, block_k, nb, maxd):
+    q = q_ref[0, 0]
+    block_q, d = q.shape
+    kv_len = k_ref.shape[2]
+    q_scaled = q * jnp.asarray(d ** -0.5, q.dtype)
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    head = pl.program_id(0)
+    qi = pl.program_id(1)
+    q_start = qi * block_q
+    num_b = nb // 2
+    far_past = tab_ref[head, num_b - 1]
+    far_future = tab_ref[head, nb - 1]
+    lo, hi = _relpos_segments(q_start, block_q, block_k, kv_len,
+                              num_k_blocks, maxd)
+
+    def make_body(mode):
+        def body(i, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+            # pl.ds clamps the last partial block's start — the bias tile
+            # must use the CLAMPED key positions so columns line up with
+            # the rows actually loaded.
+            k_start = (jnp.minimum(i * block_k, kv_len - block_k)
+                       if kv_len % block_k else i * block_k)
+            if mode == "near":
+                logits += _relpos_bias_tile(
+                    tab_ref, head, q_start, k_start, logits.shape,
+                    nb=nb, maxd=maxd,
+                )
+            elif mode == "past":
+                logits += far_past
+            else:
+                logits += far_future
+            valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+            if kv_len % block_k:
+                # mask the re-read prefix so those K rows are not
+                # double-counted.
+                k_pos = k_start + (
+                    jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                )
+                valid = valid & (k_pos >= i * block_k)
+            logits = jnp.where(valid, logits, -jnp.inf)
+
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            p = jnp.exp(logits - m_safe)
+            p = jnp.where(jnp.isfinite(logits), p, 0.0)
+            correction = jnp.exp(
+                jnp.where(jnp.isfinite(m_prev), m_prev - m_safe, -jnp.inf))
+            correction = jnp.where(jnp.isfinite(m_prev), correction, 0.0)
+            l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * correction + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            return acc, m_new, l_new
+        return body
+
+    carry = (
+        jnp.zeros((block_q, d), jnp.float32),
+        jnp.full((block_q, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+    )
+    carry = jax.lax.fori_loop(0, lo, make_body("past"), carry)
+    carry = jax.lax.fori_loop(lo, hi, make_body("near"), carry)
+    carry = jax.lax.fori_loop(hi, num_k_blocks, make_body("future"), carry)
+    acc, m, l = carry
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    lse_ref[0, 0] = (m_safe + jnp.log(jnp.maximum(l, 1e-30))).T
+
+
+def _flash_relpos_fwd_stats(qt, kt, vt, table, kvmask, block_q, block_k,
+                            nb, maxd):
+    b, h, n, d = qt.shape
+    m = kt.shape[2]
+    grid = (h, pl.cdiv(n, block_q), b)
+    kernel = functools.partial(
+        _flash_relpos_stats_kernel, block_k=block_k, nb=nb, maxd=maxd)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, qi, bi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), qt.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, n), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * m * d,
+            bytes_accessed=2 * b * h * (n + 2 * m) * d * qt.dtype.itemsize,
+            transcendentals=b * h * n * m,
+        ),
+    )(qt, kt, vt, table, kvmask)
+
+
+def _flash_relpos_bwd_dq_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
+                                do_ref, lse_ref, delta_ref, dq_ref,
+                                *, block_k, nb, maxd):
+    q = q_ref[0, 0]
+    block_q, d = q.shape
+    kv_len = k_ref.shape[2]
+    scale = jnp.asarray(d ** -0.5, jnp.float32)
+    q_scaled = q * scale.astype(q.dtype)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0].T
+    delta = delta_ref[0, 0].T
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    head = pl.program_id(0)
+    qi = pl.program_id(1)
+    q_start = qi * block_q
+    num_b = nb // 2
+    far_past = tab_ref[head, num_b - 1]
+    far_future = tab_ref[head, nb - 1]
+    lo, hi = _relpos_segments(q_start, block_q, block_k, kv_len,
+                              num_k_blocks, maxd)
+
+    def make_body(mode):
+        def body(i, dq_acc):
+            k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+            k_start = (jnp.minimum(i * block_k, kv_len - block_k)
+                       if kv_len % block_k else i * block_k)
+            if mode == "near":
+                logits += _relpos_bias_tile(
+                    tab_ref, head, q_start, k_start, logits.shape,
+                    nb=nb, maxd=maxd,
+                )
+            elif mode == "past":
+                logits += far_past
+            else:
+                logits += far_future
+            valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+            if kv_len % block_k:
+                k_pos = k_start + (
+                    jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                )
+                valid = valid & (k_pos >= i * block_k)
+            p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            return dq_acc + jnp.dot(
+                ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            )
+        return body
+
+    dq = jnp.zeros((block_q, d), jnp.float32)
+    dq = jax.lax.fori_loop(0, lo, make_body("past"), dq)
+    dq = jax.lax.fori_loop(lo, hi, make_body("near"), dq)
+    dq = jax.lax.fori_loop(hi, num_k_blocks, make_body("future"), dq)
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_relpos_bwd_dkv_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
+                                 do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                                 *, block_q, nb, maxd):
+    k = k_ref[0, 0]
+    block_k, d = k.shape
+    n = q_ref.shape[2]
+    scale = jnp.asarray(d ** -0.5, jnp.float32)
+    valid_k = kvmask_ref[0, :, :] != 0  # (1, bk)
+    num_q_blocks = pl.cdiv(n, block_q)
+    head = pl.program_id(0)
+    ki = pl.program_id(1)
+    k_start = ki * block_k
+    num_b = nb // 2
+    far_past = tab_ref[head, num_b - 1]     # rel = k - q <= -maxd (late q)
+    far_future = tab_ref[head, nb - 1]      # rel >= maxd (early q)
+    # Segments over Q blocks: [0, lo) all-future bias, [lo, hi) near,
+    # [hi, nqb) all-past bias (q far after k).
+    lo = (k_start - maxd - block_q + 1) // block_q + 1
+    lo = jnp.clip(lo, 0, num_q_blocks)
+    hi = -((k_start + block_k - 1 + maxd) // -block_q)
+    hi = jnp.clip(hi, lo, num_q_blocks)
+
+    def make_body(mode):
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+            do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
+            lse = lse_ref[0, 0, :, pl.ds(i * block_q, block_q)].T
+            delta = delta_ref[0, 0, :, pl.ds(i * block_q, block_q)].T
+            q_scaled = q * scale.astype(q.dtype)
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+            q_blk_start = (jnp.minimum(i * block_q, n - block_q)
+                           if n % block_q else i * block_q)
+            if mode == "near":
+                logits += _relpos_bias_tile(
+                    tab_ref, head, q_blk_start, k_start, logits.shape,
+                    nb=nb, maxd=maxd,
+                )
+            elif mode == "future":
+                logits += far_future
+            else:
+                logits += far_past
+            row_ok = valid_k
+            if n % block_q:
+                q_pos = q_blk_start + (
+                    jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+                )
+                row_ok = row_ok & (q_pos >= i * block_q)
+            p = jnp.where(row_ok, jnp.exp(logits - lse), 0.0)
+            dv_acc = dv_acc + jnp.dot(
+                p.T.astype(do.dtype), do, preferred_element_type=jnp.float32
+            )
+            dp = jnp.dot(do, v_ref[0, 0].T, preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            dk_acc = dk_acc + jnp.dot(
+                ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
+            )
+            return dk_acc, dv_acc
+        return body
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    carry = (zeros, zeros)
+    carry = jax.lax.fori_loop(0, lo, make_body("future"), carry)
+    carry = jax.lax.fori_loop(lo, hi, make_body("near"), carry)
+    carry = jax.lax.fori_loop(hi, num_q_blocks, make_body("past"), carry)
+    dk, dv = carry
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention_relpos(q, k, v, table, kv_mask, num_buckets,
+                            max_distance, block_q, block_k):
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out, _ = _flash_relpos_fwd_stats(
+        qt, kt, vt, table, kv_mask[:, None, :],
+        min(block_q, n), min(block_k, m), num_buckets, max_distance,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def _flash_relpos_vjp_fwd(q, k, v, table, kv_mask, num_buckets, max_distance,
+                          block_q, block_k):
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out_t, lse = _flash_relpos_fwd_stats(
+        qt, kt, vt, table, kv_mask[:, None, :],
+        min(block_q, n), min(block_k, m), num_buckets, max_distance,
+    )
+    out = out_t.transpose(0, 2, 1, 3)
+    return out, (q, k, v, table, kv_mask, out, lse)
+
+
+def _flash_relpos_vjp_bwd(num_buckets, max_distance, block_q, block_k,
+                          residuals, g):
+    """dq/dk/dv with the bias recomputed in-kernel; dtable is returned as
+    zeros (under the reference's LoRA training the rel-pos embedding is
+    frozen, blip2_mr.py:183-237 — full finetuning of it at long context
+    needs the materialized-bias path, ``flash_attention_bias(...,
+    bias_grad=True)``)."""
+    q, k, v, table, kv_mask, out, lse = residuals
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    bq = min(block_q, n)
+    bk = min(block_k, m)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    got = g.transpose(0, 2, 1, 3)
+    delta = jnp.einsum(
+        "bnhd,bnhd->bhn", g.astype(jnp.float32), out.astype(jnp.float32)
+    )[:, :, None, :]
+    kvm = kv_mask[:, None, :]
+
+    dq_t = pl.pallas_call(
+        functools.partial(_flash_relpos_bwd_dq_kernel, block_k=bk,
+                          nb=num_buckets, maxd=max_distance),
+        grid=(h, pl.cdiv(n, bq), b),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+    )(qt, kt, vt, table, kvm, got, lse, delta)
+
+    dk_t, dv_t = pl.pallas_call(
+        functools.partial(_flash_relpos_bwd_dkv_kernel, block_q=bq,
+                          nb=num_buckets, maxd=max_distance),
+        grid=(h, pl.cdiv(m, bk), b),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda hi, ki, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, bk), lambda hi, ki, bi: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, d), lambda hi, ki, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda hi, ki, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda hi, ki, bi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda hi, ki, bi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, m, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, m, d), v.dtype),
+        ),
+    )(qt, kt, vt, table, kvm, got, lse, delta)
+
+    dq = dq_t.transpose(0, 2, 1, 3)
+    dk = dk_t.transpose(0, 2, 1, 3)
+    dv = dv_t.transpose(0, 2, 1, 3)
+    return dq, dk, dv, jnp.zeros_like(table), None
+
+
+_flash_attention_relpos.defvjp(_flash_relpos_vjp_fwd, _flash_relpos_vjp_bwd)
+
+
+def flash_attention_relpos(q, k, v, table, kv_mask=None, num_buckets=32,
+                           max_distance=128,
+                           block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    """Flash attention with the T5 bidirectional relative-position bias
+    computed in-kernel from a (H, num_buckets) table — O(N) memory, no
+    materialized (1, H, N, M) bias. For the T5 encoder at long context
+    (reference bias semantics: modeling_t5.py T5Attention.compute_bias).
+
+    ``table`` is (H, num_buckets) fp32 — note the transpose relative to the
+    flax param (num_buckets, H).
+    """
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    assert table.shape == (h, num_buckets), table.shape
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, m), jnp.int8)
+    return _flash_attention_relpos(
+        q, k, v, table.astype(jnp.float32), kv_mask.astype(jnp.int8),
+        num_buckets, max_distance, block_q, block_k,
     )
 
 

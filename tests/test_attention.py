@@ -167,6 +167,49 @@ class TestFlashAttentionBias:
             )
         assert not np.any(np.asarray(g_flash[3]))  # dbias: documented zeros
 
+    @pytest.mark.parametrize("n", [128, 96])  # block multiple and ragged tail
+    def test_backward_dbias(self, n):
+        """bias_grad=True: the dq pass also emits the true dbias
+        (batch-summed ds), matching the XLA VJP — the full-finetuning path
+        where the rel-pos embedding itself is trained."""
+        from mr_blip_tpu.ops import flash_attention as fa
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+
+        rng = np.random.default_rng(7)
+        B, H, D = 2, 2, 16
+        q = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        bias = jnp.array(rng.standard_normal((1, H, n, n), np.float32))
+        kv_mask = np.ones((B, n), np.int8)
+        kv_mask[1, n - 20:] = 0
+        kv_mask = jnp.array(kv_mask)
+
+        def loss_flash(q, k, v, b):
+            out = fa.flash_attention_bias(
+                q, k, v, b, kv_mask, block_q=64, block_k=64, bias_grad=True
+            )
+            return (out * jnp.cos(out)).sum()
+
+        mask4 = jnp.array(kv_mask, bool)[:, None, None, :]
+
+        def loss_xla(q, k, v, b):
+            out = xla_attention(q, k, v, bias=b, mask=mask4)
+            return (out * jnp.cos(out)).sum()
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+            fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        ):
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, gf, gx in zip(("q", "k", "v", "bias"), g_flash, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name} mismatch",
+            )
+
 
 class TestNonMultipleLengths:
     """Sequence lengths that are NOT multiples of the block size: the
@@ -238,3 +281,119 @@ class TestNonMultipleLengths:
                 np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
                 err_msg=f"d{name} at n={n}",
             )
+
+
+class TestFlashRelpos:
+    """In-kernel T5 rel-pos bias (const far tiles + exact near tiles) vs the
+    materialized bias + XLA reference. max_distance=32 with block 64 makes a
+    N=384 sequence exercise all three loop segments (far-past, near,
+    far-future) plus the ragged-tail clamping at N=200."""
+
+    NB, MAXD = 16, 32
+
+    def _interp(self):
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        orig = pl.pallas_call
+        return mock.patch.object(
+            fa.pl, "pallas_call",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+        )
+
+    def _materialized(self, table, n, m):
+        from mr_blip_tpu.ops.relpos import materialize_relpos_bias
+
+        return materialize_relpos_bias(
+            table.T, jnp.arange(n), jnp.arange(m), bidirectional=True,
+            num_buckets=self.NB, max_distance=self.MAXD,
+        )
+
+    @pytest.mark.parametrize("n", [384, 200])
+    def test_forward_matches_materialized(self, n):
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(8)
+        B, H, D = 2, 2, 16
+        q = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        table = jnp.array(rng.standard_normal((H, self.NB), np.float32))
+        kv_mask = np.ones((B, n), np.int8)
+        kv_mask[1, n - 30:] = 0
+        kv_mask = jnp.array(kv_mask)
+
+        with self._interp():
+            got = fa.flash_attention_relpos(
+                q, k, v, table, kv_mask, num_buckets=self.NB,
+                max_distance=self.MAXD, block_q=64, block_k=64,
+            )
+        bias = self._materialized(table, n, n)
+        mask4 = jnp.array(kv_mask, bool)[:, None, None, :]
+        want = xla_attention(q, k, v, bias=bias, mask=mask4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.parametrize("n", [384, 200])
+    def test_backward_matches_materialized(self, n):
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(9)
+        B, H, D = 2, 2, 16
+        q = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        table = jnp.array(rng.standard_normal((H, self.NB), np.float32))
+        kv_mask = np.ones((B, n), np.int8)
+        kv_mask[0, n - 15:] = 0
+        kv_mask = jnp.array(kv_mask)
+
+        def loss_flash(q, k, v, t):
+            out = fa.flash_attention_relpos(
+                q, k, v, t, kv_mask, num_buckets=self.NB,
+                max_distance=self.MAXD, block_q=64, block_k=64,
+            )
+            return (out * jnp.cos(out)).sum()
+
+        bias = self._materialized(table, n, n)
+        mask4 = jnp.array(kv_mask, bool)[:, None, None, :]
+
+        def loss_xla(q, k, v):
+            out = xla_attention(q, k, v, bias=bias, mask=mask4)
+            return (out * jnp.cos(out)).sum()
+
+        with self._interp():
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for name, gf, gx in zip("qkv", g_flash[:3], g_xla):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name} mismatch at n={n}",
+            )
+        assert not np.any(np.asarray(g_flash[3]))  # dtable: documented zeros
+
+
+class TestT5RelposInKernel:
+    """relpos_in_kernel=True must produce the same encoder output as the
+    materialized-bias default (on CPU the dispatcher falls back to the
+    materialized path, which pins the wiring: same table, same buckets)."""
+
+    def test_encoder_equivalence(self):
+        from mr_blip_tpu.models.t5 import T5ForConditionalGeneration, t5_tiny_config
+
+        rng = np.random.default_rng(10)
+        x = jnp.array(rng.standard_normal((2, 24, 32), np.float32))
+        ids = jnp.array(rng.integers(0, 255, (2, 6)), jnp.int32)
+        mask = jnp.array([[1] * 24, [1] * 20 + [0] * 4], jnp.int32)
+
+        outs = {}
+        for flag in (False, True):
+            cfg = t5_tiny_config(relpos_in_kernel=flag)
+            model = T5ForConditionalGeneration(cfg, compute_dtype=jnp.float32)
+            params = model.init(jax.random.PRNGKey(0), x, ids,
+                                encoder_mask=mask)
+            outs[flag] = model.apply(params, x, ids, encoder_mask=mask)
+        np.testing.assert_allclose(np.asarray(outs[True]),
+                                   np.asarray(outs[False]),
+                                   rtol=1e-6, atol=1e-6)
