@@ -41,56 +41,75 @@ def pipeline_apply(
     mesh,
     axis: str = "pp",
     num_microbatches: int | None = None,
+    extras=(),
 ):
     """Run ``stage_fn`` as a pipeline over the ``axis`` mesh dimension.
 
     Args:
-        stage_fn: ``(stage_params, activations) -> activations`` for one
-            stage; activations keep a constant shape across stages.
+        stage_fn: ``(stage_params, activations, *extras) -> activations``
+            for one stage; activations keep a constant structure/shape
+            across stages.
         stacked_params: pytree whose leaves have a leading stage axis of
             size = mesh.shape[axis], sharded over ``axis``.
-        x: (B, ...) global batch (replicated across ``axis``).
+        x: pytree of (B, ...) arrays (replicated across ``axis``); every
+            leaf is microbatched on its leading axis and flows stage to
+            stage (activations plus any per-sample aux like masks or
+            encoder states for cross-attention).
         num_microbatches: M >= S; defaults to S. B must divide by M.
+        extras: pytree of arrays shared by every microbatch (e.g. the T5
+            rel-pos bias) — replicated, passed to ``stage_fn`` verbatim.
 
     Returns:
-        (B, ...) outputs after all S stages.
+        pytree of (B, ...) outputs after all S stages.
     """
     n_stages = mesh.shape[axis]
     m = num_microbatches or n_stages
-    b = x.shape[0]
+    leaves = jax.tree.leaves(x)
+    b = leaves[0].shape[0]
+    assert all(l.shape[0] == b for l in leaves), "inconsistent leading axes"
     assert b % m == 0, f"batch {b} must divide into {m} microbatches"
     mb = b // m
 
-    def stage_program(params, x_local):
+    def stage_program(params, x_local, extras_local):
         # params: this device's stage slice — shard_map keeps the sharded
         # leading axis at local size 1; strip it. x_local: full batch
         # (replicated over pp).
         params = jax.tree.map(lambda p: p[0], params)
         stage_id = jax.lax.axis_index(axis)
-        micro = x_local.reshape((m, mb) + x_local.shape[1:])
+        micro = jax.tree.map(
+            lambda a: a.reshape((m, mb) + a.shape[1:]), x_local
+        )
 
         # state: the activation currently being processed by this stage
-        state0 = jnp.zeros((mb,) + x_local.shape[1:], x_local.dtype)
-        out0 = jnp.zeros_like(micro)
+        state0 = jax.tree.map(
+            lambda a: jnp.zeros((mb,) + a.shape[1:], a.dtype), x_local
+        )
+        out0 = jax.tree.map(jnp.zeros_like, micro)
 
         def step(carry, t):
             state, outs = carry
             # stage 0 injects microbatch t (when one remains); other stages
             # use what arrived from the left neighbor last step.
-            inject = micro[jnp.minimum(t, m - 1)]
-            state = jnp.where(stage_id == 0, inject, state)
-            new = stage_fn(params, state)
+            inject = jax.tree.map(lambda mi: mi[jnp.minimum(t, m - 1)], micro)
+            state = jax.tree.map(
+                lambda i, s: jnp.where(stage_id == 0, i, s), inject, state
+            )
+            new = stage_fn(params, state, *extras_local)
             # pass to the right neighbor (last stage's send is ignored by
             # stage 0's where-inject next step)
             perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
-            passed = jax.lax.ppermute(new, axis, perm)
+            passed = jax.tree.map(
+                lambda a: jax.lax.ppermute(a, axis, perm), new
+            )
             # last stage banks finished microbatch t - (S - 1)
             out_idx = t - (n_stages - 1)
             valid = (stage_id == n_stages - 1) & (out_idx >= 0)
             outs = jax.lax.cond(
                 valid,
-                lambda o: jax.lax.dynamic_update_slice_in_dim(
-                    o, new[None], jnp.maximum(out_idx, 0), axis=0
+                lambda o: jax.tree.map(
+                    lambda oo, nn: jax.lax.dynamic_update_slice_in_dim(
+                        oo, nn[None], jnp.maximum(out_idx, 0), axis=0
+                    ), o, new,
                 ),
                 lambda o: o,
                 outs,
@@ -102,19 +121,23 @@ def pipeline_apply(
         )
         # broadcast the last stage's outputs to every pp rank so the result
         # is replicated (psum of one-hot contribution)
-        contribution = jnp.where(stage_id == n_stages - 1, outs,
-                                 jnp.zeros_like(outs))
+        contribution = jax.tree.map(
+            lambda o: jnp.where(stage_id == n_stages - 1, o,
+                                jnp.zeros_like(o)), outs
+        )
         outs = jax.lax.psum(contribution, axis)
-        return outs.reshape((b,) + x_local.shape[1:])
+        return jax.tree.map(
+            lambda o: o.reshape((b,) + o.shape[2:]), outs
+        )
 
     fn = shard_map(
         stage_program,
         mesh=mesh,
-        in_specs=(P(axis), P()),
+        in_specs=(P(axis), P(), P()),
         out_specs=P(),
         check_rep=False,
     )
-    return fn(stacked_params, x)
+    return fn(stacked_params, x, extras)
 
 
 def sequential_reference(stage_fn, per_stage_params, x):

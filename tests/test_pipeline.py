@@ -114,3 +114,80 @@ def test_t5_block_pipeline():
     want = sequential_reference(stage_fn, per_stage, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+class TestFullT5Pipeline:
+    """Full encoder-decoder stack pipelined (rel-pos bias as a stage extra,
+    cross-attention memory riding the microbatch tree, final norms + LoRA
+    LM head) must equal the plain module forward."""
+
+    def _setup(self, pp, layers, lora_rank=0):
+        import jax.numpy as jnp
+        from mr_blip_tpu.models.t5 import (
+            T5ForConditionalGeneration, t5_tiny_config,
+        )
+
+        cfg = t5_tiny_config(num_layers=layers, num_decoder_layers=layers,
+                             lora_rank=lora_rank)
+        model = T5ForConditionalGeneration(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((4, 12, cfg.d_model)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 6)), jnp.int32)
+        enc_mask = jnp.asarray([[1] * 12, [1] * 9 + [0] * 3] * 2, jnp.int32)
+        dec_mask = jnp.asarray([[1] * 6, [1] * 4 + [0] * 2] * 2, jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x, ids,
+                            encoder_mask=enc_mask, decoder_mask=dec_mask)
+        return cfg, model, params, x, ids, enc_mask, dec_mask
+
+    @pytest.mark.parametrize("pp,layers,lora", [(2, 2, 0), (2, 4, 2), (4, 4, 0)])
+    def test_matches_plain_forward(self, pp, layers, lora):
+        if len(jax.devices()) < pp:
+            pytest.skip("not enough devices")
+        import jax.numpy as jnp
+        from mr_blip_tpu.models.t5_pipeline import t5_pipeline_forward
+
+        cfg, model, params, x, ids, enc_mask, dec_mask = self._setup(
+            pp, layers, lora)
+        mesh = _mesh(pp)
+        got = jax.jit(
+            lambda p: t5_pipeline_forward(
+                cfg, p["params"], x, ids, mesh, encoder_mask=enc_mask,
+                decoder_mask=dec_mask, num_microbatches=pp,
+                compute_dtype=jnp.float32,
+            )
+        )(params)
+        want = model.apply(params, x, ids, encoder_mask=enc_mask,
+                           decoder_mask=dec_mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_gradients_through_full_stack(self):
+        pp = 2
+        if len(jax.devices()) < pp:
+            pytest.skip("not enough devices")
+        import jax.numpy as jnp
+        from mr_blip_tpu.models.t5_pipeline import t5_pipeline_forward
+
+        cfg, model, params, x, ids, enc_mask, dec_mask = self._setup(pp, 2)
+        mesh = _mesh(pp)
+
+        def loss_pp(p):
+            logits = t5_pipeline_forward(
+                cfg, p["params"], x, ids, mesh, encoder_mask=enc_mask,
+                decoder_mask=dec_mask, compute_dtype=jnp.float32,
+            )
+            return jnp.mean(logits ** 2)
+
+        def loss_plain(p):
+            logits = model.apply(p, x, ids, encoder_mask=enc_mask,
+                                 decoder_mask=dec_mask)
+            return jnp.mean(logits ** 2)
+
+        g_pp = jax.jit(jax.grad(loss_pp))(params)
+        g_plain = jax.grad(loss_plain)(params)
+        flat_pp = jax.tree.leaves(g_pp)
+        flat_plain = jax.tree.leaves(g_plain)
+        assert len(flat_pp) == len(flat_plain)
+        for a, b in zip(flat_pp, flat_plain):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
