@@ -94,10 +94,14 @@ def cider_d(predictions: List[str], references: List[List[str]],
     return 100.0 * 10.0 * (sum(scores) / max(len(scores), 1))
 
 
-def retrieval_metrics(score_matrix, i2t_gt=None) -> Dict[str, float]:
+def retrieval_metrics(score_matrix, i2t_gt=None,
+                      score_matrix_t2i=None) -> Dict[str, float]:
     """R@1/5/10 + median rank for both directions of an (N_img, N_txt)
     similarity matrix (identity ground truth unless ``i2t_gt`` maps image
-    index -> list of correct text indices)."""
+    index -> list of correct text indices). Pass ``score_matrix_t2i``
+    ((N_txt, N_img)) when the two directions were reranked separately
+    (ITM rerank produces asymmetric matrices — reference LAVIS
+    compute_sim_matrix protocol); otherwise the transpose is used."""
     import numpy as np
 
     scores = np.asarray(score_matrix)
@@ -116,8 +120,10 @@ def retrieval_metrics(score_matrix, i2t_gt=None) -> Dict[str, float]:
     for i, txts in gt.items():
         for t in txts:
             t2i_gt.setdefault(t, []).append(i)
+    scores_t2i = (np.asarray(score_matrix_t2i)
+                  if score_matrix_t2i is not None else scores.T)
     r_i2t = ranks(scores, gt)
-    r_t2i = ranks(scores.T, t2i_gt)
+    r_t2i = ranks(scores_t2i, t2i_gt)
 
     def pack(r, prefix):
         return {

@@ -69,6 +69,33 @@ class BLIPv1(nn.Module):
         self.itm_head = Dense(2, compute_dtype=self.compute_dtype,
                               name="itm_head")
 
+    # ------------------------------------------------------ tower pieces
+    def encode_image(self, images):
+        """All visual tokens (B, N, H) — computed once, reused by the beam
+        decode loop and ITM reranking."""
+        return self.visual_encoder(images)
+
+    def image_feat(self, images):
+        """L2-normalized ITC image feature (B, embed_dim)."""
+        f = self.vision_proj(self.visual_encoder(images)[:, 0])
+        return f / jnp.linalg.norm(f.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def text_feat(self, text_ids, text_mask=None):
+        """L2-normalized ITC text feature (B, embed_dim)."""
+        f = self.text_proj(
+            self.text_encoder(text_ids, text_mask=text_mask, mode="text")[:, 0]
+        )
+        return f / jnp.linalg.norm(f.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def itm_logits_from_states(self, image_states, text_ids, text_mask=None):
+        """ITM head over precomputed visual tokens (rerank stage: the same
+        image's tokens score many candidate texts without re-running ViT)."""
+        fused = self.text_encoder(
+            text_ids, text_mask=text_mask, image_states=image_states,
+            mode="multimodal",
+        )
+        return self.itm_head(fused[:, 0])
+
     # ---------------------------------------------------------- retrieval
     def itc_features(self, images, text_ids, text_mask=None):
         img = self.vision_proj(self.visual_encoder(images)[:, 0])
@@ -113,6 +140,16 @@ class BLIPv1(nn.Module):
         the causal mask ignores the not-yet-written tail, so one static
         shape serves every decode step (scan-friendly on TPU)."""
         image_states = self.visual_encoder(images)
+        hidden = self.text_decoder(
+            buffer_ids, image_states=image_states, mode="decoder"
+        )
+        step = jax.lax.dynamic_index_in_dim(hidden, pos, axis=1, keepdims=False)
+        return self.lm_head(step)
+
+    def caption_logits_from_states(self, image_states, buffer_ids, pos):
+        """Same as ``caption_step_logits_at`` but over precomputed visual
+        tokens — the beam-search decode step (ViT runs once, beams share
+        the expanded states; MED has no KV cache, captions are short)."""
         hidden = self.text_decoder(
             buffer_ids, image_states=image_states, mode="decoder"
         )

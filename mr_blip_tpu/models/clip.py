@@ -36,10 +36,45 @@ class CLIPConfig:
     text_width: int = 512
     text_heads: int = 8
     text_layers: int = 12
+    quick_gelu: bool = False  # OpenAI-checkpoint nonlinearity (both towers)
+
+
+# OpenCLIP ViT model zoo — geometry mirrors the reference's JSON configs
+# (lavis/configs/models/clip/ViT-*.json; vision heads = width // head_width,
+# head_width default 64). The ResNet/timm tower families are intentionally
+# not ported: convolutional CLIP towers are off the TPU-first path and no
+# mr_BLIP / LAVIS project config references them.
+CLIP_MODEL_ZOO = {
+    # name: (embed, img, patch, v_width, v_layers, v_head_width, v_mlp_ratio,
+    #        t_width, t_heads, t_layers, quick_gelu)
+    "ViT-B-32":           (512, 224, 32, 768, 12, 64, 4.0, 512, 8, 12, False),
+    "ViT-B-32-quickgelu": (512, 224, 32, 768, 12, 64, 4.0, 512, 8, 12, True),
+    "ViT-B-16":           (512, 224, 16, 768, 12, 64, 4.0, 512, 8, 12, False),
+    "ViT-B-16-plus-240":  (640, 240, 16, 896, 12, 64, 4.0, 640, 10, 12, False),
+    "ViT-L-14":           (768, 224, 14, 1024, 24, 64, 4.0, 768, 12, 12, False),
+    "ViT-L-14-336":       (768, 336, 14, 1024, 24, 64, 4.0, 768, 12, 12, False),
+    "ViT-H-14":           (1024, 224, 14, 1280, 32, 80, 4.0, 1024, 16, 24, False),
+    "ViT-g-14":           (1024, 224, 14, 1408, 40, 88, 4.3637, 1024, 16, 24, False),
+}
+
+
+def clip_config_from_name(name: str) -> CLIPConfig:
+    """CLIPConfig for an OpenCLIP zoo name (see CLIP_MODEL_ZOO)."""
+    (embed, img, patch, vw, vl, vhw, vmr, tw, th, tl,
+     qg) = CLIP_MODEL_ZOO[name]
+    return CLIPConfig(
+        embed_dim=embed,
+        vision=BaseViTConfig(
+            img_size=img, patch_size=patch, embed_dim=vw, depth=vl,
+            num_heads=vw // vhw, mlp_ratio=vmr,
+            act="quick_gelu" if qg else "gelu",
+        ),
+        text_width=tw, text_heads=th, text_layers=tl, quick_gelu=qg,
+    )
 
 
 def clip_vit_b16_config() -> CLIPConfig:
-    return CLIPConfig()
+    return clip_config_from_name("ViT-B-16")
 
 
 def clip_tiny_config() -> CLIPConfig:
@@ -56,6 +91,7 @@ class _TextBlock(nn.Module):
     width: int
     heads: int
     compute_dtype: Any = jnp.bfloat16
+    activation: Any = None  # None = exact gelu; "quick_gelu" = OpenAI CLIP
 
     @nn.compact
     def __call__(self, x, mask):
@@ -69,6 +105,7 @@ class _TextBlock(nn.Module):
         x = x + Dense(self.width, compute_dtype=self.compute_dtype,
                       name="attn_out")(attn)
         x = x + Mlp(self.width * 4, compute_dtype=self.compute_dtype,
+                    activation=self.activation,
                     name="mlp")(LayerNormFP32(name="ln_2")(x))
         return x
 
@@ -92,6 +129,7 @@ class CLIP(nn.Module):
         )
         self.text_blocks = [
             _TextBlock(cfg.text_width, cfg.text_heads, self.compute_dtype,
+                       activation="quick_gelu" if cfg.quick_gelu else None,
                        name=f"text_block_{i}")
             for i in range(cfg.text_layers)
         ]

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -141,6 +142,10 @@ class Mlp(nn.Module):
     ``approximate_gelu`` swaps exact erf-GELU for the tanh approximation —
     ~10% faster on the v5e VPU, but no longer bit-matched to the reference
     (torch nn.GELU is erf); perf opt-in only.
+
+    ``activation="quick_gelu"`` selects x*sigmoid(1.702x) — the OpenAI CLIP
+    nonlinearity (reference clip_models/model.py QuickGELU), required to
+    port the original OpenAI checkpoints bit-faithfully.
     """
 
     hidden_features: int
@@ -149,6 +154,7 @@ class Mlp(nn.Module):
     param_dtype: Dtype = jnp.float32
     dropout: float = 0.0
     approximate_gelu: bool = False
+    activation: Optional[str] = None  # None -> (approximate_)gelu
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -159,7 +165,11 @@ class Mlp(nn.Module):
             param_dtype=self.param_dtype,
             name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=self.approximate_gelu)
+        if self.activation == "quick_gelu":
+            x = x * jax.nn.sigmoid(1.702 * x)
+        else:
+            assert self.activation in (None, "gelu"), self.activation
+            x = nn.gelu(x, approximate=self.approximate_gelu)
         x = Dense(
             out_features,
             compute_dtype=self.compute_dtype,

@@ -30,6 +30,7 @@ class BaseViTConfig:
     mlp_ratio: float = 4.0
     num_classes: int = 0
     drop_rate: float = 0.0
+    act: str = "gelu"  # "gelu" | "quick_gelu" (OpenAI CLIP towers)
 
     @property
     def num_patches(self) -> int:
@@ -78,6 +79,7 @@ class _Block(nn.Module):
         x = x + Mlp(
             cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
             dropout=cfg.drop_rate, name="mlp",
+            activation=None if cfg.act == "gelu" else cfg.act,
         )(LayerNormFP32(name="norm2")(x), deterministic=deterministic)
         return x
 

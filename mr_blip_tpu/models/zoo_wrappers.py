@@ -127,6 +127,44 @@ class BlipCaptionModel(BaseModel):
 
         self._greedy = jax.jit(greedy, static_argnames=("max_len",))
 
+        def beam(p, im, max_len, num_beams, min_len, length_penalty):
+            # HF-rule beam search (models/generation.py) with the token
+            # buffer carried in the cache (MED has no KV cache; the decoder
+            # recomputes over the short caption prefix each step, the ViT
+            # runs once) — reference blip_caption.py generate(num_beams=3).
+            from mr_blip_tpu.models.generation import beam_search, expand_to_beams
+
+            b = im.shape[0]
+            states = self.module.apply({"params": p}, im, method="encode_image")
+            cache = {
+                "buf": jnp.zeros((b * num_beams, max_len + 1), jnp.int32),
+                "states": expand_to_beams(states, num_beams),
+            }
+
+            def decode_step(cache, cur_tokens, cur_len):
+                buf = jax.lax.dynamic_update_slice(
+                    cache["buf"], cur_tokens, (0, cur_len)
+                )
+                logits = self.module.apply(
+                    {"params": p}, cache["states"], buf,
+                    method="caption_logits_from_states", pos=cur_len,
+                )
+                return logits, dict(cache, buf=buf)
+
+            seqs, _ = beam_search(
+                decode_step, cache, b, num_beams=num_beams,
+                max_length=max_len, min_new_tokens=min_len,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+                decoder_start_token_id=self.tokenizer.bos_token_id,
+                length_penalty=length_penalty,
+            )
+            return seqs
+
+        self._beam = jax.jit(
+            beam, static_argnames=("max_len", "num_beams", "min_len"),
+        )
+
     @classmethod
     def from_config(cls, cfg):
         return cls(
@@ -145,9 +183,17 @@ class BlipCaptionModel(BaseModel):
 
     __call__ = forward
 
-    def generate(self, samples, max_length: int = 12) -> Dict[str, Any]:
-        buf = self._greedy(self.params, _stack_images(samples), max_length)
-        captions = [self.tokenizer.decode(row[1:]) for row in np.asarray(buf)]
+    def generate(self, samples, max_length: int = 12, num_beams: int = 1,
+                 min_length: int = 0, length_penalty: float = 1.0,
+                 ) -> Dict[str, Any]:
+        ims = _stack_images(samples)
+        if num_beams > 1:
+            seqs = self._beam(self.params, ims, max_length, num_beams,
+                              min_length, length_penalty)
+            captions = [self.tokenizer.decode(row) for row in np.asarray(seqs)]
+        else:
+            buf = self._greedy(self.params, ims, max_length)
+            captions = [self.tokenizer.decode(row[1:]) for row in np.asarray(buf)]
         return {"captions": captions}
 
 
@@ -157,13 +203,27 @@ class ClipModel(BaseModel):
     ``clip_models/model.py`` surface: encode_image/encode_text/forward,
     plus RetrievalTask's ``compute_sim_matrix``)."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"ViT-B-16": None, "tiny": None}
+    # every OpenCLIP ViT geometry the reference ships JSONs for
+    # (lavis/configs/models/clip/ViT-*.json) plus the tiny test size
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None, "ViT-B-32": None, "ViT-B-32-quickgelu": None,
+        "ViT-B-16": None, "ViT-B-16-plus-240": None, "ViT-L-14": None,
+        "ViT-L-14-336": None, "ViT-H-14": None, "ViT-g-14": None,
+    }
 
     def __init__(self, model_size: str = "tiny", bpe_path: str | None = None,
                  compute_dtype=jnp.float32, seed: int = 0):
-        from mr_blip_tpu.models.clip import CLIP, clip_tiny_config, clip_vit_b16_config
+        from mr_blip_tpu.models.clip import (
+            CLIP, CLIP_MODEL_ZOO, clip_config_from_name, clip_tiny_config,
+            clip_vit_b16_config,
+        )
 
-        cfg = clip_tiny_config() if model_size == "tiny" else clip_vit_b16_config()
+        if model_size == "tiny":
+            cfg = clip_tiny_config()
+        elif model_size in CLIP_MODEL_ZOO:
+            cfg = clip_config_from_name(model_size)
+        else:
+            cfg = clip_vit_b16_config()
         self.config = cfg
         try:
             from mr_blip_tpu.text.clip_bpe import ClipBPETokenizer
@@ -245,6 +305,154 @@ class ClipModel(BaseModel):
         img = img / np.linalg.norm(img, axis=-1, keepdims=True)
         txt = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
         return img @ txt.T
+
+
+@registry.register_model("blip_retrieval")
+class BlipRetrievalModel(BaseModel):
+    """BLIP-v1 retrieval (reference ``blip_models/blip_retrieval.py``):
+    train = in-batch ITC + hard-negative ITM; eval = the two-stage LAVIS
+    protocol — rank by the ITC cosine matrix, then rerank each row's top-k
+    candidates with the ITM head (reference compute_sim_matrix:
+    ``score[i, topk] = sim + softmax(itm_logits)[:, 1]``, rest -100)."""
+
+    PRETRAINED_MODEL_CONFIG_DICT = {"base_coco": None, "tiny": None}
+
+    def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
+                 compute_dtype=jnp.float32, seed: int = 0):
+        from mr_blip_tpu.models.blip_v1 import (
+            BLIPv1, blip_base_config, blip_tiny_config,
+        )
+
+        cfg = blip_tiny_config() if model_size == "tiny" else blip_base_config()
+        self.config = cfg
+        self.max_txt_len = max_txt_len
+        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.module = BLIPv1(cfg, compute_dtype=compute_dtype)
+        img = cfg.vision.img_size
+        self.params = self.module.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, img, img, 3)),
+            jnp.zeros((1, 4), jnp.int32),
+        )["params"]
+
+        self._img_feat = jax.jit(lambda p, im: self.module.apply(
+            {"params": p}, im, method="image_feat"))
+        self._txt_feat = jax.jit(lambda p, ids, m: self.module.apply(
+            {"params": p}, ids, m, method="text_feat"))
+        self._img_states = jax.jit(lambda p, im: self.module.apply(
+            {"params": p}, im, method="encode_image"))
+        self._itm = jax.jit(lambda p, st, ids, m: self.module.apply(
+            {"params": p}, st, ids, m, method="itm_logits_from_states"))
+
+        def loss_fn(p, im, ids, mask):
+            img_f = self.module.apply({"params": p}, im, method="image_feat")
+            txt_f = self.module.apply({"params": p}, ids, mask,
+                                      method="text_feat")
+            sims = img_f @ txt_f.T / cfg.temp
+            n = sims.shape[0]
+            labels = jnp.arange(n)
+            itc = (
+                -jnp.take_along_axis(jax.nn.log_softmax(sims, -1),
+                                     labels[:, None], 1).mean()
+                - jnp.take_along_axis(jax.nn.log_softmax(sims.T, -1),
+                                      labels[:, None], 1).mean()
+            ) / 2
+            # hard-negative ITM: for every image the most similar non-match
+            # text and vice versa (reference samples from the softmax; the
+            # argmax is its deterministic counterpart)
+            neg_inf = jnp.finfo(sims.dtype).min
+            off_diag = sims + jnp.where(jnp.eye(n, dtype=bool), neg_inf, 0.0)
+            hard_txt = jnp.argmax(off_diag, axis=1)      # per image
+            hard_img = jnp.argmax(off_diag, axis=0)      # per text
+            states = self.module.apply({"params": p}, im, method="encode_image")
+            pos = self.module.apply({"params": p}, states, ids, mask,
+                                    method="itm_logits_from_states")
+            neg_t = self.module.apply(
+                {"params": p}, states, ids[hard_txt], mask[hard_txt],
+                method="itm_logits_from_states")
+            neg_i = self.module.apply(
+                {"params": p}, states[hard_img], ids, mask,
+                method="itm_logits_from_states")
+            logits = jnp.concatenate([pos, neg_t, neg_i])
+            itm_labels = jnp.concatenate(
+                [jnp.ones((n,), jnp.int32), jnp.zeros((2 * n,), jnp.int32)])
+            itm = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits, -1), itm_labels[:, None], 1
+            ).mean()
+            return itc + itm
+
+        self._loss = jax.jit(loss_fn)
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(model_size=cfg.get("model_size", "tiny"),
+                   max_txt_len=cfg.get("max_txt_len", 25))
+
+    def forward(self, samples) -> Dict[str, Any]:
+        ids, mask = self.tokenizer(samples["text_input"], self.max_txt_len)
+        return {"loss": self._loss(self.params, _stack_images(samples),
+                                   jnp.asarray(ids), jnp.asarray(mask))}
+
+    __call__ = forward
+
+    def compute_sim_matrix(self, data_loader, k_test: int = 128):
+        """Two-stage scoring. Returns ``(score_i2t, score_t2i)`` —
+        (N_img, N_txt) and (N_txt, N_img) reranked matrices; entries
+        outside each row's top-k stay at -100 (reference protocol)."""
+        img_feats, txt_feats, txt_ids, txt_masks = [], [], [], []
+        images = []
+        seen = set()
+        for batch in data_loader:
+            ids, mask = self.tokenizer(batch["text_input"], self.max_txt_len)
+            txt_ids.append(ids)
+            txt_masks.append(mask)
+            txt_feats.append(np.asarray(
+                self._txt_feat(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            ))
+            imgs = np.asarray(_stack_images(batch))
+            for j, img_id in enumerate(batch["image_id"]):
+                if img_id not in seen:
+                    seen.add(img_id)
+                    images.append(imgs[j])
+                    img_feats.append(np.asarray(
+                        self._img_feat(self.params, imgs[j:j + 1]))[0])
+        img_f = np.stack(img_feats)
+        # ragged text batches: pad to one width before concatenating
+        width = max(a.shape[1] for a in txt_ids)
+        txt_ids = np.concatenate(
+            [np.pad(a, ((0, 0), (0, width - a.shape[1]))) for a in txt_ids])
+        txt_masks = np.concatenate(
+            [np.pad(a, ((0, 0), (0, width - a.shape[1]))) for a in txt_masks])
+        txt_f = np.concatenate(txt_feats)
+        sims = img_f @ txt_f.T
+        n_img, n_txt = sims.shape
+        k = min(k_test, n_txt)
+
+        score_i2t = np.full((n_img, n_txt), -100.0, np.float32)
+        for i in range(n_img):
+            topk = np.argsort(-sims[i])[:k]
+            states = self._img_states(self.params, jnp.asarray(images[i][None]))
+            states = jnp.broadcast_to(states, (k,) + states.shape[1:])
+            logits = np.asarray(self._itm(
+                self.params, states, jnp.asarray(txt_ids[topk]),
+                jnp.asarray(txt_masks[topk])))
+            probs = np.exp(logits[:, 1]) / np.exp(logits).sum(-1)
+            score_i2t[i, topk] = probs + sims[i, topk]
+
+        k = min(k_test, n_img)
+        score_t2i = np.full((n_txt, n_img), -100.0, np.float32)
+        for t in range(n_txt):
+            topk = np.argsort(-sims[:, t])[:k]
+            states = self._img_states(
+                self.params, jnp.asarray(np.stack([images[j] for j in topk])))
+            ids_rep = jnp.broadcast_to(jnp.asarray(txt_ids[t][None]),
+                                       (len(topk), txt_ids.shape[1]))
+            mask_rep = jnp.broadcast_to(jnp.asarray(txt_masks[t][None]),
+                                        (len(topk), txt_masks.shape[1]))
+            logits = np.asarray(self._itm(self.params, states, ids_rep, mask_rep))
+            probs = np.exp(logits[:, 1]) / np.exp(logits).sum(-1)
+            score_t2i[t, topk] = probs + sims[topk, t]
+
+        return score_i2t, score_t2i
 
 
 @registry.register_model("gpt_dialogue_model")

@@ -38,7 +38,13 @@ class CaptionTask(BaseTask):
         )
 
     def valid_step(self, model, samples):
-        out = model.generate(samples)
+        try:
+            out = model.generate(
+                samples, max_length=self.max_len, num_beams=self.num_beams,
+                min_length=self.min_len,
+            )
+        except TypeError:  # models with a bare generate(samples) surface
+            out = model.generate(samples)
         captions = out["captions"] if isinstance(out, dict) else out
         return [
             {"image_id": img_id, "caption": cap,

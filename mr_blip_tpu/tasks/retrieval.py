@@ -30,11 +30,17 @@ class RetrievalTask(BaseTask):
 
     def evaluation(self, model, data_loader, **kwargs):
         """Score the full gallery: model must expose
-        ``compute_sim_matrix(data_loader, k_test) -> (N_img, N_txt)``."""
+        ``compute_sim_matrix(data_loader, k_test)`` returning either one
+        (N_img, N_txt) matrix or an (i2t, t2i) pair of reranked matrices
+        (the ITM-rerank protocol)."""
         sims = model.compute_sim_matrix(data_loader, k_test=self.k_test)
         i2t_gt = getattr(data_loader.dataset, "i2t_gt", None) if hasattr(
             data_loader, "dataset"
         ) else None
+        if isinstance(sims, tuple):
+            i2t, t2i = sims
+            return {"sims": np.asarray(i2t), "sims_t2i": np.asarray(t2i),
+                    "i2t_gt": i2t_gt}
         return {"sims": np.asarray(sims), "i2t_gt": i2t_gt}
 
     def after_evaluation(self, val_result, split_name, epoch, **kwargs):
@@ -42,7 +48,10 @@ class RetrievalTask(BaseTask):
 
     @dist_utils.main_process
     def _report_metrics(self, val_result, split_name):
-        metrics = retrieval_metrics(val_result["sims"], val_result.get("i2t_gt"))
+        metrics = retrieval_metrics(
+            val_result["sims"], val_result.get("i2t_gt"),
+            score_matrix_t2i=val_result.get("sims_t2i"),
+        )
         metrics["agg_metrics"] = metrics["r_mean"]
         logging.info(metrics)
         return metrics

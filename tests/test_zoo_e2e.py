@@ -225,3 +225,165 @@ class TestReadingComprehensionTasks:
         task = registry.get_task_class("image_text_pretrain")()
         assert task.evaluation(None, None) is None
         assert task.after_evaluation(None, "val", 0)["agg_metrics"] == 0.0
+
+
+class TestBeamCaptioning:
+    """Beam captioning through the generic HF-rule beam_search with the
+    token buffer in the cache (MED has no KV cache)."""
+
+    def test_beam1_matches_greedy(self):
+        model = registry.get_model_class("blip_caption")(model_size="tiny")
+        batch = _caption_batches(1)[0]
+        greedy = model.generate(batch, max_length=8, num_beams=1)["captions"]
+        beam1 = model.generate(batch, max_length=8, num_beams=1,
+                               length_penalty=1.0)["captions"]
+        assert greedy == beam1
+
+    def test_beam3_runs_and_task_accepts(self, tmp_path):
+        model = registry.get_model_class("blip_caption")(model_size="tiny")
+        batch = _caption_batches(1)[0]
+        out = model.generate(batch, max_length=8, num_beams=3)
+        assert len(out["captions"]) == 2
+        assert all(isinstance(c, str) for c in out["captions"])
+
+        task = registry.get_task_class("captioning")(num_beams=3, max_len=8,
+                                                     min_len=0)
+        registry.register_path("result_dir", str(tmp_path))
+        results = task.evaluation(model, _ListLoader([batch]))
+        metrics = task.after_evaluation(results, "val", 1)
+        assert np.isfinite(metrics["agg_metrics"])
+
+    def test_beam_prefers_higher_joint_probability(self):
+        """With length_penalty > 0 and a tiny random model, beam-3 must
+        yield a sequence whose joint log-prob is >= the greedy one (beam
+        search can only improve the search objective)."""
+        import jax.numpy as jnp
+        import jax
+
+        model = registry.get_model_class("blip_caption")(model_size="tiny")
+        batch = _caption_batches(1)[0]
+        ims = np.asarray(batch["image"], np.float32)
+
+        def seq_logprob(tokens):
+            # score a token sequence under the decoder (teacher-forced)
+            buf = np.zeros((1, len(tokens) + 1), np.int32)
+            buf[0, 0] = model.tokenizer.bos_token_id
+            buf[0, 1:] = tokens
+            states = model.module.apply(
+                {"params": model.params}, jnp.asarray(ims[:1]),
+                method="encode_image")
+            total = 0.0
+            for t in range(len(tokens)):
+                logits = model.module.apply(
+                    {"params": model.params}, states, jnp.asarray(buf),
+                    method="caption_logits_from_states", pos=t)
+                logp = jax.nn.log_softmax(logits[0])
+                total += float(logp[tokens[t]])
+            return total
+
+        g = model._greedy(model.params, jnp.asarray(ims[:1]), 8)
+        b = model._beam(model.params, jnp.asarray(ims[:1]), 8, 3, 0, 1.0)
+        g_tokens = [int(x) for x in np.asarray(g)[0, 1:]]
+        b_tokens = [int(x) for x in np.asarray(b)[0]]
+
+        def until_eos(toks):
+            out = []
+            for t in toks:
+                out.append(t)
+                if t == model.tokenizer.eos_token_id:
+                    break
+            return out
+
+        g_tokens, b_tokens = until_eos(g_tokens), until_eos(b_tokens)
+        lg = seq_logprob(g_tokens) / max(len(g_tokens), 1)
+        lb = seq_logprob(b_tokens) / max(len(b_tokens), 1)
+        assert lb >= lg - 1e-4
+
+
+class TestBlipItmRerank:
+    def test_train_loss_finite(self):
+        model = registry.get_model_class("blip_retrieval")(model_size="tiny")
+        loss = float(model(_caption_batches(1)[0])["loss"])
+        assert np.isfinite(loss)
+
+    def test_rerank_protocol_and_metrics(self):
+        model = registry.get_model_class("blip_retrieval")(model_size="tiny")
+        batches = _caption_batches(n_batches=2, b=2)
+        i2t, t2i = model.compute_sim_matrix(_ListLoader(batches), k_test=2)
+        assert i2t.shape == (4, 4) and t2i.shape == (4, 4)
+        # exactly k entries per row are reranked, the rest stay at -100
+        assert ((i2t > -100).sum(axis=1) == 2).all()
+        assert ((t2i > -100).sum(axis=1) == 2).all()
+
+        task = registry.get_task_class("retrieval")(k_test=2)
+        val = task.evaluation(model, _ListLoader(batches))
+        assert "sims_t2i" in val
+        metrics = task.after_evaluation(val, "val", 0)
+        for key in ("txt_r1", "img_r1", "r_mean", "agg_metrics"):
+            assert key in metrics and np.isfinite(metrics[key])
+
+
+class TestClipModelZoo:
+    """OpenCLIP ViT zoo geometries must match the reference's JSON configs
+    field-for-field (vision heads = width // head_width, default 64)."""
+
+    def test_geometries_match_reference_jsons(self, reference_root):
+        import json
+
+        from mr_blip_tpu.models.clip import CLIP_MODEL_ZOO, clip_config_from_name
+
+        cfg_dir = reference_root / "lavis/configs/models/clip"
+        checked = 0
+        for name in CLIP_MODEL_ZOO:
+            path = cfg_dir / f"{name}.json"
+            if not path.exists():
+                continue
+            ref = json.loads(path.read_text())
+            ours = clip_config_from_name(name)
+            assert ours.embed_dim == ref["embed_dim"], name
+            v = ref["vision_cfg"]
+            assert ours.vision.img_size == v["image_size"], name
+            assert ours.vision.patch_size == v["patch_size"], name
+            assert ours.vision.embed_dim == v["width"], name
+            assert ours.vision.depth == v["layers"], name
+            head_width = v.get("head_width", 64)
+            assert ours.vision.num_heads == v["width"] // head_width, name
+            assert abs(ours.vision.mlp_ratio - v.get("mlp_ratio", 4.0)) < 1e-9
+            t = ref["text_cfg"]
+            assert ours.text_width == t["width"], name
+            assert ours.text_heads == t["heads"], name
+            assert ours.text_layers == t["layers"], name
+            assert ours.context_length == t["context_length"], name
+            assert ours.vocab_size == t["vocab_size"], name
+            assert ours.quick_gelu == ref.get("quick_gelu", False), name
+            checked += 1
+        assert checked >= 6  # all ViT JSONs present in the reference
+
+    def test_quick_gelu_is_openai_formula(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mr_blip_tpu.models.layers import Mlp
+
+        x = jnp.linspace(-3, 3, 16).reshape(1, 4, 4)
+        mlp = Mlp(8, compute_dtype=jnp.float32, activation="quick_gelu")
+        params = mlp.init(jax.random.PRNGKey(0), x)
+        got = mlp.apply(params, x)
+
+        # manual recompute through the same params
+        k1 = params["params"]["fc1"]["Dense_0"]["kernel"]
+        b1 = params["params"]["fc1"]["Dense_0"]["bias"]
+        k2 = params["params"]["fc2"]["Dense_0"]["kernel"]
+        b2 = params["params"]["fc2"]["Dense_0"]["bias"]
+        h = x @ k1 + b1
+        h = h * jax.nn.sigmoid(1.702 * h)
+        want = h @ k2 + b2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_zoo_name_instantiates_through_wrapper(self):
+        # tiny-geometry wrapper already covered; here just the name routing
+        from mr_blip_tpu.models.clip import clip_config_from_name
+
+        cfg = clip_config_from_name("ViT-B-32-quickgelu")
+        assert cfg.quick_gelu and cfg.vision.act == "quick_gelu"
