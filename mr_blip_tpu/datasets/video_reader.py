@@ -46,7 +46,63 @@ def _lib():
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double,
     ]
+    lib.vpool_create.restype = ctypes.c_void_p
+    lib.vpool_create.argtypes = [ctypes.c_int]
+    lib.vpool_submit_batch.restype = ctypes.c_longlong
+    lib.vpool_submit_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.vpool_submit_window.restype = ctypes.c_longlong
+    lib.vpool_submit_window.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vpool_wait.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.vpool_destroy.argtypes = [ctypes.c_void_p]
     return lib
+
+
+@functools.lru_cache(maxsize=1)
+def _pool():
+    """Process-global native decode pool (MRBLIP_DECODE_THREADS, default 4)."""
+    import os
+
+    n = int(os.environ.get("MRBLIP_DECODE_THREADS", "4"))
+    return _lib().vpool_create(n)
+
+
+class DecodeTicket:
+    """Pending async decode; ``result()`` blocks until the C++ worker is
+    done and returns the frames. The output buffer and the reader handle
+    are kept alive by this object until then."""
+
+    def __init__(self, ticket, out, reader, n_out=None, indices=None):
+        self._ticket = ticket
+        self._out = out
+        self._reader = reader  # keepalive: handle must outlive the job
+        self._n_out = n_out
+        self._done = False
+
+    def result(self) -> np.ndarray:
+        if self._done:
+            return self._out
+        r = _lib().vpool_wait(_pool(), self._ticket)
+        self._done = True
+        if r != 0:
+            raise IOError(f"async decode failed: {r}")
+        if self._n_out is not None:
+            self._out = self._out[: self._n_out.value].copy()
+        return self._out
+
+
+class _ImmediateTicket:
+    def __init__(self, frames):
+        self._frames = frames
+
+    def result(self):
+        return self._frames
 
 
 _SYNTH_RE = re.compile(
@@ -154,6 +210,42 @@ class VideoReader:
         if r != 0:
             raise IOError(f"vd_get_window failed: {r}")
         return out[: n_out.value].copy()
+
+    # -------------------------------------------------- async (decode-ahead)
+    # One in-flight job per reader (the handle carries decode state); the
+    # C++ pool decodes while Python prepares or waits on other samples —
+    # used by the grounded-QA mid-inference re-decode to overlap the whole
+    # batch's window decodes (reference runs them serially,
+    # blip2_mr.py:1167-1230).
+
+    def get_batch_async(self, indices: Sequence[int]) -> "DecodeTicket":
+        if self._impl:
+            return _ImmediateTicket(self._impl.get_batch(indices))
+        idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        out = np.empty((len(idx), self._h, self._w, 3), np.uint8)
+        ticket = _lib().vpool_submit_batch(
+            _pool(), self._native,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), len(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        if ticket <= 0:
+            raise IOError(f"vpool_submit_batch failed: {ticket}")
+        return DecodeTicket(ticket, out, self)
+
+    def get_window_async(self, t0: float, t1: float,
+                         max_n: int = 1024) -> "DecodeTicket":
+        if self._impl:
+            return _ImmediateTicket(self._impl.get_window(t0, t1, max_n))
+        out = np.empty((max_n, self._h, self._w, 3), np.uint8)
+        n_out = ctypes.c_int()
+        ticket = _lib().vpool_submit_window(
+            _pool(), self._native, t0, t1, max_n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.byref(n_out),
+        )
+        if ticket <= 0:
+            raise IOError(f"vpool_submit_window failed: {ticket}")
+        return DecodeTicket(ticket, out, self, n_out=n_out)
 
     def close(self):
         if self._native:

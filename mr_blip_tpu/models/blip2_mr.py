@@ -615,12 +615,30 @@ class BLIP2_MR(BaseModel):
         processor = BlipVideoEvalProcessor(
             image_size=self.img_size, n_frms=n_frames
         )
-        frames = []
+        # Two-phase async decode: submit every sample's window to the native
+        # decode pool first, then collect — the C++ workers overlap the
+        # whole batch's re-decodes instead of the reference's serial
+        # per-sample loop (blip2_mr.py:1167-1230) blocking mid-inference.
+        from mr_blip_tpu.datasets.sampling import sample_frame_indices
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        readers, tickets = [], []
         for i, (start, end) in enumerate(moments):
             if start >= end:
                 end = float(durations[i])
-            f, _, _ = processor(samples["video_path"][i], clip_proposal=[start, end])
+            vr = VideoReader(samples["video_path"][i],
+                             width=self.img_size, height=self.img_size)
+            indices = sample_frame_indices(
+                vlen=len(vr), fps=vr.get_avg_fps(), n_frms=n_frames,
+                sampling="uniform", clip_proposal=[start, end],
+            )
+            readers.append(vr)
+            tickets.append(vr.get_batch_async(indices))
+        frames = []
+        for vr, ticket in zip(readers, tickets):
+            f = processor._finish(ticket.result().astype(np.float32))
             frames.append(np.asarray(f, np.float32))
+            vr.close()
         return moments, np.stack(frames)
 
     @functools.cached_property

@@ -25,8 +25,13 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <condition_variable>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <numeric>
+#include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -254,6 +259,145 @@ void vd_close(void* handle) {
   if (h->codec) avcodec_free_context(&h->codec);
   if (h->fmt) avformat_close_input(&h->fmt);
   delete h;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Asynchronous decode pool: N worker threads serving ticketed jobs so the
+// host can decode ahead of (and concurrently with) device compute — the
+// native analog of decord's internal thread pool. Used by the grounded-QA
+// mid-inference window re-decode (reference blip2_mr.py:1167-1230 runs it
+// serially per sample) and available to the data loaders.
+//
+// Contract: each opened handle has at most ONE job in flight (VideoHandle
+// carries mutable decode state); callers own handles and output buffers,
+// which must outlive the job until vpool_wait returns its ticket.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PoolJob {
+  void* handle = nullptr;
+  std::vector<long long> indices;  // batch mode
+  bool window_mode = false;
+  double t0 = 0.0, t1 = 0.0;       // window mode
+  int max_n = 0;
+  int* n_out = nullptr;
+  unsigned char* out = nullptr;
+  long long ticket = 0;
+};
+
+struct DecodePool {
+  std::vector<std::thread> workers;
+  std::deque<PoolJob> jobs;
+  std::mutex mu;
+  std::condition_variable job_cv;
+  std::condition_variable done_cv;
+  std::unordered_map<long long, int> done;  // ticket -> status
+  long long next_ticket = 1;
+  bool stop = false;
+};
+
+void pool_worker(DecodePool* p) {
+  for (;;) {
+    PoolJob job;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->job_cv.wait(lk, [&] { return p->stop || !p->jobs.empty(); });
+      if (p->stop && p->jobs.empty()) return;
+      job = std::move(p->jobs.front());
+      p->jobs.pop_front();
+    }
+    int st;
+    if (job.window_mode) {
+      st = vd_get_window(job.handle, job.t0, job.t1, job.max_n, job.out,
+                         job.n_out);
+    } else {
+      st = vd_get_batch(job.handle, job.indices.data(),
+                        (int)job.indices.size(), job.out);
+    }
+    {
+      std::lock_guard<std::mutex> lk(p->mu);
+      p->done[job.ticket] = st;
+    }
+    p->done_cv.notify_all();
+  }
+}
+
+long long enqueue(DecodePool* p, PoolJob&& job) {
+  long long ticket;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    ticket = p->next_ticket++;
+    job.ticket = ticket;
+    p->jobs.push_back(std::move(job));
+  }
+  p->job_cv.notify_one();
+  return ticket;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vpool_create(int n_threads) {
+  auto* p = new DecodePool();
+  if (n_threads < 1) n_threads = 1;
+  p->workers.reserve(n_threads);
+  for (int i = 0; i < n_threads; ++i) p->workers.emplace_back(pool_worker, p);
+  return p;
+}
+
+long long vpool_submit_batch(void* pool, void* handle,
+                             const long long* indices, int n,
+                             unsigned char* out) {
+  auto* p = (DecodePool*)pool;
+  if (!p || !handle || n < 0) return -1;
+  PoolJob job;
+  job.handle = handle;
+  job.indices.assign(indices, indices + n);
+  job.out = out;
+  return enqueue(p, std::move(job));
+}
+
+long long vpool_submit_window(void* pool, void* handle, double t0, double t1,
+                              int max_n, unsigned char* out, int* n_out) {
+  auto* p = (DecodePool*)pool;
+  if (!p || !handle) return -1;
+  PoolJob job;
+  job.handle = handle;
+  job.window_mode = true;
+  job.t0 = t0;
+  job.t1 = t1;
+  job.max_n = max_n;
+  job.n_out = n_out;
+  job.out = out;
+  return enqueue(p, std::move(job));
+}
+
+// Blocks until the ticket's job completed; returns its decoder status and
+// forgets the ticket. Unknown tickets return -100.
+int vpool_wait(void* pool, long long ticket) {
+  auto* p = (DecodePool*)pool;
+  if (!p || ticket <= 0) return -100;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->done_cv.wait(lk, [&] { return p->done.count(ticket) > 0; });
+  int st = p->done[ticket];
+  p->done.erase(ticket);
+  return st;
+}
+
+void vpool_destroy(void* pool) {
+  auto* p = (DecodePool*)pool;
+  if (!p) return;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop = true;
+  }
+  p->job_cv.notify_all();
+  for (auto& t : p->workers) t.join();
+  delete p;
 }
 
 // Encode a deterministic synthetic clip (MPEG4/AVI, no external encoders)
