@@ -133,6 +133,7 @@ class BLIP2_MR(BaseModel):
         freeze_vit: bool = True,
         use_grad_checkpoint: bool = False,
         fast_gelu: bool = False,
+        int8_decode: bool = False,
         compute_dtype: str = "bfloat16",
         sequence_parallel: bool = False,
         seed: int = 42,
@@ -140,16 +141,9 @@ class BLIP2_MR(BaseModel):
     ):
         self.task = task
         self.use_lora = "lora" in task
-        if "lora" not in task and "qformer" not in task:
-            import os as _os
-
-            if _os.environ.get("MR_BLIP_ATTENTION_BACKEND", "auto") == "auto":
-                logging.warning(
-                    "task=%r trains the full T5, but the flash attention "
-                    "backward returns zero gradient for the relative-position "
-                    "bias (frozen under the reference's LoRA training). Set "
-                    "MR_BLIP_ATTENTION_BACKEND=xla to train it.", task,
-                )
+        # Full-T5 finetuning (no LoRA) trains the rel-pos embedding too; the
+        # flash backward emits the true dbias in that mode (lora_rank == 0
+        # sets bias_grad=True in models/t5.py) — no XLA fallback needed.
         self.use_localizer = "with_localizer" in task
         self.use_oracle_localizer = "oracle_localizer" in task
         self.is_qa = "QA" in task
@@ -195,7 +189,9 @@ class BLIP2_MR(BaseModel):
         t5_kw = dict(
             lora_rank=8 if self.use_lora else 0,
             use_remat=use_grad_checkpoint,
+            int8_decode=int8_decode,
         )
+        self.int8_decode = int8_decode
         if tokenizer_path is None:
             t5_kw["vocab_size"] = self.tokenizer.vocab_size
         else:
@@ -799,6 +795,45 @@ class BLIP2_MR(BaseModel):
 
         return qa_loss
 
+    def quantize_for_decode(self):
+        """Convert the loaded float T5 decoder + LM head to int8 weight-only
+        storage and rebuild the module with ``int8_decode=True``.
+
+        Inference-only (decode is weight-bandwidth-bound; see
+        models/quantize.py). Call AFTER loading float checkpoints and BEFORE
+        the first generate (the jitted decode closures trace the module).
+        """
+        import dataclasses
+
+        from mr_blip_tpu.models.quantize import quantize_t5_decoder_params
+
+        assert self.params is not None, "load/init params before quantizing"
+        assert not self.t5_config.int8_decode, "already quantized"
+        self.int8_decode = True
+        self.t5_config = dataclasses.replace(self.t5_config, int8_decode=True)
+        self.module = Blip2MRModule(
+            vit_config=self.vit_config,
+            qformer_config=self.qformer_config,
+            t5_config=self.t5_config,
+            compute_dtype=self.compute_dtype,
+            decode_cache_len=self.max_new_tokens,
+            frame_token_aggregation=self.frame_token_aggregation,
+            freeze_vit=self.freeze_vit,
+            sequence_parallel=self.module.sequence_parallel,
+        )
+        params = dict(self.params)
+        params["t5"] = quantize_t5_decoder_params(params["t5"])
+        self.params = params
+        if self.answerer_params is not None:
+            ap = dict(self.answerer_params)
+            ap["t5"] = quantize_t5_decoder_params(ap["t5"])
+            self.answerer_params = ap
+        # drop any jitted closures traced against the float module
+        for attr in ("_loss_fn", "_jit_loss", "_jit_generate",
+                     "_jit_qa_answer", "_jit_qa_loss"):
+            self.__dict__.pop(attr, None)
+        return self
+
     # --------------------------------------------------------------- config
     @classmethod
     def from_config(cls, cfg):
@@ -839,4 +874,8 @@ class BLIP2_MR(BaseModel):
                 logging.info("loaded finetuned weights from %s", finetuned)
             except FileNotFoundError:
                 logging.warning("finetuned checkpoint %s not found", finetuned)
+        if cfg.get("int8_decode", False):
+            # quantize AFTER float checkpoints are merged (the converter
+            # reads float kernels)
+            model.quantize_for_decode()
         return model

@@ -100,16 +100,44 @@ class Dense(nn.Module):
     lora_alpha: float = 8.0
     lora_dropout: float = 0.0
     kernel_init: Callable = nn.initializers.lecun_normal()
+    # int8 weight-only storage (inference): the kernel lives as int8 +
+    # per-output-channel fp32 scale, dequantized on the fly inside the dot
+    # (the convert fuses into the matmul, halving weight HBM traffic —
+    # autoregressive decode is weight-bandwidth-bound). The per-channel
+    # scale commutes with the contraction, so it is applied AFTER the
+    # matmul in fp32. Convert float trees with models/quantize.py.
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.Dense(
-            features=self.features,
-            use_bias=self.use_bias,
-            dtype=self.compute_dtype,
-            param_dtype=self.param_dtype,
-            kernel_init=self.kernel_init,
-        )(x)
+        if self.quantize:
+            wq = self.param(
+                "kernel_q", nn.initializers.zeros,
+                (x.shape[-1], self.features), jnp.int8,
+            )
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones,
+                (self.features,), jnp.float32,
+            )
+            y = jnp.dot(
+                x.astype(self.compute_dtype), wq.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            y = (y * scale).astype(self.compute_dtype)
+            if self.use_bias:
+                qb = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    self.param_dtype,
+                )
+                y = y + qb.astype(self.compute_dtype)
+        else:
+            y = nn.Dense(
+                features=self.features,
+                use_bias=self.use_bias,
+                dtype=self.compute_dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=self.kernel_init,
+            )(x)
         if self.lora_rank > 0:
             a = self.param(
                 "lora_a",

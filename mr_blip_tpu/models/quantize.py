@@ -1,0 +1,89 @@
+"""int8 weight-only quantization for inference (decode is weight-bound).
+
+Autoregressive decode reads every decoder weight once per step (~2.7 GB
+bf16/step for Flan-T5-XL at beam 5) and does almost no math — it runs at
+the HBM bandwidth floor. Storing those kernels as int8 with a
+per-output-channel fp32 scale halves the traffic; the dequant convert
+fuses into the XLA dot and the scale commutes with the contraction
+(applied after the matmul in fp32, see layers.Dense ``quantize``).
+
+Opt-in and inference-only: training keeps float kernels. LoRA deltas,
+norms, embeddings, and the rel-pos table stay float (tiny). Symmetric
+round-to-nearest per output channel:
+
+    scale[o] = max_i |w[i, o]| / 127        wq = round(w / scale)
+
+Use :func:`quantize_t5_decoder_params` to convert a float
+T5ForConditionalGeneration tree for a model built with
+``T5Config(int8_decode=True)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_dense(dense_tree):
+    """{Dense_0: {kernel[, bias]}, lora_*...} -> {kernel_q, kernel_scale,
+    [bias,] lora_*...} (the layout layers.Dense(quantize=True) expects)."""
+    inner = dense_tree["Dense_0"]
+    w = np.asarray(inner["kernel"], np.float32)
+    scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    out = {k: v for k, v in dense_tree.items() if k != "Dense_0"}
+    out["kernel_q"] = jnp.asarray(q)
+    out["kernel_scale"] = jnp.asarray(scale.astype(np.float32))
+    if "bias" in inner:
+        out["bias"] = inner["bias"]
+    return out
+
+
+def dequantize_dense(qtree):
+    """Inverse layout transform (float kernel reconstructed from int8)."""
+    w = np.asarray(qtree["kernel_q"], np.float32) * np.asarray(
+        qtree["kernel_scale"], np.float32
+    )
+    out = {k: v for k, v in qtree.items()
+           if k not in ("kernel_q", "kernel_scale", "bias")}
+    inner = {"kernel": jnp.asarray(w)}
+    if "bias" in qtree:
+        inner["bias"] = qtree["bias"]
+    out["Dense_0"] = inner
+    return out
+
+
+_DECODER_DENSE = ("q", "k", "v", "o")
+_FF_DENSE = ("wi", "wi_0", "wi_1", "wo")
+
+
+def quantize_t5_decoder_params(t5_params):
+    """Float T5ForConditionalGeneration params -> the tree a
+    ``T5Config(int8_decode=True)`` model expects: every decoder-block Dense
+    and the LM head quantized; encoder, shared embedding, norms and
+    rel-pos tables untouched."""
+    out = dict(t5_params)
+    dec = dict(t5_params["decoder"])
+    for name, block in list(dec.items()):
+        if not name.startswith("block_"):
+            continue
+        block = dict(block)
+        for attn_key in ("self_attention", "cross_attention"):
+            if attn_key not in block:
+                continue
+            attn = dict(block[attn_key])
+            for d in _DECODER_DENSE:
+                if d in attn:
+                    attn[d] = quantize_dense(attn[d])
+            block[attn_key] = attn
+        if "ff" in block:
+            ff = dict(block["ff"])
+            for d in _FF_DENSE:
+                if d in ff:
+                    ff[d] = quantize_dense(ff[d])
+            block["ff"] = ff
+        dec[name] = block
+    out["decoder"] = dec
+    if "lm_head" in out:
+        out["lm_head"] = quantize_dense(out["lm_head"])
+    return out

@@ -55,6 +55,10 @@ class T5Config:
     # materializing the (1, H, N, N) tensor — O(N) memory, required for
     # long-context (ANet-120s+) sequences where the bias would not fit HBM.
     relpos_in_kernel: bool = False
+    # int8 weight-only decoder + LM head (inference-only; decode is weight-
+    # bandwidth-bound). Convert float params with
+    # models/quantize.py::quantize_t5_decoder_params.
+    int8_decode: bool = False
 
 
 def t5_flan_xl_config(**kw) -> T5Config:
@@ -113,6 +117,7 @@ class T5Attention(nn.Module):
     causal: bool = False
     compute_dtype: Any = jnp.bfloat16
     decode_cache_len: int = 0
+    quantize_dense: bool = False  # int8 weight-only kernels (decoder/infer)
 
     @nn.compact
     def __call__(
@@ -132,7 +137,8 @@ class T5Attention(nn.Module):
         dense = lambda name: Dense(
             inner, use_bias=False, compute_dtype=self.compute_dtype,
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-            lora_dropout=cfg.lora_dropout, name=name,
+            lora_dropout=cfg.lora_dropout, quantize=self.quantize_dense,
+            name=name,
         )
         b, n, _ = x.shape
         q = dense("q")(x, deterministic=deterministic).reshape(b, n, cfg.num_heads, cfg.d_kv)
@@ -225,6 +231,7 @@ class T5Attention(nn.Module):
                 kv_mask=None if mask is None else mask[:, 0, 0, :],
                 num_buckets=cfg.relative_attention_num_buckets,
                 max_distance=cfg.relative_attention_max_distance,
+                table_grad=cfg.lora_rank == 0,
             )
         else:
             out = dot_product_attention(q, k, v, bias=position_bias, mask=mask,
@@ -236,6 +243,7 @@ class T5Attention(nn.Module):
 class T5FeedForward(nn.Module):
     config: T5Config
     compute_dtype: Any = jnp.bfloat16
+    quantize_dense: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -248,7 +256,8 @@ class T5FeedForward(nn.Module):
         dense = lambda feats, name: Dense(
             feats, use_bias=False, compute_dtype=self.compute_dtype,
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-            lora_dropout=cfg.lora_dropout, name=name,
+            lora_dropout=cfg.lora_dropout, quantize=self.quantize_dense,
+            name=name,
         )
         if cfg.is_gated_act:
             h = act(dense(cfg.d_ff, "wi_0")(x, deterministic=deterministic))
@@ -266,6 +275,7 @@ class T5Block(nn.Module):
     has_cross_attention: bool
     compute_dtype: Any = jnp.bfloat16
     decode_cache_len: int = 0
+    quantize_dense: bool = False
 
     @nn.compact
     def __call__(
@@ -291,6 +301,7 @@ class T5Block(nn.Module):
         h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="self_attn_norm")(x)
         h = T5Attention(cfg, causal=self.causal, compute_dtype=self.compute_dtype,
                         decode_cache_len=self.decode_cache_len,
+                        quantize_dense=self.quantize_dense,
                         name="self_attention")(
             h, mask=self_mask, position_bias=position_bias, decode=decode,
             deterministic=deterministic, relpos_table=relpos_table,
@@ -299,13 +310,15 @@ class T5Block(nn.Module):
         if self.has_cross_attention:
             h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="cross_attn_norm")(x)
             h = T5Attention(cfg, compute_dtype=self.compute_dtype,
+                            quantize_dense=self.quantize_dense,
                             name="cross_attention")(
                 h, kv_states=encoder_states, mask=cross_mask, decode=decode,
                 deterministic=deterministic,
             )
             x = x + drop(h)
         h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="ff_norm")(x)
-        h = T5FeedForward(cfg, compute_dtype=self.compute_dtype, name="ff")(
+        h = T5FeedForward(cfg, compute_dtype=self.compute_dtype,
+                          quantize_dense=self.quantize_dense, name="ff")(
             h, deterministic=deterministic
         )
         return x + drop(h)
@@ -403,7 +416,8 @@ class T5Decoder(nn.Module):
             x = block_cls(
                 cfg, causal=True, has_cross_attention=True,
                 compute_dtype=self.compute_dtype,
-                decode_cache_len=self.decode_cache_len, name=f"block_{i}",
+                decode_cache_len=self.decode_cache_len,
+                quantize_dense=cfg.int8_decode, name=f"block_{i}",
             )(
                 x, encoder_states, self_mask,
                 cross_mask, position_bias,
@@ -438,7 +452,8 @@ class T5ForConditionalGeneration(nn.Module):
             self.lm_head = Dense(
                 cfg.vocab_size, use_bias=False, compute_dtype=self.compute_dtype,
                 lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-                lora_dropout=cfg.lora_dropout, name="lm_head",
+                lora_dropout=cfg.lora_dropout, quantize=cfg.int8_decode,
+                name="lm_head",
             )
 
     def embed_tokens(self, input_ids):

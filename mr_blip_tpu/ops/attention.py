@@ -107,7 +107,7 @@ def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False):
 
 
 def relpos_attention(q, k, v, table, kv_mask=None, num_buckets=32,
-                     max_distance=128):
+                     max_distance=128, table_grad=False):
     """Attention with the T5 bidirectional rel-pos bias derived from a
     (H, num_buckets) table.
 
@@ -116,9 +116,9 @@ def relpos_attention(q, k, v, table, kv_mask=None, num_buckets=32,
     other platforms / short sequences it materializes the bias and uses the
     XLA path — numerically identical (same bucket function and constants).
 
-    ``kv_mask``: optional (B, M) K-side validity. The table gradient is only
-    produced on the materialized path (the kernel path documents dtable=0 —
-    frozen under reference LoRA training).
+    ``kv_mask``: optional (B, M) K-side validity. ``table_grad`` (static)
+    makes the kernel backward accumulate the true dtable (full finetuning;
+    the XLA fallback always produces it).
     """
     backend = _BACKEND
     if (backend in ("auto", "flash") and _on_tpu()
@@ -128,6 +128,7 @@ def relpos_attention(q, k, v, table, kv_mask=None, num_buckets=32,
         return flash_attention_relpos(
             q, k, v, table, kv_mask=kv_mask,
             num_buckets=num_buckets, max_distance=max_distance,
+            table_grad=table_grad,
         )
     from mr_blip_tpu.ops.relpos import materialize_relpos_bias
 

@@ -801,6 +801,129 @@ def _flash_relpos_fwd_stats(qt, kt, vt, table, kvmask, block_q, block_k,
     )(qt, kt, vt, table, kvmask)
 
 
+def _relpos_bucket_tile(q_start, k_start, shape, *, nb, maxd):
+    """(bq, bk) int32 bucket ids (bidirectional) — shared by the bias tile
+    and the dtable reduction."""
+    ri = q_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    ci = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rel = ci - ri
+    num_b = nb // 2
+    ret = (rel > 0).astype(jnp.int32) * num_b
+    nrel = jnp.abs(rel)
+    max_exact = num_b // 2
+    val_if_large = max_exact + (
+        jnp.log(nrel.astype(jnp.float32) / max_exact + 1e-6)
+        / math.log(maxd / max_exact) * (num_b - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_b - 1)
+    return ret + jnp.where(nrel < max_exact, nrel, val_if_large)
+
+
+def _flash_relpos_bwd_dq_dtab_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
+                                     do_ref, lse_ref, delta_ref,
+                                     dq_ref, dtab_ref, *, block_k, nb, maxd):
+    """dq + dtable for one (h, q-block, b) program.
+
+    dtable[u] = sum of ds over every (i, j) with bucket(j - i) == u. The
+    (8, 128) output block's index map is constant across (q-block, batch)
+    — the two inner grid dims — so it accumulates in VMEM; bucket u lives
+    at [u % 8, u // 8]. Far segments contribute to the two capped buckets
+    with a single whole-tile reduction; near tiles pay an nb-way masked
+    reduction (O(N/block) of them).
+    """
+    q = q_ref[0, 0]
+    block_q, d = q.shape
+    kv_len = k_ref.shape[2]
+    scale = jnp.asarray(d ** -0.5, jnp.float32)
+    q_scaled = q * scale.astype(q.dtype)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0].T
+    delta = delta_ref[0, 0].T
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    head = pl.program_id(0)
+    qi = pl.program_id(1)
+    bi = pl.program_id(2)
+    q_start = qi * block_q
+    num_b = nb // 2
+    far_past = tab_ref[head, num_b - 1]
+    far_future = tab_ref[head, nb - 1]
+    lo, hi = _relpos_segments(q_start, block_q, block_k, kv_len,
+                              num_k_blocks, maxd)
+
+    @pl.when((qi == 0) & (bi == 0))
+    def _():
+        dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
+
+    def slot(u):
+        # one-hot from iota comparisons (Pallas rejects captured array
+        # constants and Mosaic has no scatter)
+        r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        return ((r == u % 8) & (c == u // 8)).astype(jnp.float32)
+
+    def make_body(mode):
+        def body(i, carry):
+            dq_acc, dtab_acc = carry
+            k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+            k_start = (jnp.minimum(i * block_k, kv_len - block_k)
+                       if kv_len % block_k else i * block_k)
+            bucket = None
+            if mode == "near":
+                bucket = _relpos_bucket_tile(
+                    q_start, k_start, logits.shape, nb=nb, maxd=maxd
+                )
+                bias = jnp.zeros(logits.shape, jnp.float32)
+                for u in range(nb):
+                    bias = jnp.where(bucket == u, tab_ref[head, u], bias)
+                logits += bias
+            elif mode == "past":
+                logits += far_past
+            else:
+                logits += far_future
+            valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+            if kv_len % block_k:
+                k_pos = k_start + (
+                    jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                )
+                valid = valid & (k_pos >= i * block_k)
+            p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            ds_tab = ds
+            if kv_len % block_q:
+                # padded q-tail rows (q blocks come via BlockSpec padding)
+                # must not leak into the accumulated table gradient;
+                # q_len == kv_len on this self-attention-only path.
+                q_pos = q_start + jax.lax.broadcasted_iota(
+                    jnp.int32, ds.shape, 0
+                )
+                ds_tab = jnp.where(q_pos < kv_len, ds, 0.0)
+            if mode == "near":
+                for u in range(nb):
+                    s_u = jnp.sum(jnp.where(bucket == u, ds_tab, 0.0))
+                    dtab_acc = dtab_acc + s_u * slot(u)
+            elif mode == "past":
+                dtab_acc = dtab_acc + jnp.sum(ds_tab) * slot(num_b - 1)
+            else:
+                dtab_acc = dtab_acc + jnp.sum(ds_tab) * slot(nb - 1)
+            dq_acc = dq_acc + jnp.dot(
+                ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            )
+            return dq_acc, dtab_acc
+        return body
+
+    carry = (jnp.zeros((block_q, d), jnp.float32),
+             jnp.zeros((8, 128), jnp.float32))
+    carry = jax.lax.fori_loop(0, lo, make_body("past"), carry)
+    carry = jax.lax.fori_loop(lo, hi, make_body("near"), carry)
+    carry = jax.lax.fori_loop(hi, num_k_blocks, make_body("future"), carry)
+    dq, dtab = carry
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+    dtab_ref[0] += dtab
+
+
 def _flash_relpos_bwd_dq_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
                                 do_ref, lse_ref, delta_ref, dq_ref,
                                 *, block_k, nb, maxd):
@@ -929,9 +1052,9 @@ def _flash_relpos_bwd_dkv_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash_attention_relpos(q, k, v, table, kv_mask, num_buckets,
-                            max_distance, block_q, block_k):
+                            max_distance, block_q, block_k, table_grad):
     b, n, h, d = q.shape
     m = k.shape[1]
     qt = q.transpose(0, 2, 1, 3)
@@ -945,7 +1068,7 @@ def _flash_attention_relpos(q, k, v, table, kv_mask, num_buckets,
 
 
 def _flash_relpos_vjp_fwd(q, k, v, table, kv_mask, num_buckets, max_distance,
-                          block_q, block_k):
+                          block_q, block_k, table_grad):
     b, n, h, d = q.shape
     m = k.shape[1]
     qt = q.transpose(0, 2, 1, 3)
@@ -960,12 +1083,15 @@ def _flash_relpos_vjp_fwd(q, k, v, table, kv_mask, num_buckets, max_distance,
 
 
 def _flash_relpos_vjp_bwd(num_buckets, max_distance, block_q, block_k,
-                          residuals, g):
-    """dq/dk/dv with the bias recomputed in-kernel; dtable is returned as
-    zeros (under the reference's LoRA training the rel-pos embedding is
-    frozen, blip2_mr.py:183-237 — full finetuning of it at long context
-    needs the materialized-bias path, ``flash_attention_bias(...,
-    bias_grad=True)``)."""
+                          table_grad, residuals, g):
+    """dq/dk/dv with the bias recomputed in-kernel.
+
+    ``table_grad`` additionally accumulates dtable inside the dq pass
+    (per-bucket masked reductions over the near tiles, whole-tile sums for
+    the two capped far buckets) — full finetuning of the rel-pos embedding
+    works on the long-context path too. Off by default: under the
+    reference's LoRA training the embedding is frozen
+    (blip2_mr.py:183-237)."""
     q, k, v, table, kv_mask, out, lse = residuals
     b, n, h, d = q.shape
     m = k.shape[1]
@@ -981,31 +1107,54 @@ def _flash_relpos_vjp_bwd(num_buckets, max_distance, block_q, block_k,
     )[:, :, None, :]
     kvm = kv_mask[:, None, :]
 
-    dq_t = pl.pallas_call(
-        functools.partial(_flash_relpos_bwd_dq_kernel, block_k=bk,
-                          nb=num_buckets, maxd=max_distance),
-        grid=(h, pl.cdiv(n, bq), b),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
-    )(qt, kt, vt, table, kvm, got, lse, delta)
+    dq_in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, bq), lambda hi, qi, bi: (bi, hi, 0, qi),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq_out_spec = pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM)
+    if table_grad:
+        dq_t, dtab_packed = pl.pallas_call(
+            functools.partial(_flash_relpos_bwd_dq_dtab_kernel, block_k=bk,
+                              nb=num_buckets, maxd=max_distance),
+            grid=(h, pl.cdiv(n, bq), b),
+            in_specs=dq_in_specs,
+            out_specs=(
+                dq_out_spec,
+                pl.BlockSpec((1, 8, 128), lambda hi, qi, bi: (hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+                jax.ShapeDtypeStruct((h, 8, 128), jnp.float32),
+            ),
+        )(qt, kt, vt, table, kvm, got, lse, delta)
+        flat = dtab_packed.reshape(h, 8 * 128)
+        idx = jnp.asarray([(u % 8) * 128 + u // 8 for u in range(num_buckets)])
+        dtable = flat[:, idx].astype(table.dtype)  # (H, nb)
+    else:
+        dq_t = pl.pallas_call(
+            functools.partial(_flash_relpos_bwd_dq_kernel, block_k=bk,
+                              nb=num_buckets, maxd=max_distance),
+            grid=(h, pl.cdiv(n, bq), b),
+            in_specs=dq_in_specs,
+            out_specs=dq_out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        )(qt, kt, vt, table, kvm, got, lse, delta)
+        dtable = jnp.zeros_like(table)
 
     dk_t, dv_t = pl.pallas_call(
         functools.partial(_flash_relpos_bwd_dkv_kernel, block_q=bq,
@@ -1043,7 +1192,7 @@ def _flash_relpos_vjp_bwd(num_buckets, max_distance, block_q, block_k,
     dq = dq_t.transpose(0, 2, 1, 3)
     dk = dk_t.transpose(0, 2, 1, 3)
     dv = dv_t.transpose(0, 2, 1, 3)
-    return dq, dk, dv, jnp.zeros_like(table), None
+    return dq, dk, dv, dtable, None
 
 
 _flash_attention_relpos.defvjp(_flash_relpos_vjp_fwd, _flash_relpos_vjp_bwd)
@@ -1051,14 +1200,20 @@ _flash_attention_relpos.defvjp(_flash_relpos_vjp_fwd, _flash_relpos_vjp_bwd)
 
 def flash_attention_relpos(q, k, v, table, kv_mask=None, num_buckets=32,
                            max_distance=128,
-                           block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+                           block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                           table_grad=False):
     """Flash attention with the T5 bidirectional relative-position bias
     computed in-kernel from a (H, num_buckets) table — O(N) memory, no
     materialized (1, H, N, M) bias. For the T5 encoder at long context
     (reference bias semantics: modeling_t5.py T5Attention.compute_bias).
 
     ``table`` is (H, num_buckets) fp32 — note the transpose relative to the
-    flax param (num_buckets, H).
+    flax param (num_buckets, H). ``table_grad`` (static) makes the backward
+    accumulate the true dtable in-kernel (full finetuning); off for LoRA
+    where the embedding is frozen. Note: the dtable kernel's per-bucket
+    scalar reductions are slow for Mosaic to COMPILE (minutes, once per
+    shape — cached afterwards); runtime cost is confined to the O(N/block)
+    near-diagonal tiles.
     """
     b, n, h, d = q.shape
     m = k.shape[1]
@@ -1067,7 +1222,7 @@ def flash_attention_relpos(q, k, v, table, kv_mask=None, num_buckets=32,
         kv_mask = jnp.ones((b, m), jnp.int8)
     return _flash_attention_relpos(
         q, k, v, table.astype(jnp.float32), kv_mask.astype(jnp.int8),
-        num_buckets, max_distance, block_q, block_k,
+        num_buckets, max_distance, block_q, block_k, bool(table_grad),
     )
 
 

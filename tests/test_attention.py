@@ -371,7 +371,49 @@ class TestFlashRelpos:
                 np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
                 err_msg=f"d{name} mismatch at n={n}",
             )
-        assert not np.any(np.asarray(g_flash[3]))  # dtable: documented zeros
+        assert not np.any(np.asarray(g_flash[3]))  # dtable off by default
+
+    @pytest.mark.parametrize("n", [384, 200])
+    def test_backward_dtable(self, n):
+        """table_grad=True: the dq pass accumulates the true dtable
+        (per-bucket masked reductions near the diagonal, whole-tile sums
+        for the capped far buckets) — matches the XLA VJP through the
+        materialized bias."""
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(11)
+        B, H, D = 2, 2, 16
+        q = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        k = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        v = jnp.array(rng.standard_normal((B, n, H, D), np.float32))
+        table = jnp.array(rng.standard_normal((H, self.NB), np.float32))
+        kv_mask = np.ones((B, n), np.int8)
+        kv_mask[1, n - 25:] = 0
+        kv_mask = jnp.array(kv_mask)
+
+        def loss_flash(q, k, v, t):
+            out = fa.flash_attention_relpos(
+                q, k, v, t, kv_mask, num_buckets=self.NB,
+                max_distance=self.MAXD, block_q=64, block_k=64,
+                table_grad=True,
+            )
+            return (out * jnp.cos(out)).sum()
+
+        mask4 = jnp.array(kv_mask, bool)[:, None, None, :]
+
+        def loss_xla(q, k, v, t):
+            bias = self._materialized(t, n, n)
+            out = xla_attention(q, k, v, bias=bias, mask=mask4)
+            return (out * jnp.cos(out)).sum()
+
+        with self._interp():
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, table)
+        for name, gf, gx in zip(("q", "k", "v", "table"), g_flash, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name} mismatch at n={n}",
+            )
 
 
 class TestT5RelposInKernel:
