@@ -76,6 +76,10 @@ def main():
         compute_dtype="bfloat16", init_params=False,
     )
     model.params = model.init_params_fast(jax.random.PRNGKey(0), mode="zeros")
+    if os.environ.get("MRBLIP_BENCH_INT8"):
+        # opt-in int8 weight-only decoder (same e2e path, quantized decode)
+        model.quantize_for_decode()
+        log("int8 decode enabled")
     log(f"params ready in {time.time() - t_start:.0f}s")
 
     rng = np.random.default_rng(0)

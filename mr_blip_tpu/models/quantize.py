@@ -26,14 +26,17 @@ import numpy as np
 
 def quantize_dense(dense_tree):
     """{Dense_0: {kernel[, bias]}, lora_*...} -> {kernel_q, kernel_scale,
-    [bias,] lora_*...} (the layout layers.Dense(quantize=True) expects)."""
+    [bias,] lora_*...} (the layout layers.Dense(quantize=True) expects).
+
+    Pure jnp ops: runs where the weights live (no host round-trip when
+    converting a device-resident tree)."""
     inner = dense_tree["Dense_0"]
-    w = np.asarray(inner["kernel"], np.float32)
-    scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
-    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    w = jnp.asarray(inner["kernel"], jnp.float32)
+    scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     out = {k: v for k, v in dense_tree.items() if k != "Dense_0"}
-    out["kernel_q"] = jnp.asarray(q)
-    out["kernel_scale"] = jnp.asarray(scale.astype(np.float32))
+    out["kernel_q"] = q
+    out["kernel_scale"] = scale.astype(jnp.float32)
     if "bias" in inner:
         out["bias"] = inner["bias"]
     return out

@@ -30,6 +30,10 @@ class TimeSformerConfig:
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
+    # reference vit.py:148-156: "divided_space_time" (default),
+    # "joint_space_time" (one attention over all 1+T*P tokens),
+    # "space_only" (frames processed independently, averaged at the end)
+    attention_type: str = "divided_space_time"
 
     @property
     def patches_per_frame(self) -> int:
@@ -100,6 +104,26 @@ class _DividedBlock(nn.Module):
         return x
 
 
+class _JointBlock(nn.Module):
+    """Plain pre-norm ViT block: one attention over the whole token set —
+    the "joint_space_time" flavor (and the per-frame block of
+    "space_only"; reference vit.py:206-210)."""
+
+    config: TimeSformerConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        d = cfg.embed_dim
+        x = x + _MHA(d, cfg.num_heads, self.compute_dtype, name="attn")(
+            LayerNormFP32(name="norm1")(x)
+        )
+        x = x + Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
+                    name="mlp")(LayerNormFP32(name="norm2")(x))
+        return x
+
+
 @registry.register_model("timesformer")
 class TimeSformer(nn.Module):
     config: TimeSformerConfig
@@ -107,7 +131,13 @@ class TimeSformer(nn.Module):
 
     @nn.compact
     def __call__(self, video):
-        """video: (B, T, H, W, C) -> (B, 1 + T*P, D) final-normed tokens."""
+        """video: (B, T, H, W, C) -> final-normed tokens.
+
+        Output is (B, 1 + T*P, D) for divided/joint attention; for
+        "space_only" frames run independently (separate cls each) and the
+        result is frame-averaged to (B, 1 + P, D) — reference vit.py
+        forward_features' space_only mean-over-time.
+        """
         cfg = self.config
         b, t = video.shape[0], video.shape[1]
         assert t == cfg.n_frms, f"expected {cfg.n_frms} frames, got {t}"
@@ -123,22 +153,70 @@ class TimeSformer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02),
             (1, cfg.patches_per_frame + 1, cfg.embed_dim), jnp.float32,
         )
-        time_embed = self.param(
-            "time_embed", nn.initializers.normal(0.02),
-            (1, cfg.n_frms, cfg.embed_dim), jnp.float32,
-        )
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, cfg.embed_dim), jnp.float32)
 
         p = cfg.patches_per_frame
         x = x.reshape(b, t, p, cfg.embed_dim)
         x = x + pos[:, 1:].astype(x.dtype)[:, None]
-        x = x + time_embed.astype(x.dtype)[:, :, None]
+        if cfg.attention_type != "space_only":
+            # reference vit.py:334: no time embedding for space_only
+            time_embed = self.param(
+                "time_embed", nn.initializers.normal(0.02),
+                (1, cfg.n_frms, cfg.embed_dim), jnp.float32,
+            )
+            x = x + time_embed.astype(x.dtype)[:, :, None]
+
+        if cfg.attention_type == "space_only":
+            # each frame is an independent image: per-frame cls, plain ViT
+            # blocks over (B*T, 1+P, D), mean over frames at the end
+            x = x.reshape(b * t, p, cfg.embed_dim)
+            cls_tok = jnp.broadcast_to(
+                cls + pos[:, :1], (b * t, 1, cfg.embed_dim)
+            ).astype(x.dtype)
+            x = jnp.concatenate([cls_tok, x], axis=1)
+            for i in range(cfg.depth):
+                x = _JointBlock(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
+            x = x.reshape(b, t, p + 1, cfg.embed_dim).mean(axis=1)
+            return LayerNormFP32(name="norm")(x)
+
         x = x.reshape(b, t * p, cfg.embed_dim)
         cls_tok = jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(x.dtype)
         cls_tok = cls_tok + pos[:, :1].astype(x.dtype)
         x = jnp.concatenate([cls_tok, x], axis=1)
 
+        block_cls = (_DividedBlock if cfg.attention_type == "divided_space_time"
+                     else _JointBlock)
         for i in range(cfg.depth):
-            x = _DividedBlock(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
+            x = block_cls(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
         return LayerNormFP32(name="norm")(x)
+
+
+def resize_timesformer_embeds(params, new_n_frms=None, new_patches=None):
+    """Nearest-neighbor resize of time/pos embeddings so pretrained weights
+    load at a different frame count or resolution (reference
+    timesformer/helpers.py:363,376 uses F.interpolate mode='nearest')."""
+    import numpy as np
+
+    params = dict(params)
+    if new_n_frms is not None and "time_embed" in params:
+        te = np.asarray(params["time_embed"])  # (1, T, D)
+        t_old = te.shape[1]
+        if t_old != new_n_frms:
+            idx = np.clip(
+                np.round(np.arange(new_n_frms) * t_old / new_n_frms), 0,
+                t_old - 1,
+            ).astype(int)
+            params["time_embed"] = jnp.asarray(te[:, idx])
+    if new_patches is not None:
+        pe = np.asarray(params["pos_embed"])  # (1, P+1, D)
+        p_old = pe.shape[1] - 1
+        if p_old != new_patches:
+            idx = np.clip(
+                np.round(np.arange(new_patches) * p_old / new_patches), 0,
+                p_old - 1,
+            ).astype(int)
+            params["pos_embed"] = jnp.asarray(
+                np.concatenate([pe[:, :1], pe[:, 1:][:, idx]], axis=1)
+            )
+    return params

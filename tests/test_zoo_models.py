@@ -106,3 +106,79 @@ class TestPerturbedTopK:
         assert np.abs(np.asarray(g)).sum() > 0
         # raising x[2]'s score should increase the selected value (pos grad)
         assert float(g[0, 2]) > 0
+
+
+class TestTimeSformerAttentionTypes:
+    """Reference vit.py:148-156 flavors: joint_space_time (one attention
+    over 1+T*P), space_only (independent frames, frame-averaged output,
+    no time embedding)."""
+
+    def test_joint_space_time(self):
+        from mr_blip_tpu.models.timesformer import (
+            TimeSformer, timesformer_tiny_config,
+        )
+
+        cfg = timesformer_tiny_config(attention_type="joint_space_time")
+        m = TimeSformer(cfg, compute_dtype=jnp.float32)
+        video = jnp.ones((2, cfg.n_frms, 28, 28, 3))
+        params = m.init(jax.random.PRNGKey(0), video)
+        out = m.apply(params, video)
+        assert out.shape == (2, 1 + cfg.n_frms * cfg.patches_per_frame,
+                             cfg.embed_dim)
+        # joint blocks have a single attention (no temporal_attn params)
+        assert "temporal_attn" not in params["params"]["blocks_0"]
+
+    def test_space_only(self):
+        import numpy as np
+
+        from mr_blip_tpu.models.timesformer import (
+            TimeSformer, timesformer_tiny_config,
+        )
+
+        cfg = timesformer_tiny_config(attention_type="space_only")
+        m = TimeSformer(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        video = jnp.asarray(
+            rng.standard_normal((2, cfg.n_frms, 28, 28, 3)), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), video)
+        out = m.apply(params, video)
+        # frame-averaged: (B, 1+P, D); no time embedding exists
+        assert out.shape == (2, 1 + cfg.patches_per_frame, cfg.embed_dim)
+        assert "time_embed" not in params["params"]
+
+        # frames are independent: permuting frames must not change the
+        # frame-averaged output
+        perm = video[:, ::-1]
+        out2 = m.apply(params, perm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_resize_embeds(self):
+        import numpy as np
+
+        from mr_blip_tpu.models.timesformer import (
+            TimeSformer, resize_timesformer_embeds, timesformer_tiny_config,
+        )
+
+        cfg2 = timesformer_tiny_config(n_frms=2)
+        cfg4 = timesformer_tiny_config(n_frms=4)
+        m2 = TimeSformer(cfg2, compute_dtype=jnp.float32)
+        m4 = TimeSformer(cfg4, compute_dtype=jnp.float32)
+        v2 = jnp.ones((1, 2, 28, 28, 3))
+        v4 = jnp.ones((1, 4, 28, 28, 3))
+        p2 = m2.init(jax.random.PRNGKey(0), v2)["params"]
+        resized = resize_timesformer_embeds(p2, new_n_frms=4)
+        assert resized["time_embed"].shape == (1, 4, cfg2.embed_dim)
+        # nearest-neighbor: every new row equals one of the old rows
+        old = np.asarray(p2["time_embed"])[0]
+        new = np.asarray(resized["time_embed"])[0]
+        for row in new:
+            assert any(np.array_equal(row, o) for o in old)
+        # the resized tree loads into the 4-frame model and runs
+        out = m4.apply({"params": resized}, v4)
+        assert out.shape[1] == 1 + 4 * cfg4.patches_per_frame
+
+        # same-size resize is the identity
+        same = resize_timesformer_embeds(p2, new_n_frms=2, new_patches=4)
+        np.testing.assert_array_equal(np.asarray(same["time_embed"]),
+                                      np.asarray(p2["time_embed"]))
