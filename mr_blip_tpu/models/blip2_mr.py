@@ -134,6 +134,7 @@ class BLIP2_MR(BaseModel):
         use_grad_checkpoint: bool = False,
         fast_gelu: bool = False,
         int8_decode: bool = False,
+        relpos_in_kernel: bool = False,
         compute_dtype: str = "bfloat16",
         sequence_parallel: bool = False,
         seed: int = 42,
@@ -190,6 +191,9 @@ class BLIP2_MR(BaseModel):
             lora_rank=8 if self.use_lora else 0,
             use_remat=use_grad_checkpoint,
             int8_decode=int8_decode,
+            # O(N)-memory encoder rel-pos bias for long contexts
+            # (ANet-120s+): the flash kernel computes it from the table
+            relpos_in_kernel=relpos_in_kernel,
         )
         self.int8_decode = int8_decode
         if tokenizer_path is None:
@@ -855,6 +859,7 @@ class BLIP2_MR(BaseModel):
             resample_frames=cfg.get("resample_frames", False),
             freeze_vit=cfg.get("freeze_vit", True),
             fast_gelu=cfg.get("fast_gelu", False),
+            relpos_in_kernel=cfg.get("relpos_in_kernel", False),
             use_grad_checkpoint=cfg.get("use_grad_checkpoint", False),
             compute_dtype=cfg.get("compute_dtype", "bfloat16"),
             sequence_parallel=cfg.get("sequence_parallel", False),

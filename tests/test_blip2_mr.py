@@ -146,3 +146,29 @@ class TestVariants:
         for p, d in zip(out["prediction"], out["duration"]):
             for w in moment_str_to_list(p):
                 assert w == [-1, -1] or (0 <= w[0] <= d * 1.01 and w[1] <= d * 1.01)
+
+
+class TestRelposInKernelFlag:
+    def test_flagged_model_matches_default(self):
+        """relpos_in_kernel=True must not change the model function: on CPU
+        the dispatcher falls back to materializing the identical bias, so
+        loss and generations agree bit-for-bit with the default path."""
+        import jax
+
+        kw = dict(
+            img_size=28, vit_model="tiny", t5_model="tiny",
+            num_beams=2, max_new_tokens=8, task="lora",
+            compute_dtype="float32", seed=7,
+        )
+        base = BLIP2_MR(**kw)
+        flagged = BLIP2_MR(relpos_in_kernel=True, **kw)
+        # same seed -> identical params modulo tree structure
+        flagged.params = jax.tree.map(lambda a: a, base.params)
+
+        samples = _mr_samples()
+        l0 = float(base.forward(samples)["loss"])
+        l1 = float(flagged.forward(samples)["loss"])
+        assert abs(l0 - l1) < 1e-6, (l0, l1)
+        g0 = base.generate(samples)["prediction"]
+        g1 = flagged.generate(samples)["prediction"]
+        assert g0 == g1
