@@ -258,3 +258,146 @@ def rampup_factor(epoch, iters, num_iters_per_epoch):
     """Reference alpha warmup: linear over the first epoch
     (albef_pretrain.py _rampup_factor)."""
     return min(1.0, (epoch * num_iters_per_epoch + iters) / num_iters_per_epoch)
+
+
+@registry.register_model("albef_nlvr")
+class AlbefNLVR(nn.Module):
+    """ALBEF NLVR2 head (reference ``albef_models/albef_nlvr.py:24-220``):
+    both images encoded by the shared ViT; the text encoder cross-attends
+    image0/image1 through interleaved layers (our MED pair mode — the
+    functional equivalent of the reference's paired layers with shared
+    k/v); a two-layer cls head scores true/false on the fused cls."""
+
+    config: ALBEFConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.config
+        self.visual_encoder = VisionTransformer(cfg.vision, self.compute_dtype,
+                                                name="visual_encoder")
+        self.text_encoder = MedModel(cfg.text, self.compute_dtype,
+                                     name="text_encoder")
+        self.cls_hidden = Dense(cfg.text.hidden_size,
+                                compute_dtype=self.compute_dtype,
+                                name="cls_hidden")
+        self.cls_out = Dense(2, compute_dtype=self.compute_dtype,
+                             name="cls_out")
+
+    def __call__(self, images0, images1, text_ids, text_mask=None):
+        s0 = self.visual_encoder(images0)
+        s1 = self.visual_encoder(images1)
+        fused = self.text_encoder(
+            text_ids, text_mask=text_mask, image_states=(s0, s1),
+            mode="multimodal",
+        )
+        h = jax.nn.relu(self.cls_hidden(fused[:, 0]))
+        return self.cls_out(h).astype(jnp.float32)
+
+    def loss(self, images0, images1, text_ids, targets, text_mask=None):
+        logits = self(images0, images1, text_ids, text_mask)
+        ll = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.take_along_axis(ll, targets[:, None], axis=1).mean()
+
+
+@registry.register_model("albef_vqa")
+class AlbefVQA(nn.Module):
+    """ALBEF open-ended VQA (reference ``albef_models/albef_vqa.py``):
+    question fused with the image multimodally, answers decoded by the MED
+    causal decoder over the question states; inference ranks a candidate
+    answer list (reference rank_answers: first-token probabilities select
+    top-k candidates, the per-candidate teacher-forced LM loss picks the
+    final answer)."""
+
+    config: ALBEFConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.config
+        from mr_blip_tpu.models.med import MedLMHead
+
+        self.visual_encoder = VisionTransformer(cfg.vision, self.compute_dtype,
+                                                name="visual_encoder")
+        self.text_encoder = MedModel(cfg.text, self.compute_dtype,
+                                     name="text_encoder")
+        self.text_decoder = MedModel(cfg.text, self.compute_dtype,
+                                     name="text_decoder")
+        self.lm_head = MedLMHead(cfg.text, self.compute_dtype, name="lm_head")
+
+    def question_states(self, images, question_ids, question_mask=None):
+        image_states = self.visual_encoder(images)
+        return self.text_encoder(
+            question_ids, text_mask=question_mask, image_states=image_states,
+            mode="multimodal",
+        )
+
+    def answer_logits(self, q_states, q_mask, answer_ids, answer_mask=None):
+        """(B, L-?, V) teacher-forced logits of the answers over the fused
+        question states (answers start with the [DEC]/bos token)."""
+        hidden = self.text_decoder(
+            answer_ids, text_mask=answer_mask, image_states=q_states,
+            image_mask=q_mask, mode="decoder",
+        )
+        return self.lm_head(hidden)
+
+    def answer_loss(self, images, question_ids, question_mask,
+                    answer_ids, answer_mask):
+        from mr_blip_tpu.models.t5 import cross_entropy_lm_loss
+
+        q = self.question_states(images, question_ids, question_mask)
+        logits = self.answer_logits(q, question_mask, answer_ids[:, :-1],
+                                    answer_mask[:, :-1])
+        labels = jnp.where(answer_mask[:, 1:] == 1, answer_ids[:, 1:], -100)
+        return cross_entropy_lm_loss(logits, labels, answer_mask[:, 1:])
+
+
+def rank_answers(module, params, images, question_ids, question_mask,
+                 answer_ids, answer_mask, k=8):
+    """Reference two-stage answer ranking (albef_vqa.py:269-; BLIP uses the
+    same recipe): score every candidate's FIRST content token from one
+    decoder step, keep the top-k per question, then run the teacher-forced
+    LM loss for those k candidates and take the argmin.
+
+    ``answer_ids``: (A, L) tokenized candidates, [:, 0] = bos/[DEC].
+    Returns (B,) indices into the candidate list.
+    """
+    import numpy as np
+
+    a, l = answer_ids.shape
+    k = min(k, a)
+    q_states = module.apply(
+        {"params": params}, images, question_ids, question_mask,
+        method="question_states",
+    )
+    b = q_states.shape[0]
+    bos = answer_ids[:1, :1]  # (1, 1)
+    start = jnp.broadcast_to(bos, (b, 1))
+    first_logits = module.apply(
+        {"params": params}, q_states, question_mask, start, None,
+        method="answer_logits",
+    )[:, 0]  # (B, V)
+    first_logp = jax.nn.log_softmax(first_logits.astype(jnp.float32), -1)
+    first_tok = answer_ids[:, 1]                     # (A,)
+    cand_scores = first_logp[:, first_tok]           # (B, A)
+    topk = jax.lax.top_k(cand_scores, k)[1]          # (B, K)
+
+    # per-(question, candidate) teacher-forced loss, flattened to B*K rows
+    from mr_blip_tpu.models.t5 import cross_entropy_lm_loss  # noqa: F401
+
+    q_rep = jnp.repeat(q_states, k, axis=0)
+    qm_rep = (jnp.repeat(question_mask, k, axis=0)
+              if question_mask is not None else None)
+    ans = answer_ids[topk.reshape(-1)]               # (B*K, L)
+    ans_m = answer_mask[topk.reshape(-1)]
+    logits = module.apply(
+        {"params": params}, q_rep, qm_rep, ans[:, :-1], ans_m[:, :-1],
+        method="answer_logits",
+    )
+    labels = jnp.where(ans_m[:, 1:] == 1, ans[:, 1:], -100)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_ll = jnp.take_along_axis(
+        logp, jnp.where(labels == -100, 0, labels)[..., None], axis=-1
+    )[..., 0]
+    mask = (labels != -100).astype(jnp.float32)
+    per_pair = -(tok_ll * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
+    best = jnp.argmin(per_pair.reshape(b, k), axis=1)
+    return np.asarray(jnp.take_along_axis(topk, best[:, None], axis=1)[:, 0])

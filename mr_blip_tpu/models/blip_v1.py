@@ -172,6 +172,23 @@ class BLIPv1(nn.Module):
         labels = jnp.where(answer_mask[:, 1:] == 1, answer_ids[:, 1:], -100)
         return cross_entropy_lm_loss(logits, labels, answer_mask[:, 1:])
 
+    def question_states(self, images, question_ids, question_mask=None):
+        """Fused question representation (shared surface with AlbefVQA so
+        models/albef.py::rank_answers ranks candidate lists for BLIP too —
+        the reference BLIP VQA uses the same two-stage recipe)."""
+        image_states = self.visual_encoder(images)
+        return self.text_encoder(
+            question_ids, text_mask=question_mask, image_states=image_states,
+            mode="multimodal",
+        )
+
+    def answer_logits(self, q_states, q_mask, answer_ids, answer_mask=None):
+        hidden = self.text_decoder(
+            answer_ids, text_mask=answer_mask, image_states=q_states,
+            image_mask=q_mask, mode="decoder",
+        )
+        return self.lm_head(hidden)
+
     # --------------------------------------------------------------- NLVR
     def nlvr_logits(self, images_a, images_b, text_ids, text_mask=None):
         """Two-image reasoning: cross-attend to both images' tokens."""

@@ -134,11 +134,25 @@ class MedModel(nn.Module):
             x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
 
         use_image = mode in ("multimodal", "decoder") and image_states is not None
+        # NLVR pair mode: a (states0, states1) tuple alternates the
+        # cross-attention memory by layer parity — the functional equivalent
+        # of the reference's paired layers with shared k/v
+        # (albef_nlvr.py:198-214 share_cross_attention; both images are
+        # cross-attended through interleaved layers).
+        paired = use_image and isinstance(image_states, (tuple, list))
         for i in range(cfg.num_layers):
+            if paired:
+                states_i = image_states[i % 2]
+                mask_i = (image_mask[i % 2]
+                          if isinstance(image_mask, (tuple, list))
+                          else image_mask)
+            else:
+                states_i = image_states if use_image else None
+                mask_i = image_mask
             x = _BertLayer(cfg, self.compute_dtype, name=f"layer_{i}")(
                 x, text_mask=text_mask,
-                image_states=image_states if use_image else None,
-                image_mask=image_mask, causal=(mode == "decoder"),
+                image_states=states_i,
+                image_mask=mask_i, causal=(mode == "decoder"),
                 deterministic=deterministic,
             )
         return x

@@ -141,3 +141,105 @@ class TestGradcam:
         cam = compute_gradcam(attn, grad, patch_grid=(2, 2))
         assert cam.shape == (3, 2, 2)
         assert float(cam.max()) <= 1.0 + 1e-6
+
+
+class TestAlbefNLVR:
+    def test_pairwise_cross_attention_and_loss(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mr_blip_tpu.models.albef import AlbefNLVR, albef_tiny_config
+
+        cfg = albef_tiny_config()
+        m = AlbefNLVR(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        im0 = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+        im1 = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (2, 6)), jnp.int32)
+        params = m.init(jax.random.PRNGKey(0), im0, im1, ids)
+        logits = m.apply(params, im0, im1, ids)
+        assert logits.shape == (2, 2)
+
+        # both images matter: swapping them must change the logits
+        # (interleaved cross-attention layers see different memories)
+        swapped = m.apply(params, im1, im0, ids)
+        assert np.abs(np.asarray(logits) - np.asarray(swapped)).max() > 1e-6
+
+        targets = jnp.asarray([0, 1], jnp.int32)
+        loss = m.apply(params, im0, im1, ids, targets, method="loss")
+        assert np.isfinite(float(loss))
+
+
+class TestAlbefVQAAnswerRanking:
+    def test_rank_answers_prefers_trained_answer(self):
+        """Ranking is a pure function of the model: for a random-init tiny
+        model it must (a) return valid candidate indices, (b) reproduce a
+        brute-force rank over all candidates when k = all."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mr_blip_tpu.models.albef import (
+            AlbefVQA, albef_tiny_config, rank_answers,
+        )
+
+        cfg = albef_tiny_config()
+        m = AlbefVQA(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+        q_ids = jnp.asarray(rng.integers(4, cfg.text.vocab_size, (2, 5)), jnp.int32)
+        q_mask = jnp.ones_like(q_ids)
+        # candidate answers: bos=1 then content tokens, padded with 0
+        A, L = 6, 4
+        ans = rng.integers(4, cfg.text.vocab_size, (A, L)).astype(np.int32)
+        ans[:, 0] = 1
+        ans_mask = np.ones((A, L), np.int32)
+        ans[:, 3][:3] = 0
+        ans_mask[:3, 3] = 0
+        ans, ans_mask = jnp.asarray(ans), jnp.asarray(ans_mask)
+
+        # init through answer_loss so encoder AND decoder params exist
+        # (batch-matched slices: answers per sample, not the full list)
+        params = m.init(jax.random.PRNGKey(0), images, q_ids, q_mask,
+                        ans[:2], ans_mask[:2], method="answer_loss")["params"]
+
+        picks_all = rank_answers(m, params, images, q_ids, q_mask, ans,
+                                 ans_mask, k=A)
+        picks_k = rank_answers(m, params, images, q_ids, q_mask, ans,
+                               ans_mask, k=3)
+        assert picks_all.shape == (2,) and picks_k.shape == (2,)
+        assert all(0 <= p < A for p in picks_all)
+
+        # brute force: per-candidate LM loss, argmin
+        for b in range(2):
+            losses = []
+            for a in range(A):
+                loss = m.apply(
+                    {"params": params}, images[b:b + 1], q_ids[b:b + 1],
+                    q_mask[b:b + 1], ans[a:a + 1], ans_mask[a:a + 1],
+                    method="answer_loss",
+                )
+                losses.append(float(loss))
+            assert picks_all[b] == int(np.argmin(losses))
+
+    def test_blip_v1_shares_ranking_surface(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mr_blip_tpu.models.albef import rank_answers
+        from mr_blip_tpu.models.blip_v1 import BLIPv1, blip_tiny_config
+
+        cfg = blip_tiny_config()
+        m = BLIPv1(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        images = jnp.asarray(rng.standard_normal((1, 28, 28, 3)), jnp.float32)
+        q_ids = jnp.asarray(rng.integers(4, cfg.text.vocab_size, (1, 4)), jnp.int32)
+        q_mask = jnp.ones_like(q_ids)
+        ans = jnp.asarray(rng.integers(4, cfg.text.vocab_size, (4, 3)), jnp.int32)
+        ans = ans.at[:, 0].set(1)
+        ans_mask = jnp.ones_like(ans)
+        params = m.init(jax.random.PRNGKey(0), images, q_ids)["params"]
+        picks = rank_answers(m, params, images, q_ids, q_mask, ans, ans_mask, k=2)
+        assert picks.shape == (1,) and 0 <= picks[0] < 4
