@@ -74,7 +74,14 @@ class _BertAttention(nn.Module):
         if causal:
             tri = jnp.tril(jnp.ones((n, m), bool))[None, None]
             mask = tri if mask is None else jnp.logical_and(mask, tri)
-        out = dot_product_attention(q, k, v, mask=mask).reshape(b, n, cfg.hidden_size)
+        drop_kw = {}
+        if cfg.dropout > 0.0 and not deterministic:
+            # BERT drops the attention probabilities too (reference med.py
+            # BertSelfAttention: self.dropout(attention_probs))
+            drop_kw = dict(dropout_rate=cfg.dropout,
+                           dropout_rng=self.make_rng("dropout"))
+        out = dot_product_attention(q, k, v, mask=mask,
+                                    **drop_kw).reshape(b, n, cfg.hidden_size)
         out = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype, name="output")(out)
         if cfg.dropout > 0.0:
             out = nn.Dropout(rate=cfg.dropout)(out, deterministic=deterministic)

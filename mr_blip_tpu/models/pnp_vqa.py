@@ -111,27 +111,41 @@ class PNPVQA:
 
     # Stage 3: read answers from captions ----------------------------------
     def answer(self, questions: List[str], captions: List[List[str]],
-               max_new_tokens: int = 8):
-        """T5 reader over 'question: Q context: C' per caption (FiD)."""
+               max_new_tokens: int = 8, fid: bool = True):
+        """T5 reader over the generated captions.
+
+        ``fid=True`` is the reference Fusion-in-Decoder recipe
+        (pnp_unifiedqav2_fid.py:20-67): every "question: Q context: C_i"
+        pair is ENCODED SEPARATELY and the decoder cross-attends over the
+        concatenation of all K encodings — evidence fuses in the decoder,
+        not in one overlong context string. ``fid=False`` joins the
+        captions into a single context (cheaper, weaker).
+        """
         answers = []
         for q, caps in zip(questions, captions):
-            context = " ".join(caps)
-            prompt = f"question: {q} context: {context}"
-            enc = self.tokenizer([prompt], truncation=True, max_length=256)
+            if fid and len(caps) > 0:
+                prompts = [f"question: {q} context: {c}" for c in caps]
+            else:
+                prompts = [f"question: {q} context: {' '.join(caps)}"]
+            enc = self.tokenizer(prompts, truncation=True, max_length=256,
+                                 padding=True)
+            ids_in = jnp.asarray(enc.input_ids)          # (K, L)
+            mask_in = jnp.asarray(enc.attention_mask)
             embeds = self.reader.apply(
-                {"params": self.reader_params}, jnp.asarray(enc.input_ids),
-                method="embed_tokens",
+                {"params": self.reader_params}, ids_in, method="embed_tokens",
             )
             states = self.reader.apply(
                 {"params": self.reader_params}, embeds,
-                mask=jnp.asarray(enc.attention_mask), method="encode",
-            )
+                mask=mask_in, method="encode",
+            )  # (K, L, D)
+            k, l, d = states.shape
+            fused = states.reshape(1, k * l, d)          # FiD: concat passages
+            fused_mask = mask_in.reshape(1, k * l)
             ids = jnp.zeros((1, 1), jnp.int32)
             for _ in range(max_new_tokens):
                 logits = self.reader.apply(
-                    {"params": self.reader_params}, ids, states,
-                    encoder_mask=jnp.asarray(enc.attention_mask),
-                    method="decode",
+                    {"params": self.reader_params}, ids, fused,
+                    encoder_mask=fused_mask, method="decode",
                 )
                 nxt = jnp.argmax(logits[:, -1:], -1)
                 ids = jnp.concatenate([ids, nxt.astype(jnp.int32)], axis=1)

@@ -59,6 +59,12 @@ class T5Config:
     # bandwidth-bound). Convert float params with
     # models/quantize.py::quantize_t5_decoder_params.
     int8_decode: bool = False
+    # HF T5 also drops the attention WEIGHTS during training
+    # (modeling_t5.py F.dropout(attn_weights)); active dropout forces the
+    # XLA attention backend (flash kernels are deterministic). Set False to
+    # keep flash + residual-only dropout in training (faster, slight
+    # regularization deviation).
+    attn_weight_dropout: bool = True
 
 
 def t5_flan_xl_config(**kw) -> T5Config:
@@ -223,6 +229,11 @@ class T5Attention(nn.Module):
         # T5 applies no 1/sqrt(d) scale; pre-multiply q by sqrt(d) to cancel
         # the scale inside dot_product_attention.
         q = q * (cfg.d_kv ** 0.5)
+        drop_kw = {}
+        if (not deterministic and cfg.dropout_rate > 0.0
+                and cfg.attn_weight_dropout):
+            drop_kw = dict(dropout_rate=cfg.dropout_rate,
+                           dropout_rng=self.make_rng("dropout"))
         if relpos_table is not None:
             from mr_blip_tpu.ops.attention import relpos_attention
 
@@ -231,11 +242,12 @@ class T5Attention(nn.Module):
                 kv_mask=None if mask is None else mask[:, 0, 0, :],
                 num_buckets=cfg.relative_attention_num_buckets,
                 max_distance=cfg.relative_attention_max_distance,
-                table_grad=cfg.lora_rank == 0,
+                table_grad=cfg.lora_rank == 0, **drop_kw,
             )
         else:
             out = dot_product_attention(q, k, v, bias=position_bias, mask=mask,
-                                        bias_grad=cfg.lora_rank == 0)
+                                        bias_grad=cfg.lora_rank == 0,
+                                        **drop_kw)
         out = out.reshape(b, n, inner)
         return dense("o")(out, deterministic=deterministic)
 

@@ -40,8 +40,14 @@ def _on_tpu() -> bool:
         return False
 
 
-def xla_attention(q, k, v, bias=None, mask=None):
-    """Reference attention: bf16 matmuls, fp32 softmax accumulation."""
+def xla_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0,
+                  dropout_rng=None):
+    """Reference attention: bf16 matmuls, fp32 softmax accumulation.
+
+    ``dropout_rate``/``dropout_rng``: attention-WEIGHT dropout (HF T5
+    semantics, modeling_t5.py T5Attention: F.dropout(attn_weights)) —
+    applied to the softmax probabilities, inverted scaling.
+    """
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
     # (B, H, N, M) logits in fp32 for a stable softmax.
@@ -53,11 +59,16 @@ def xla_attention(q, k, v, bias=None, mask=None):
         big_neg = jnp.finfo(jnp.float32).min
         logits = jnp.where(mask, logits, big_neg)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(v.dtype), v)
     return out
 
 
-def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False):
+def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False,
+                          dropout_rate=0.0, dropout_rng=None):
     """Multi-head attention with automatic backend selection.
 
     Args:
@@ -69,9 +80,16 @@ def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False):
             True = attend.
         bias_grad: static; set when the bias itself is trained so the flash
             backward emits the true dbias (XLA backend always does).
+        dropout_rate / dropout_rng: attention-weight dropout (training
+            only). Active dropout forces the XLA backend — the flash
+            kernels are deterministic; inference is unaffected.
     Returns:
         (B, N, H, D) attention output in v.dtype.
     """
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return xla_attention(q, k, v, bias=bias, mask=mask,
+                             dropout_rate=dropout_rate,
+                             dropout_rng=dropout_rng)
     backend = _BACKEND
     long_seq = q.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] == k.shape[1]
     # K-only masks (B, 1, 1, M) ride the bias kernel's validity vector.
@@ -107,7 +125,8 @@ def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False):
 
 
 def relpos_attention(q, k, v, table, kv_mask=None, num_buckets=32,
-                     max_distance=128, table_grad=False):
+                     max_distance=128, table_grad=False, dropout_rate=0.0,
+                     dropout_rng=None):
     """Attention with the T5 bidirectional rel-pos bias derived from a
     (H, num_buckets) table.
 
@@ -121,7 +140,8 @@ def relpos_attention(q, k, v, table, kv_mask=None, num_buckets=32,
     the XLA fallback always produces it).
     """
     backend = _BACKEND
-    if (backend in ("auto", "flash") and _on_tpu()
+    dropout_active = dropout_rate > 0.0 and dropout_rng is not None
+    if (backend in ("auto", "flash") and _on_tpu() and not dropout_active
             and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] == k.shape[1]):
         from mr_blip_tpu.ops.flash_attention import flash_attention_relpos
 
@@ -137,7 +157,8 @@ def relpos_attention(q, k, v, table, kv_mask=None, num_buckets=32,
         bidirectional=True, num_buckets=num_buckets, max_distance=max_distance,
     )
     mask = None if kv_mask is None else kv_mask.astype(bool)[:, None, None, :]
-    return xla_attention(q, k, v, bias=bias, mask=mask)
+    return xla_attention(q, k, v, bias=bias, mask=mask,
+                         dropout_rate=dropout_rate, dropout_rng=dropout_rng)
 
 
 def make_causal_mask(length: int, dtype=jnp.bool_):

@@ -439,3 +439,54 @@ class TestT5RelposInKernel:
         np.testing.assert_allclose(np.asarray(outs[True]),
                                    np.asarray(outs[False]),
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestAttentionWeightDropout:
+    """HF T5/BERT drop the attention WEIGHTS during training; active
+    dropout rides the XLA backend (flash kernels are deterministic)."""
+
+    def test_xla_dropout_zeroes_and_rescales(self):
+        rng = np.random.default_rng(12)
+        q = jnp.array(rng.standard_normal((1, 8, 2, 4), np.float32))
+        drop = xla_attention(q, q, q, dropout_rate=0.5,
+                             dropout_rng=jax.random.PRNGKey(0))
+        clean = xla_attention(q, q, q)
+        assert not np.allclose(np.asarray(drop), np.asarray(clean))
+        # same rng -> deterministic
+        drop2 = xla_attention(q, q, q, dropout_rate=0.5,
+                              dropout_rng=jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(drop), np.asarray(drop2))
+        # expectation preserved (inverted scaling): average many keys
+        acc = np.zeros_like(np.asarray(clean))
+        for i in range(200):
+            acc += np.asarray(xla_attention(
+                q, q, q, dropout_rate=0.5,
+                dropout_rng=jax.random.PRNGKey(i)))
+        np.testing.assert_allclose(acc / 200, np.asarray(clean),
+                                   rtol=0.35, atol=0.15)
+
+    def test_t5_training_wiring(self):
+        from mr_blip_tpu.models.t5 import T5ForConditionalGeneration, t5_tiny_config
+
+        rng = np.random.default_rng(13)
+        x = jnp.array(rng.standard_normal((2, 10, 32), np.float32))
+        ids = jnp.array(rng.integers(0, 255, (2, 4)), jnp.int32)
+
+        def logits(attn_drop, key):
+            cfg = t5_tiny_config(dropout_rate=0.2,
+                                 attn_weight_dropout=attn_drop)
+            model = T5ForConditionalGeneration(cfg, compute_dtype=jnp.float32)
+            params = model.init(jax.random.PRNGKey(0), x, ids)
+            return model.apply(
+                params, x, ids, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(key)},
+            )
+
+        a1 = logits(True, 1)
+        a1_again = logits(True, 1)
+        a2 = logits(True, 2)
+        b1 = logits(False, 1)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a1_again))
+        assert not np.allclose(np.asarray(a1), np.asarray(a2))
+        # attention-weight dropout changes the draw pattern vs residual-only
+        assert not np.allclose(np.asarray(a1), np.asarray(b1))

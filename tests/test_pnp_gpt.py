@@ -87,3 +87,32 @@ class TestPNPVQA:
         assert "Contexts: a cat on a mat" in prompt
         assert prompt.strip().endswith("Answer:")
         assert "what animal?" in prompt
+
+
+class TestFusionInDecoder:
+    def test_fid_vs_joint_context(self):
+        """fid=True encodes each caption separately and the decoder fuses
+        the concatenated encodings (reference pnp_unifiedqav2_fid.py);
+        with multiple captions the two recipes read different evidence
+        layouts, and both must return decodable strings."""
+        rng = np.random.default_rng(5)
+        blip_cfg = blip_tiny_config()
+        blip = BLIPv1(blip_cfg, compute_dtype=jnp.float32)
+        img = jnp.asarray(rng.standard_normal((1, 28, 28, 3)), jnp.float32)
+        ids0 = jnp.zeros((1, 4), jnp.int32)
+        blip_params = blip.init(jax.random.PRNGKey(0), img, ids0)["params"]
+        tok = MockT5Tokenizer()
+        t5_cfg = t5_tiny_config(vocab_size=tok.vocab_size)
+        reader = T5ForConditionalGeneration(t5_cfg, compute_dtype=jnp.float32)
+        emb = jnp.zeros((1, 3, t5_cfg.d_model))
+        reader_params = reader.init(
+            jax.random.PRNGKey(1), emb, jnp.zeros((1, 2), jnp.int32)
+        )["params"]
+        model = PNPVQA(blip, blip_params, reader, reader_params, tok)
+
+        captions = [["a dog runs", "a park with grass", "a red ball"]]
+        fid = model.answer(["what runs"], captions, max_new_tokens=4,
+                           fid=True)
+        joint = model.answer(["what runs"], captions, max_new_tokens=4,
+                             fid=False)
+        assert isinstance(fid[0], str) and isinstance(joint[0], str)
