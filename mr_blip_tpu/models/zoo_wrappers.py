@@ -455,6 +455,60 @@ class BlipRetrievalModel(BaseModel):
         return score_i2t, score_t2i
 
 
+@registry.register_model("albef_nlvr_model")
+class AlbefNLVRModel(BaseModel):
+    """Task-facing ALBEF NLVR2 wrapper (reference ``albef_nlvr.py``):
+    drives MultimodalClassificationTask — ``forward -> {"loss"}`` over
+    {image, image2, text_input, label}, ``predict -> class indices``."""
+
+    PRETRAINED_MODEL_CONFIG_DICT = {"nlvr": None, "tiny": None}
+
+    def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
+                 compute_dtype=jnp.float32, seed: int = 0):
+        from mr_blip_tpu.models.albef import (
+            AlbefNLVR, albef_base_config, albef_tiny_config,
+        )
+
+        cfg = albef_tiny_config() if model_size == "tiny" else albef_base_config()
+        self.config = cfg
+        self.max_txt_len = max_txt_len
+        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.module = AlbefNLVR(cfg, compute_dtype=compute_dtype)
+        img = cfg.vision.img_size
+        z = jnp.zeros((1, img, img, 3))
+        self.params = self.module.init(
+            jax.random.PRNGKey(seed), z, z, jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+        self._logits = jax.jit(lambda p, a, b, ids, m: self.module.apply(
+            {"params": p}, a, b, ids, m))
+        self._loss = jax.jit(lambda p, a, b, ids, tgt, m: self.module.apply(
+            {"params": p}, a, b, ids, tgt, m, method="loss"))
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(model_size=cfg.get("model_size", "tiny"),
+                   max_txt_len=cfg.get("max_txt_len", 25))
+
+    def _inputs(self, samples):
+        ids, mask = self.tokenizer(samples["text_input"], self.max_txt_len)
+        a = jnp.asarray(np.asarray(samples["image"], np.float32))
+        b = jnp.asarray(np.asarray(samples["image2"], np.float32))
+        return a, b, jnp.asarray(ids), jnp.asarray(mask)
+
+    def forward(self, samples) -> Dict[str, Any]:
+        a, b, ids, mask = self._inputs(samples)
+        tgt = jnp.asarray(np.asarray(samples["label"], np.int32))
+        return {"loss": self._loss(self.params, a, b, ids, tgt, mask)}
+
+    __call__ = forward
+
+    def predict(self, samples) -> Dict[str, Any]:
+        a, b, ids, mask = self._inputs(samples)
+        logits = np.asarray(self._logits(self.params, a, b, ids, mask))
+        return {"predictions": logits.argmax(-1).tolist(),
+                "targets": list(np.asarray(samples["label"], np.int64))}
+
+
 @registry.register_model("gpt_dialogue_model")
 class GPTDialogueModel(BaseModel):
     """Video-grounded dialogue LM wrapper (reference gpt_dialogue):

@@ -55,3 +55,78 @@ class TestImageDatasets:
         s = ds[0]
         assert s["question_id"] == 5
         assert len(s["answers"]) == 10
+
+
+class TestClassificationAndFolderDatasets:
+    def test_nlvr_pair_records(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from mr_blip_tpu.datasets.image_datasets import ClassificationDataset
+        from mr_blip_tpu.datasets.video_reader import write_test_video
+
+        imgdir = tmp_path / "imgs"
+        imgdir.mkdir()
+        write_test_video(str(imgdir / "a.avi"), w=32, h=32, n_frames=1)
+        write_test_video(str(imgdir / "b.avi"), w=32, h=32, n_frames=1)
+        ann = [{"image": "a.avi", "image2": "b.avi",
+                "sentence": "left image has a ball", "label": 1}]
+        ann_path = tmp_path / "ann.json"
+        ann_path.write_text(json.dumps(ann))
+        ds = ClassificationDataset(vis_root=str(imgdir),
+                                   ann_paths=[str(ann_path)])
+        rec = ds[0]
+        assert rec["label"] == 1 and "image2" in rec
+        assert np.asarray(rec["image"]).shape[-1] == 3
+
+    def test_imagefolder_scan(self, tmp_path):
+        from mr_blip_tpu.datasets.image_datasets import ImageFolderDataset
+        from mr_blip_tpu.datasets.video_reader import write_test_video
+
+        root = tmp_path / "imagenet"
+        for cls in ("cat", "dog"):
+            (root / cls).mkdir(parents=True)
+            write_test_video(str(root / cls / "x.avi"), w=32, h=32, n_frames=1)
+        ds = ImageFolderDataset(vis_root=str(root), ann_paths=[])
+        assert len(ds.annotation) == 2
+        assert ds.classnames == ["cat", "dog"]
+        labels = sorted(ds[i]["label"] for i in range(2))
+        assert labels == [0, 1]
+
+    def test_new_builders_registered(self):
+        import mr_blip_tpu  # noqa: F401
+
+        from mr_blip_tpu.common.registry import registry
+
+        for name in ("nlvr", "snli_ve", "conceptual_caption_3m",
+                     "conceptual_caption_12m", "sbu_caption", "vg_caption",
+                     "laion2B_multi", "imagenet"):
+            assert registry.get_builder_class(name) is not None, name
+
+
+class TestNLVRTaskE2E:
+    def test_classification_task_reports_accuracy(self, tmp_path):
+        import numpy as np
+
+        import mr_blip_tpu  # noqa: F401
+        from mr_blip_tpu.common.registry import registry
+
+        model = registry.get_model_class("albef_nlvr_model")(model_size="tiny")
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.standard_normal((2, 28, 28, 3)).astype(np.float32),
+            "image2": rng.standard_normal((2, 28, 28, 3)).astype(np.float32),
+            "text_input": ["the left image shows a dot",
+                           "both images are bright"],
+            "label": np.array([0, 1]),
+        }
+        loss = float(model(batch)["loss"])
+        assert np.isfinite(loss)
+
+        task = registry.get_task_class("multimodal_classification")()
+        registry.register_path("result_dir", str(tmp_path))
+        results = task.valid_step(model, batch)
+        assert len(results) == 2
+        metrics = task.after_evaluation(results, "val", 0)
+        assert "acc" in metrics and 0.0 <= metrics["acc"] <= 100.0
