@@ -116,7 +116,12 @@ class OPTAttention(nn.Module):
             causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
             mask = causal if mask is None else jnp.logical_and(mask, causal)
 
-        out = dot_product_attention(q, k, v, mask=mask)
+        drop_kw = {}
+        if cfg.dropout > 0.0 and not deterministic:
+            # HF OPTAttention drops the attention weights during training
+            drop_kw = dict(dropout_rate=cfg.dropout,
+                           dropout_rng=self.make_rng("dropout"))
+        out = dot_product_attention(q, k, v, mask=mask, **drop_kw)
         out = out.reshape(b, n, cfg.hidden_size)
         return dense("out_proj")(out, deterministic=deterministic)
 

@@ -78,7 +78,13 @@ class QFormerAttention(nn.Module):
         mask = None
         if kv_mask is not None:
             mask = kv_mask[:, None, None, :].astype(bool)  # (B, 1, 1, M)
-        out = dot_product_attention(q, k, v, mask=mask)
+        drop_kw = {}
+        if cfg.dropout > 0.0 and not deterministic:
+            # reference Qformer.py BertSelfAttention drops the attention
+            # probabilities (attention_probs_dropped = self.dropout(...))
+            drop_kw = dict(dropout_rate=cfg.dropout,
+                           dropout_rng=self.make_rng("dropout"))
+        out = dot_product_attention(q, k, v, mask=mask, **drop_kw)
         out = out.reshape(b, n, cfg.hidden_size)
 
         out = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype, name="output")(out)
