@@ -60,11 +60,13 @@ class T5Config:
     # models/quantize.py::quantize_t5_decoder_params.
     int8_decode: bool = False
     # HF T5 also drops the attention WEIGHTS during training
-    # (modeling_t5.py F.dropout(attn_weights)); active dropout forces the
-    # XLA attention backend (flash kernels are deterministic). Set False to
-    # keep flash + residual-only dropout in training (faster, slight
-    # regularization deviation).
-    attn_weight_dropout: bool = True
+    # (modeling_t5.py F.dropout(attn_weights)). Opt-in: active dropout
+    # forces the XLA attention backend (flash kernels are deterministic),
+    # whose fp32 logits + masks at ~2k tokens exceed one 16 GB chip for
+    # the XL encoder even under remat (measured: ResourceExhausted) — the
+    # default keeps flash + residual-only dropout; enable for bit-parity
+    # regularization when dp/tp sharding provides the memory headroom.
+    attn_weight_dropout: bool = False
 
 
 def t5_flan_xl_config(**kw) -> T5Config:
