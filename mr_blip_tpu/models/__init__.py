@@ -42,6 +42,45 @@ def load_model_and_preprocess(name, model_type=None, is_eval=False, **kwargs):
     return model, vis_processors
 
 
+class ModelZoo:
+    """String listing of registered architectures and their model types
+    (reference ``lavis/models/__init__.py:228-266``)::
+
+        >>> from mr_blip_tpu.models import model_zoo
+        >>> print(model_zoo)      # table of architectures and types
+        >>> len(model_zoo)        # total (arch, type) count
+
+    Computed lazily so every registry side-effect import is included.
+    """
+
+    def _table(self):
+        import mr_blip_tpu  # noqa: F401  (registry side effects)
+        from mr_blip_tpu.common.registry import registry
+
+        return {
+            name: list(getattr(m, "PRETRAINED_MODEL_CONFIG_DICT", {"default": None}))
+            for name, m in sorted(registry.mapping["model_name_mapping"].items())
+        }
+
+    def __str__(self) -> str:
+        rows = self._table()
+        return (
+            "=" * 50 + "\n"
+            + f"{'Architectures':<32} {'Types'}\n"
+            + "=" * 50 + "\n"
+            + "\n".join(f"{n:<32} {', '.join(t)}" for n, t in rows.items())
+        )
+
+    def __iter__(self):
+        return iter(self._table().items())
+
+    def __len__(self):
+        return sum(len(t) for t in self._table().values())
+
+
+model_zoo = ModelZoo()
+
+
 __all__ = [
     "BaseModel",
     "EvaViT",
@@ -50,4 +89,5 @@ __all__ = [
     "qformer_base_config",
     "load_model",
     "load_model_and_preprocess",
+    "model_zoo",
 ]

@@ -103,3 +103,15 @@ class TestSchedulers:
         assert sched(0, 1) == 0.5
         assert sched(1, 0) == pytest.approx(0.1)
         assert sched(3, 0) == pytest.approx(0.01)  # floored at min_lr
+
+
+class TestModelZooListing:
+    def test_model_zoo_table(self):
+        from mr_blip_tpu.models import model_zoo
+
+        s = str(model_zoo)
+        assert "Architectures" in s
+        assert "blip2_mr" in s and "pretrain_flant5xl" in s
+        assert len(model_zoo) >= 30
+        names = dict(iter(model_zoo))
+        assert "clip" in names and "ViT-L-14" in names["clip"]
