@@ -39,7 +39,11 @@ class ALBEFConfig:
 
 
 def albef_base_config() -> ALBEFConfig:
-    return ALBEFConfig()
+    # med_config_albef.json: 12 layers split at fusion_layer 6 — layers 0-5
+    # are the text encoder, 6-11 the multimodal fusion encoder
+    return ALBEFConfig(
+        text=MedConfig(vocab_size=30522, fusion_layer=6),
+    )
 
 
 def albef_tiny_config() -> ALBEFConfig:
@@ -88,13 +92,27 @@ class ALBEF(nn.Module):
         image_states = self.encode_image(images)
         return self.itm_logits_with_states(image_states, text_ids, text_mask)
 
-    def itm_logits_with_states(self, image_states, text_ids, text_mask=None):
-        """ITM over precomputed image states (hard-negative pairing reuses
-        gathered image token sets, albef_pretrain.py:236-274)."""
-        fused = self.text_encoder(
+    def fused_states(self, image_states, text_ids, text_mask=None):
+        """Multimodal hidden states. With ``fusion_layer`` set (ALBEF: 6)
+        this is the reference two-stage pass — text layers [0, 6) then
+        fusion layers [6, 12) with cross-attention continuing from the
+        text output (albef_pretrain.py mode="text" + mode="fusion");
+        otherwise every layer cross-attends (BLIP behavior)."""
+        if self.config.text.fusion_layer is not None:
+            h = self.text_encoder(text_ids, text_mask=text_mask, mode="text")
+            return self.text_encoder(
+                text_ids, text_mask=text_mask, image_states=image_states,
+                mode="fusion", input_embeds=h,
+            )
+        return self.text_encoder(
             text_ids, text_mask=text_mask, image_states=image_states,
             mode="multimodal",
         )
+
+    def itm_logits_with_states(self, image_states, text_ids, text_mask=None):
+        """ITM over precomputed image states (hard-negative pairing reuses
+        gathered image token sets, albef_pretrain.py:236-274)."""
+        fused = self.fused_states(image_states, text_ids, text_mask)
         return self.itm_head(fused[:, 0])
 
     def pretrain_states(self, images, text_ids, text_mask=None):

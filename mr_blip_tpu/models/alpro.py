@@ -35,7 +35,11 @@ class ALPROConfig:
 
 
 def alpro_base_config(**kw) -> ALPROConfig:
-    return ALPROConfig(**kw)
+    # bert_config_alpro.json: 12 layers split at fusion_layer 6 (text
+    # encoder below, video-text fusion above), vocab 30522
+    defaults = dict(text=MedConfig(vocab_size=30522, fusion_layer=6))
+    defaults.update(kw)
+    return ALPROConfig(**defaults)
 
 
 def alpro_tiny_config(**kw) -> ALPROConfig:
@@ -82,10 +86,19 @@ class ALPRO(nn.Module):
 
     def fused_cls(self, video, text_ids, text_mask=None):
         video_states = self.visual_encoder(video)
-        fused = self.text_encoder(
-            text_ids, text_mask=text_mask, image_states=video_states,
-            mode="multimodal",
-        )
+        if self.config.text.fusion_layer is not None:
+            # reference ALPRO: text layers [0, 6) then fusion layers
+            # [6, 12) cross-attending the video tokens
+            h = self.text_encoder(text_ids, text_mask=text_mask, mode="text")
+            fused = self.text_encoder(
+                text_ids, text_mask=text_mask, image_states=video_states,
+                mode="fusion", input_embeds=h,
+            )
+        else:
+            fused = self.text_encoder(
+                text_ids, text_mask=text_mask, image_states=video_states,
+                mode="multimodal",
+            )
         return fused[:, 0]
 
     def vtm_logits(self, video, text_ids, text_mask=None):

@@ -37,6 +37,12 @@ class MedConfig:
     max_position_embeddings: int = 512
     layer_norm_eps: float = 1e-12
     dropout: float = 0.1
+    # ALBEF/ALPRO split the stack: layers [0, fusion_layer) are the text
+    # encoder (mode="text"), layers [fusion_layer, num_layers) the
+    # multimodal fusion encoder (mode="fusion"); None = num_layers = the
+    # BLIP behavior where "multimodal" cross-attends in every layer
+    # (reference med.py BertEncoder:540-558, med_config_albef.json:21).
+    fusion_layer: int | None = None
 
 
 def med_base_config(**kw) -> MedConfig:
@@ -122,32 +128,47 @@ class MedModel(nn.Module):
 
     @nn.compact
     def __call__(self, text_ids, text_mask=None, image_states=None,
-                 image_mask=None, mode="text", deterministic=True):
+                 image_mask=None, mode="text", deterministic=True,
+                 input_embeds=None):
+        """``mode``: "text" runs layers [0, fusion_layer); "fusion" runs
+        [fusion_layer, num_layers) over ``input_embeds`` (the text-mode
+        output — reference ALBEF continues the same BERT stack) with
+        cross-attention; "multimodal"/"decoder" run the whole stack.
+        """
         cfg = self.config
-        assert mode in ("text", "multimodal", "decoder")
-        word = nn.Embed(
-            cfg.vocab_size, cfg.hidden_size,
-            embedding_init=nn.initializers.normal(0.02),
-            param_dtype=jnp.float32, name="word_embeddings",
-        )(text_ids)
-        pos = nn.Embed(
-            cfg.max_position_embeddings, cfg.hidden_size,
-            embedding_init=nn.initializers.normal(0.02),
-            param_dtype=jnp.float32, name="position_embeddings",
-        )(jnp.arange(text_ids.shape[1]))
-        x = (word + pos).astype(self.compute_dtype)
-        x = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(x)
-        if cfg.dropout > 0.0:
-            x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
+        assert mode in ("text", "multimodal", "decoder", "fusion")
+        fusion = cfg.fusion_layer if cfg.fusion_layer is not None else cfg.num_layers
+        if mode == "fusion":
+            assert input_embeds is not None, "fusion mode continues from the text-mode hidden states"
+            x = input_embeds.astype(self.compute_dtype)
+            start_layer, end_layer = fusion, cfg.num_layers
+        else:
+            word = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size,
+                embedding_init=nn.initializers.normal(0.02),
+                param_dtype=jnp.float32, name="word_embeddings",
+            )(text_ids)
+            pos = nn.Embed(
+                cfg.max_position_embeddings, cfg.hidden_size,
+                embedding_init=nn.initializers.normal(0.02),
+                param_dtype=jnp.float32, name="position_embeddings",
+            )(jnp.arange(text_ids.shape[1]))
+            x = (word + pos).astype(self.compute_dtype)
+            x = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(x)
+            if cfg.dropout > 0.0:
+                x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
+            start_layer = 0
+            end_layer = fusion if mode == "text" else cfg.num_layers
 
-        use_image = mode in ("multimodal", "decoder") and image_states is not None
+        use_image = (mode in ("multimodal", "decoder", "fusion")
+                     and image_states is not None)
         # NLVR pair mode: a (states0, states1) tuple alternates the
         # cross-attention memory by layer parity — the functional equivalent
         # of the reference's paired layers with shared k/v
         # (albef_nlvr.py:198-214 share_cross_attention; both images are
         # cross-attended through interleaved layers).
         paired = use_image and isinstance(image_states, (tuple, list))
-        for i in range(cfg.num_layers):
+        for i in range(start_layer, end_layer):
             if paired:
                 states_i = image_states[i % 2]
                 mask_i = (image_mask[i % 2]

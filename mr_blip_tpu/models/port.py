@@ -345,3 +345,75 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     return {k: _np(v) for k, v in obj.items()}
+
+
+def port_med(state_dict: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """Reference MED BertModel state dict -> MedModel params subtree.
+
+    Layout (reference ``lavis/models/med.py``): embeddings.{word,position}
+    + LayerNorm; per layer attention.self.{query,key,value} +
+    attention.output.{dense,LayerNorm}, optional crossattention.*,
+    intermediate.dense, output.{dense,LayerNorm}. The pooler (unused by
+    the zoo paths) and position_ids buffers are skipped.
+    """
+    sd = {k[len(prefix):]: _np(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    out: dict = {}
+    _set(out, "word_embeddings/embedding", sd["embeddings.word_embeddings.weight"])
+    _set(out, "position_embeddings/embedding",
+         sd["embeddings.position_embeddings.weight"])
+    _set(out, "embeddings_norm/LayerNorm_0/scale", sd["embeddings.LayerNorm.weight"])
+    _set(out, "embeddings_norm/LayerNorm_0/bias", sd["embeddings.LayerNorm.bias"])
+
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"encoder\.layer\.(\d+)\.", k))
+    )
+
+    def dense(src, dst):
+        _set(out, dst + "/Dense_0/kernel", sd[src + ".weight"].T)
+        if src + ".bias" in sd:
+            _set(out, dst + "/Dense_0/bias", sd[src + ".bias"])
+
+    def norm(src, dst):
+        _set(out, dst + "/LayerNorm_0/scale", sd[src + ".weight"])
+        _set(out, dst + "/LayerNorm_0/bias", sd[src + ".bias"])
+
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}."
+        b = f"layer_{i}/"
+        for name in ("query", "key", "value"):
+            dense(p + f"attention.self.{name}", b + f"attention/{name}")
+        dense(p + "attention.output.dense", b + "attention/output")
+        norm(p + "attention.output.LayerNorm", b + "attention/output_norm")
+        if p + "crossattention.self.query.weight" in sd:
+            for name in ("query", "key", "value"):
+                dense(p + f"crossattention.self.{name}", b + f"crossattention/{name}")
+            dense(p + "crossattention.output.dense", b + "crossattention/output")
+            norm(p + "crossattention.output.LayerNorm", b + "crossattention/output_norm")
+        dense(p + "intermediate.dense", b + "intermediate")
+        dense(p + "output.dense", b + "output")
+        norm(p + "output.LayerNorm", b + "ffn_norm")
+    return out
+
+
+def port_med_lm_head(state_dict: Dict[str, np.ndarray],
+                     prefix: str = "cls.") -> dict:
+    """BertLMHeadModel cls head -> MedLMHead params (transform dense +
+    LayerNorm + vocab decoder; reference med.py BertOnlyMLMHead)."""
+    sd = {k[len(prefix):]: _np(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    out: dict = {}
+    _set(out, "transform/Dense_0/kernel",
+         sd["predictions.transform.dense.weight"].T)
+    _set(out, "transform/Dense_0/bias", sd["predictions.transform.dense.bias"])
+    _set(out, "transform_norm/LayerNorm_0/scale",
+         sd["predictions.transform.LayerNorm.weight"])
+    _set(out, "transform_norm/LayerNorm_0/bias",
+         sd["predictions.transform.LayerNorm.bias"])
+    _set(out, "decoder/Dense_0/kernel", sd["predictions.decoder.weight"].T)
+    bias = sd.get("predictions.decoder.bias", sd.get("predictions.bias"))
+    if bias is not None:
+        _set(out, "decoder/Dense_0/bias", bias)
+    return out
