@@ -417,3 +417,61 @@ def port_med_lm_head(state_dict: Dict[str, np.ndarray],
     if bias is not None:
         _set(out, "decoder/Dense_0/bias", bias)
     return out
+
+
+def port_timesformer(state_dict: Dict[str, np.ndarray],
+                     prefix: str = "") -> dict:
+    """Reference TimeSformer state dict -> our TimeSformer params.
+
+    Layout (reference ``lavis/models/timesformer/vit.py``): patch_embed
+    conv, cls_token/pos_embed/time_embed, per block temporal_norm1 /
+    temporal_attn(qkv,proj) / temporal_fc / norm1 / attn / norm2 / mlp,
+    final norm. NOTE the reference keeps tokens patch-major ``(h w t)``
+    while ours are frame-major ``(t p)`` — weights are identical (both
+    attentions operate on the same token groups); only activation token
+    ORDER differs between the two models.
+    """
+    sd = {k[len(prefix):]: _np(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    out: dict = {}
+    _set(out, "cls_token", sd["cls_token"])
+    _set(out, "pos_embed", sd["pos_embed"])
+    if "time_embed" in sd:
+        _set(out, "time_embed", sd["time_embed"])
+    _set(out, "patch_embed/kernel",
+         sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    _set(out, "patch_embed/bias", sd["patch_embed.proj.bias"])
+    _set(out, "norm/LayerNorm_0/scale", sd["norm.weight"])
+    _set(out, "norm/LayerNorm_0/bias", sd["norm.bias"])
+
+    block_ids = [
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    ]
+    n_blocks = 1 + max(block_ids) if block_ids else 0
+
+    def dense(src, dst):
+        _set(out, dst + "/Dense_0/kernel", sd[src + ".weight"].T)
+        if src + ".bias" in sd:
+            _set(out, dst + "/Dense_0/bias", sd[src + ".bias"])
+
+    def norm(src, dst):
+        _set(out, dst + "/LayerNorm_0/scale", sd[src + ".weight"])
+        _set(out, dst + "/LayerNorm_0/bias", sd[src + ".bias"])
+
+    for i in range(n_blocks):
+        p = f"blocks.{i}."
+        b = f"blocks_{i}/"
+        norm(p + "norm1", b + "norm1")
+        dense(p + "attn.qkv", b + "attn/qkv")
+        dense(p + "attn.proj", b + "attn/proj")
+        if p + "temporal_norm1.weight" in sd:
+            norm(p + "temporal_norm1", b + "temporal_norm")
+            dense(p + "temporal_attn.qkv", b + "temporal_attn/qkv")
+            dense(p + "temporal_attn.proj", b + "temporal_attn/proj")
+            dense(p + "temporal_fc", b + "temporal_fc")
+        norm(p + "norm2", b + "norm2")
+        dense(p + "mlp.fc1", b + "mlp/fc1")
+        dense(p + "mlp.fc2", b + "mlp/fc2")
+    return out

@@ -30,6 +30,7 @@ class TimeSformerConfig:
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
+    norm_eps: float = 1e-5  # torch nn.LayerNorm default (reference norm_layer)
     # reference vit.py:148-156: "divided_space_time" (default),
     # "joint_space_time" (one attention over all 1+T*P tokens),
     # "space_only" (frames processed independently, averaged at the end)
@@ -79,7 +80,7 @@ class _DividedBlock(nn.Module):
         cls, patches = x[:, :1], x[:, 1:]
 
         # Temporal attention: same spatial location attends across frames.
-        h = LayerNormFP32(name="temporal_norm")(patches)
+        h = LayerNormFP32(epsilon=cfg.norm_eps, name="temporal_norm")(patches)
         h = h.reshape(b, t, p, d).transpose(0, 2, 1, 3).reshape(b * p, t, d)
         h = _MHA(d, cfg.num_heads, self.compute_dtype, name="temporal_attn")(h)
         h = Dense(d, compute_dtype=self.compute_dtype, name="temporal_fc")(h)
@@ -87,7 +88,7 @@ class _DividedBlock(nn.Module):
         patches = patches + h
 
         # Spatial attention: cls joins each frame.
-        h = LayerNormFP32(name="norm1")(jnp.concatenate([cls, patches], axis=1))
+        h = LayerNormFP32(epsilon=cfg.norm_eps, name="norm1")(jnp.concatenate([cls, patches], axis=1))
         cls_n, patches_n = h[:, :1], h[:, 1:]
         frame_tokens = patches_n.reshape(b, t, p, d).reshape(b * t, p, d)
         cls_rep = jnp.repeat(cls_n, t, axis=0)  # (B*T, 1, D)
@@ -100,7 +101,7 @@ class _DividedBlock(nn.Module):
 
         x = jnp.concatenate([cls, patches], axis=1)
         x = x + Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
-                    name="mlp")(LayerNormFP32(name="norm2")(x))
+                    name="mlp")(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x))
         return x
 
 
@@ -117,10 +118,10 @@ class _JointBlock(nn.Module):
         cfg = self.config
         d = cfg.embed_dim
         x = x + _MHA(d, cfg.num_heads, self.compute_dtype, name="attn")(
-            LayerNormFP32(name="norm1")(x)
+            LayerNormFP32(epsilon=cfg.norm_eps, name="norm1")(x)
         )
         x = x + Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
-                    name="mlp")(LayerNormFP32(name="norm2")(x))
+                    name="mlp")(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x))
         return x
 
 
@@ -178,7 +179,7 @@ class TimeSformer(nn.Module):
             for i in range(cfg.depth):
                 x = _JointBlock(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
             x = x.reshape(b, t, p + 1, cfg.embed_dim).mean(axis=1)
-            return LayerNormFP32(name="norm")(x)
+            return LayerNormFP32(epsilon=cfg.norm_eps, name="norm")(x)
 
         x = x.reshape(b, t * p, cfg.embed_dim)
         cls_tok = jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(x.dtype)
@@ -189,7 +190,7 @@ class TimeSformer(nn.Module):
                      else _JointBlock)
         for i in range(cfg.depth):
             x = block_cls(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
-        return LayerNormFP32(name="norm")(x)
+        return LayerNormFP32(epsilon=cfg.norm_eps, name="norm")(x)
 
 
 def resize_timesformer_embeds(params, new_n_frms=None, new_patches=None):
