@@ -28,7 +28,8 @@ class CLIPConfig:
     embed_dim: int = 512
     vision: BaseViTConfig = dataclasses.field(
         default_factory=lambda: BaseViTConfig(
-            img_size=224, patch_size=16, embed_dim=768, depth=12, num_heads=12
+            img_size=224, patch_size=16, embed_dim=768, depth=12, num_heads=12,
+            pre_norm=True, norm_eps=1e-5,
         )
     )
     vocab_size: int = 49408
@@ -37,6 +38,7 @@ class CLIPConfig:
     text_heads: int = 8
     text_layers: int = 12
     quick_gelu: bool = False  # OpenAI-checkpoint nonlinearity (both towers)
+    norm_eps: float = 1e-5  # torch nn.LayerNorm default (reference model.py)
 
 
 # OpenCLIP ViT model zoo — geometry mirrors the reference's JSON configs
@@ -68,6 +70,7 @@ def clip_config_from_name(name: str) -> CLIPConfig:
             img_size=img, patch_size=patch, embed_dim=vw, depth=vl,
             num_heads=vw // vhw, mlp_ratio=vmr,
             act="quick_gelu" if qg else "gelu",
+            pre_norm=True, norm_eps=1e-5,  # CLIP's ln_pre + torch eps
         ),
         text_width=tw, text_heads=th, text_layers=tl, quick_gelu=qg,
     )
@@ -81,7 +84,7 @@ def clip_tiny_config() -> CLIPConfig:
     return CLIPConfig(
         embed_dim=16,
         vision=BaseViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=2,
-                             num_heads=2),
+                             num_heads=2, pre_norm=True, norm_eps=1e-5),
         vocab_size=100, context_length=12, text_width=32, text_heads=2,
         text_layers=2,
     )
@@ -92,11 +95,12 @@ class _TextBlock(nn.Module):
     heads: int
     compute_dtype: Any = jnp.bfloat16
     activation: Any = None  # None = exact gelu; "quick_gelu" = OpenAI CLIP
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, mask):
         b, n, _ = x.shape
-        h = LayerNormFP32(name="ln_1")(x)
+        h = LayerNormFP32(epsilon=self.norm_eps, name="ln_1")(x)
         qkv = Dense(3 * self.width, compute_dtype=self.compute_dtype,
                     name="attn_qkv")(h).reshape(b, n, 3, self.heads, -1)
         attn = dot_product_attention(
@@ -106,7 +110,7 @@ class _TextBlock(nn.Module):
                       name="attn_out")(attn)
         x = x + Mlp(self.width * 4, compute_dtype=self.compute_dtype,
                     activation=self.activation,
-                    name="mlp")(LayerNormFP32(name="ln_2")(x))
+                    name="mlp")(LayerNormFP32(epsilon=self.norm_eps, name="ln_2")(x))
         return x
 
 
@@ -130,10 +134,10 @@ class CLIP(nn.Module):
         self.text_blocks = [
             _TextBlock(cfg.text_width, cfg.text_heads, self.compute_dtype,
                        activation="quick_gelu" if cfg.quick_gelu else None,
-                       name=f"text_block_{i}")
+                       norm_eps=cfg.norm_eps, name=f"text_block_{i}")
             for i in range(cfg.text_layers)
         ]
-        self.ln_final = LayerNormFP32(name="ln_final")
+        self.ln_final = LayerNormFP32(epsilon=cfg.norm_eps, name="ln_final")
         self.text_proj = Dense(cfg.embed_dim, use_bias=False,
                                compute_dtype=self.compute_dtype,
                                name="text_proj")

@@ -475,3 +475,79 @@ def port_timesformer(state_dict: Dict[str, np.ndarray],
         dense(p + "mlp.fc1", b + "mlp/fc1")
         dense(p + "mlp.fc2", b + "mlp/fc2")
     return out
+
+
+def port_clip(state_dict: Dict[str, np.ndarray]) -> dict:
+    """OpenAI/OpenCLIP CLIP state dict -> our CLIP params.
+
+    Layout (reference ``lavis/models/clip_models/model.py`` CLIP /
+    VisualTransformer): visual.conv1 (no bias — our conv's bias stays
+    zero), class/positional embeddings, ln_pre, resblocks with packed
+    in_proj MultiheadAttention + c_fc/c_proj MLPs, ln_post + proj; text
+    token/positional embeddings, resblocks, ln_final, text_projection,
+    logit_scale. The two projection matrices apply as ``x @ W`` so they
+    map to Dense kernels WITHOUT transposition.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    out: dict = {}
+
+    def dense(src_w, dst, src_b=None, transpose=True):
+        w = sd[src_w]
+        _set(out, dst + "/Dense_0/kernel", w.T if transpose else w)
+        if src_b is not None and src_b in sd:
+            _set(out, dst + "/Dense_0/bias", sd[src_b])
+
+    def norm(src, dst):
+        _set(out, dst + "/LayerNorm_0/scale", sd[src + ".weight"])
+        _set(out, dst + "/LayerNorm_0/bias", sd[src + ".bias"])
+
+    # ------------------------------------------------------------- visual
+    _set(out, "visual/patch_embed/kernel",
+         sd["visual.conv1.weight"].transpose(2, 3, 1, 0))
+    _set(out, "visual/patch_embed/bias",
+         np.zeros(sd["visual.conv1.weight"].shape[0], np.float32))
+    _set(out, "visual/cls_token", sd["visual.class_embedding"][None, None])
+    _set(out, "visual/pos_embed", sd["visual.positional_embedding"][None])
+    norm("visual.ln_pre", "visual/ln_pre")
+    norm("visual.ln_post", "visual/norm")
+    _set(out, "visual_proj/Dense_0/kernel", sd["visual.proj"])  # x @ W
+
+    n_v = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"visual\.transformer\.resblocks\.(\d+)\.", k))
+    )
+    for i in range(n_v):
+        p = f"visual.transformer.resblocks.{i}."
+        b = f"visual/blocks_{i}/"
+        norm(p + "ln_1", b + "norm1")
+        dense(p + "attn.in_proj_weight", b + "attn/qkv",
+              p + "attn.in_proj_bias")
+        dense(p + "attn.out_proj.weight", b + "attn/proj",
+              p + "attn.out_proj.bias")
+        norm(p + "ln_2", b + "norm2")
+        dense(p + "mlp.c_fc.weight", b + "mlp/fc1", p + "mlp.c_fc.bias")
+        dense(p + "mlp.c_proj.weight", b + "mlp/fc2", p + "mlp.c_proj.bias")
+
+    # --------------------------------------------------------------- text
+    _set(out, "token_embedding/embedding", sd["token_embedding.weight"])
+    _set(out, "positional_embedding", sd["positional_embedding"])
+    norm("ln_final", "ln_final")
+    _set(out, "text_proj/Dense_0/kernel", sd["text_projection"])  # x @ W
+    _set(out, "logit_scale", sd["logit_scale"])
+
+    n_t = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"transformer\.resblocks\.(\d+)\.", k))
+    )
+    for i in range(n_t):
+        p = f"transformer.resblocks.{i}."
+        b = f"text_block_{i}/"
+        norm(p + "ln_1", b + "ln_1")
+        dense(p + "attn.in_proj_weight", b + "attn_qkv",
+              p + "attn.in_proj_bias")
+        dense(p + "attn.out_proj.weight", b + "attn_out",
+              p + "attn.out_proj.bias")
+        norm(p + "ln_2", b + "ln_2")
+        dense(p + "mlp.c_fc.weight", b + "mlp/fc1", p + "mlp.c_fc.bias")
+        dense(p + "mlp.c_proj.weight", b + "mlp/fc2", p + "mlp.c_proj.bias")
+    return out

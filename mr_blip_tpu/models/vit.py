@@ -31,6 +31,8 @@ class BaseViTConfig:
     num_classes: int = 0
     drop_rate: float = 0.0
     act: str = "gelu"  # "gelu" | "quick_gelu" (OpenAI CLIP towers)
+    pre_norm: bool = False  # CLIP's ln_pre before the blocks
+    norm_eps: float = 1e-6  # CLIP towers use torch's 1e-5 default
 
     @property
     def num_patches(self) -> int:
@@ -74,13 +76,13 @@ class _Block(nn.Module):
     def __call__(self, x, deterministic=True):
         cfg = self.config
         x = x + _Attention(cfg, self.compute_dtype, name="attn")(
-            LayerNormFP32(name="norm1")(x), deterministic=deterministic
+            LayerNormFP32(epsilon=cfg.norm_eps, name="norm1")(x), deterministic=deterministic
         )
         x = x + Mlp(
             cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
             dropout=cfg.drop_rate, name="mlp",
             activation=None if cfg.act == "gelu" else cfg.act,
-        )(LayerNormFP32(name="norm2")(x), deterministic=deterministic)
+        )(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x), deterministic=deterministic)
         return x
 
 
@@ -109,12 +111,14 @@ class VisionTransformer(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, cfg.num_patches + 1, cfg.embed_dim), jnp.float32)
         x = x + pos.astype(x.dtype)
+        if cfg.pre_norm:  # CLIP's ln_pre
+            x = LayerNormFP32(epsilon=cfg.norm_eps, name="ln_pre")(x)
 
         for i in range(cfg.depth):
             x = _Block(cfg, self.compute_dtype, name=f"blocks_{i}")(
                 x, deterministic=deterministic
             )
-        x = LayerNormFP32(name="norm")(x)
+        x = LayerNormFP32(epsilon=cfg.norm_eps, name="norm")(x)
         if cfg.num_classes > 0:
             return Dense(cfg.num_classes, compute_dtype=self.compute_dtype,
                          name="head")(x[:, 0])
