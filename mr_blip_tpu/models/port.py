@@ -551,3 +551,45 @@ def port_clip(state_dict: Dict[str, np.ndarray]) -> dict:
         dense(p + "mlp.c_fc.weight", b + "mlp/fc1", p + "mlp.c_fc.bias")
         dense(p + "mlp.c_proj.weight", b + "mlp/fc2", p + "mlp.c_proj.bias")
     return out
+
+
+def port_base_vit(state_dict: Dict[str, np.ndarray],
+                  prefix: str = "") -> dict:
+    """Reference base ViT (``lavis/models/vit.py``, timm-style, used by
+    ALBEF/BLIP-v1) state dict -> our VisionTransformer params. Standard
+    fused QKV with a full bias (unlike EVA's q/v-only split)."""
+    sd = {k[len(prefix):]: _np(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    out: dict = {}
+    _set(out, "cls_token", sd["cls_token"])
+    _set(out, "pos_embed", sd["pos_embed"])
+    _set(out, "patch_embed/kernel",
+         sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    _set(out, "patch_embed/bias", sd["patch_embed.proj.bias"])
+    _set(out, "norm/LayerNorm_0/scale", sd["norm.weight"])
+    _set(out, "norm/LayerNorm_0/bias", sd["norm.bias"])
+
+    n_blocks = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    )
+
+    def dense(src, dst):
+        _set(out, dst + "/Dense_0/kernel", sd[src + ".weight"].T)
+        if src + ".bias" in sd:
+            _set(out, dst + "/Dense_0/bias", sd[src + ".bias"])
+
+    def norm(src, dst):
+        _set(out, dst + "/LayerNorm_0/scale", sd[src + ".weight"])
+        _set(out, dst + "/LayerNorm_0/bias", sd[src + ".bias"])
+
+    for i in range(n_blocks):
+        p = f"blocks.{i}."
+        b = f"blocks_{i}/"
+        norm(p + "norm1", b + "norm1")
+        dense(p + "attn.qkv", b + "attn/qkv")
+        dense(p + "attn.proj", b + "attn/proj")
+        norm(p + "norm2", b + "norm2")
+        dense(p + "mlp.fc1", b + "mlp/fc1")
+        dense(p + "mlp.fc2", b + "mlp/fc2")
+    return out
