@@ -593,3 +593,54 @@ def port_base_vit(state_dict: Dict[str, np.ndarray],
         dense(p + "mlp.fc1", b + "mlp/fc1")
         dense(p + "mlp.fc2", b + "mlp/fc2")
     return out
+
+
+def port_gpt2(state_dict: Dict[str, np.ndarray],
+              prefix: str = "transformer.") -> dict:
+    """HF GPT-2 state dict -> the GPTDialogue LM (OPT-stack-with-GELU)
+    params (reference ``lavis/models/gpt_models/gpt_dialogue.py`` is a
+    GPT2LMHeadModel subclass).
+
+    GPT-2 stores Linears as Conv1D — weights are (in, out) and map to our
+    kernels WITHOUT transposition; c_attn packs q/k/v along the output
+    axis. The LM head is tied to wte (OPTConfig.tie_head).
+    """
+    sd = {k[len(prefix):]: _np(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    out: dict = {}
+    _set(out, "embed_tokens/embedding", sd["wte.weight"])
+    _set(out, "embed_positions/embedding", sd["wpe.weight"])
+    _set(out, "final_norm/LayerNorm_0/scale", sd["ln_f.weight"])
+    _set(out, "final_norm/LayerNorm_0/bias", sd["ln_f.bias"])
+
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"h\.(\d+)\.", k))
+    )
+
+    def norm(src, dst):
+        _set(out, dst + "/LayerNorm_0/scale", sd[src + ".weight"])
+        _set(out, dst + "/LayerNorm_0/bias", sd[src + ".bias"])
+
+    for i in range(n_layers):
+        p = f"h.{i}."
+        b = f"layer_{i}/"
+        norm(p + "ln_1", b + "self_attn_norm")
+        w = sd[p + "attn.c_attn.weight"]      # (D, 3D), already (in, out)
+        bias = sd[p + "attn.c_attn.bias"]
+        d = w.shape[0]
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(out, b + f"self_attn/{name}/Dense_0/kernel",
+                 w[:, j * d:(j + 1) * d])
+            _set(out, b + f"self_attn/{name}/Dense_0/bias",
+                 bias[j * d:(j + 1) * d])
+        _set(out, b + "self_attn/out_proj/Dense_0/kernel",
+             sd[p + "attn.c_proj.weight"])
+        _set(out, b + "self_attn/out_proj/Dense_0/bias",
+             sd[p + "attn.c_proj.bias"])
+        norm(p + "ln_2", b + "final_norm")
+        _set(out, b + "fc1/Dense_0/kernel", sd[p + "mlp.c_fc.weight"])
+        _set(out, b + "fc1/Dense_0/bias", sd[p + "mlp.c_fc.bias"])
+        _set(out, b + "fc2/Dense_0/kernel", sd[p + "mlp.c_proj.weight"])
+        _set(out, b + "fc2/Dense_0/bias", sd[p + "mlp.c_proj.bias"])
+    return out

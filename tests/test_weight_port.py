@@ -340,3 +340,39 @@ class TestOPTPortParity:
         got = model.apply({"params": params}, embeds,
                           attention_mask=jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+class TestGPT2Port:
+    def test_gpt_dialogue_lm_matches_hf_gpt2(self):
+        """port_gpt2: our GPT-2-reuse stack (pre-LN, tanh-GELU, tied head)
+        computes HF GPT2LMHeadModel's function (reference gpt_dialogue is
+        a GPT2LMHeadModel subclass)."""
+        torch = pytest.importorskip("torch")
+        from transformers import GPT2Config, GPT2LMHeadModel
+
+        import jax.numpy as jnp
+
+        from mr_blip_tpu.models.opt import OPTForCausalLM
+        from mr_blip_tpu.models.gpt_dialogue import gpt2_tiny_config
+        from mr_blip_tpu.models.port import port_gpt2
+
+        torch.manual_seed(0)
+        hf_cfg = GPT2Config(
+            vocab_size=256, n_positions=128, n_embd=32, n_layer=2, n_head=4,
+            n_inner=64, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            layer_norm_epsilon=1e-5, activation_function="gelu_new",
+        )
+        ref = GPT2LMHeadModel(hf_cfg).eval()
+
+        cfg = gpt2_tiny_config()
+        ours = OPTForCausalLM(cfg, compute_dtype=jnp.float32)
+        params = port_gpt2(ref.state_dict())
+
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 256, (2, 7)).astype(np.int64)
+        with torch.no_grad():
+            want = ref(torch.tensor(ids)).logits.numpy()
+        embeds = ours.apply({"params": params}, jnp.asarray(ids),
+                            method="embed_tokens")
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(embeds)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
