@@ -26,10 +26,14 @@ from mr_blip_tpu.models.vit import BaseViTConfig
 
 
 def _stub(name, **attrs):
-    mod = types.ModuleType(name)
-    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    # additive: parity fixtures share the fake ``lavis`` modules — never
+    # clobber attrs another fixture installed (e.g. base_model.BaseEncoder)
+    mod = sys.modules.get(name) or types.ModuleType(name)
+    if getattr(mod, "__spec__", None) is None:
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
-        setattr(mod, k, v)
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
     sys.modules[name] = mod
     return mod
 

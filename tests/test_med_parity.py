@@ -61,16 +61,19 @@ def ref_med(reference_root):
         cu = types.ModuleType("lavis.common.utils")
         cu.get_abs_path = lambda p: p
         sys.modules["lavis.common.utils"] = cu
-    if "lavis.models.base_model" not in sys.modules:
+    bm = sys.modules.get("lavis.models.base_model")
+    if bm is None:
         bm = types.ModuleType("lavis.models.base_model")
-
+        bm.__spec__ = importlib.machinery.ModuleSpec(
+            "lavis.models.base_model", loader=None)
+        sys.modules["lavis.models.base_model"] = bm
+    if not hasattr(bm, "BaseEncoder"):
         class BaseEncoder(torch.nn.Module):
             @classmethod
             def from_config(cls, cfg, from_pretrained=False):  # pragma: no cover
                 raise NotImplementedError
 
         bm.BaseEncoder = BaseEncoder
-        sys.modules["lavis.models.base_model"] = bm
     return _load_module(reference_root / "lavis" / "models" / "med.py",
                         "ref_med")
 
