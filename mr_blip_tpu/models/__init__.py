@@ -27,7 +27,12 @@ def load_model(name, model_type=None, is_eval=False, checkpoint=None, **kwargs):
 
 def load_model_and_preprocess(name, model_type=None, is_eval=False, **kwargs):
     """Model + its train/eval processors (reference
-    ``lavis.models.load_model_and_preprocess``)."""
+    ``lavis.models.load_model_and_preprocess`` — same 3-tuple return:
+    (model, vis_processors, txt_processors))."""
+    from mr_blip_tpu.processors.text_processors import (
+        BlipCaptionProcessor,
+        BlipQuestionProcessor,
+    )
     from mr_blip_tpu.processors.video_processors import (
         Blip2VideoTrainProcessor,
         BlipVideoEvalProcessor,
@@ -39,7 +44,11 @@ def load_model_and_preprocess(name, model_type=None, is_eval=False, **kwargs):
         "train": Blip2VideoTrainProcessor(image_size=img),
         "eval": BlipVideoEvalProcessor(image_size=img),
     }
-    return model, vis_processors
+    txt_processors = {
+        "train": BlipCaptionProcessor(),
+        "eval": BlipQuestionProcessor(),
+    }
+    return model, vis_processors, txt_processors
 
 
 class ModelZoo:

@@ -115,3 +115,16 @@ class TestModelZooListing:
         assert len(model_zoo) >= 30
         names = dict(iter(model_zoo))
         assert "clip" in names and "ViT-L-14" in names["clip"]
+
+
+class TestLoadModelAndPreprocess:
+    def test_three_tuple_like_reference(self):
+        """Reference lavis.models.load_model_and_preprocess returns
+        (model, vis_processors, txt_processors) with train/eval keys."""
+        from mr_blip_tpu.models import load_model_and_preprocess
+
+        model, vis, txt = load_model_and_preprocess(
+            "blip2_mr", "tiny", init_params=False)
+        assert set(vis) == {"train", "eval"}
+        assert set(txt) == {"train", "eval"}
+        assert callable(txt["eval"])
