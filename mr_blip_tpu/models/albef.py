@@ -317,6 +317,30 @@ class AlbefNLVR(nn.Module):
         return -jnp.take_along_axis(ll, targets[:, None], axis=1).mean()
 
 
+def albef_nlvr_distill_loss(module, params, m_params, images0, images1,
+                            text_ids, targets, text_mask=None, alpha=0.4,
+                            momentum=0.995):
+    """Reference AlbefNLVR training objective with momentum distillation
+    (albef_nlvr.py:79-170, use_distill=True default):
+
+        loss = (1 - alpha) * CE(logits, targets)
+               - alpha * sum(log_softmax(logits) * softmax(logits_m))
+
+    where logits_m come from the EMA momentum copy (refreshed first).
+    Returns (loss, new_momentum_params); pass ``alpha`` through the
+    caller's rampup schedule (reference _rampup_factor).
+    """
+    new_m = _ema(m_params, params, momentum)
+    logits = module.apply({"params": params}, images0, images1, text_ids,
+                          text_mask)
+    logits_m = jax.lax.stop_gradient(module.apply(
+        {"params": new_m}, images0, images1, text_ids, text_mask))
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[:, None], axis=1).mean()
+    kl = -(logp * jax.nn.softmax(logits_m.astype(jnp.float32), -1)).sum(-1).mean()
+    return (1.0 - alpha) * ce + alpha * kl, new_m
+
+
 @registry.register_model("albef_vqa")
 class AlbefVQA(nn.Module):
     """ALBEF open-ended VQA (reference ``albef_models/albef_vqa.py``):
