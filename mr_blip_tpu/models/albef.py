@@ -125,6 +125,32 @@ class ALBEF(nn.Module):
         txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=-1, keepdims=True)
         return image_states, img, txt
 
+    def extract_features(self, images=None, text_ids=None, text_mask=None,
+                         mode="multimodal"):
+        """Reference ``albef_feature_extractor`` surface (same contract as
+        BLIP's: image/text modes return raw + L2-normalized projected
+        features; multimodal returns the fused hidden states — through the
+        fusion_layer split when configured)."""
+        assert mode in ("image", "text", "multimodal")
+        out = {}
+        if mode == "image":
+            states = self.encode_image(images)
+            proj = self.vision_proj(states[:, 0])
+            out["image_embeds"] = states
+            out["image_embeds_proj"] = proj / jnp.linalg.norm(
+                proj.astype(jnp.float32), axis=-1, keepdims=True)
+        elif mode == "text":
+            states = self.encode_text(text_ids, text_mask)
+            proj = self.text_proj(states[:, 0])
+            out["text_embeds"] = states
+            out["text_embeds_proj"] = proj / jnp.linalg.norm(
+                proj.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            image_states = self.encode_image(images)
+            out["multimodal_embeds"] = self.fused_states(
+                image_states, text_ids, text_mask)
+        return out
+
     def __call__(self, images, text_ids, text_mask=None):
         """Training objectives: ITC loss + ITM logits for in-batch pairs."""
         img_f, txt_f = self.itc_features(images, text_ids, text_mask)

@@ -172,6 +172,36 @@ class BLIPv1(nn.Module):
         labels = jnp.where(answer_mask[:, 1:] == 1, answer_ids[:, 1:], -100)
         return cross_entropy_lm_loss(logits, labels, answer_mask[:, 1:])
 
+    def extract_features(self, images=None, text_ids=None, text_mask=None,
+                         mode="multimodal"):
+        """Reference ``blip_feature_extractor.extract_features`` surface:
+        mode "image" -> {image_embeds, image_embeds_proj}; "text" ->
+        {text_embeds, text_embeds_proj}; "multimodal" ->
+        {multimodal_embeds} (fused hidden states). Projected features are
+        L2-normalized ITC vectors."""
+        assert mode in ("image", "text", "multimodal")
+        out = {}
+        if mode == "image":
+            states = self.visual_encoder(images)
+            proj = self.vision_proj(states[:, 0])
+            out["image_embeds"] = states
+            out["image_embeds_proj"] = proj / jnp.linalg.norm(
+                proj.astype(jnp.float32), axis=-1, keepdims=True)
+        elif mode == "text":
+            states = self.text_encoder(text_ids, text_mask=text_mask,
+                                       mode="text")
+            proj = self.text_proj(states[:, 0])
+            out["text_embeds"] = states
+            out["text_embeds_proj"] = proj / jnp.linalg.norm(
+                proj.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            image_states = self.visual_encoder(images)
+            out["multimodal_embeds"] = self.text_encoder(
+                text_ids, text_mask=text_mask, image_states=image_states,
+                mode="multimodal",
+            )
+        return out
+
     def question_states(self, images, question_ids, question_mask=None):
         """Fused question representation (shared surface with AlbefVQA so
         models/albef.py::rank_answers ranks candidate lists for BLIP too —

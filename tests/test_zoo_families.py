@@ -317,3 +317,35 @@ class TestAlbefFusionSplitE2E:
         # different fusion recipes -> different functions on the same params
         assert np.abs(np.asarray(logits_all) -
                       np.asarray(logits_split)).max() > 1e-6
+
+
+class TestFeatureExtraction:
+    @pytest.mark.parametrize("family", ["blip", "albef"])
+    def test_extract_features_modes(self, family):
+        """Reference feature-extractor surface: image/text modes give raw +
+        L2-normalized projected features, multimodal the fused states."""
+        rng = np.random.default_rng(0)
+        if family == "blip":
+            m = BLIPv1(blip_tiny_config(), compute_dtype=jnp.float32)
+        else:
+            m = ALBEF(albef_tiny_config(), compute_dtype=jnp.float32)
+        imgs = jnp.array(rng.standard_normal((2, 28, 28, 3), np.float32))
+        ids, mask = _text(rng)
+        params = m.init(jax.random.PRNGKey(0), imgs, ids, mask)
+
+        fi = m.apply(params, images=imgs, mode="image",
+                     method="extract_features")
+        assert fi["image_embeds"].shape[0] == 2
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(fi["image_embeds_proj"]), axis=-1),
+            1.0, rtol=1e-5)
+
+        ft = m.apply(params, text_ids=ids, text_mask=mask, mode="text",
+                     method="extract_features")
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(ft["text_embeds_proj"]), axis=-1),
+            1.0, rtol=1e-5)
+
+        fm = m.apply(params, images=imgs, text_ids=ids, text_mask=mask,
+                     mode="multimodal", method="extract_features")
+        assert fm["multimodal_embeds"].shape[:2] == (2, ids.shape[1])
