@@ -62,10 +62,12 @@ class T5Config:
     # HF T5 also drops the attention WEIGHTS during training
     # (modeling_t5.py F.dropout(attn_weights)). Opt-in: active dropout
     # forces the XLA attention backend (flash kernels are deterministic),
-    # whose fp32 logits + masks at ~2k tokens exceed one 16 GB chip for
-    # the XL encoder even under remat (measured: ResourceExhausted) — the
-    # default keeps flash + residual-only dropout; enable for bit-parity
-    # regularization when dp/tp sharding provides the memory headroom.
+    # whose fp32 logits + dropout masks at ~2k tokens/24 layers make the
+    # XL training graph infeasible on one 16 GB chip (measured:
+    # ResourceExhausted, and the standalone compile crashes this
+    # environment's remote compiler) — the default keeps flash +
+    # residual-only dropout; enable for bit-parity regularization at small
+    # geometry or when dp/tp sharding provides the headroom.
     attn_weight_dropout: bool = False
 
 
