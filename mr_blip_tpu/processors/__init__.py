@@ -7,6 +7,7 @@ from mr_blip_tpu.processors.text_processors import (
     BlipCaptionProcessor,
     BlipQuestionProcessor,
 )
+from mr_blip_tpu.processors import image_processors  # noqa: F401  (registry)
 
 __all__ = [
     "Blip2VideoTrainProcessor",

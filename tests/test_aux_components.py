@@ -247,3 +247,90 @@ class TestCaptionMetrics:
         sims = np.array([[0.1, 0.9, 0.0, 0.0], [0.0, 0.0, 0.8, 0.2]])
         m = retrieval_metrics(sims, i2t_gt={0: [0, 1], 1: [2, 3]})
         assert m["txt_r1"] == 100.0
+
+
+class TestImageProcessors:
+    def test_randaugment_blip_recipe(self):
+        import numpy as np
+
+        from mr_blip_tpu.processors.randaugment import BLIP_AUGS, RandomAugment
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+        aug = RandomAugment(2, 5, augs=BLIP_AUGS,
+                            rng=np.random.default_rng(1))
+        out = aug(img)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        # every op individually runs and preserves shape/dtype
+        from mr_blip_tpu.processors.randaugment import FUNC_DICT, LEVELED
+
+        r = np.random.default_rng(2)
+        for name, fn in FUNC_DICT.items():
+            o = fn(img, r, 5) if name in LEVELED else fn(img, r)
+            assert np.asarray(o).shape == img.shape, name
+
+    def test_blip_image_train_eval(self):
+        import numpy as np
+
+        from mr_blip_tpu.common.registry import registry
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+        train = registry.get_processor_class("blip_image_train")(
+            image_size=32, seed=0)
+        eval_p = registry.get_processor_class("blip_image_eval")(image_size=32)
+        a = train(img)
+        b = eval_p(img)
+        assert a.shape == b.shape == (32, 32, 3)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+
+    def test_clip_image_processors(self):
+        import numpy as np
+
+        from mr_blip_tpu.common.registry import registry
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (50, 90, 3)).astype(np.uint8)
+        train = registry.get_processor_class("clip_image_train")(
+            image_size=32, seed=0)
+        eval_p = registry.get_processor_class("clip_image_eval")(image_size=32)
+        assert train(img).shape == (32, 32, 3)
+        # shorter-side resize + center crop handles non-square inputs
+        assert eval_p(img).shape == (32, 32, 3)
+
+    def test_alpro_video_processors(self):
+        import numpy as np
+
+        from mr_blip_tpu.common.registry import registry
+
+        train = registry.get_processor_class("alpro_video_train")(
+            image_size=32, n_frms=3, seed=0)
+        eval_p = registry.get_processor_class("alpro_video_eval")(
+            image_size=32, n_frms=3)
+        uri = "synthetic://12x48x64@6.0#1"
+        ft, _, _ = train(uri)
+        fe, _, _ = eval_p(uri)
+        assert ft.shape == (3, 32, 32, 3)
+        assert fe.shape == (3, 32, 32, 3)
+        assert np.isfinite(ft).all()
+
+    def test_gpt_processors(self):
+        import numpy as np
+
+        from mr_blip_tpu.common.registry import registry
+
+        dlg = registry.get_processor_class("gpt_dialogue")(max_turns=2)
+        out = dlg({
+            "dialog": [{"question": "q1", "answer": "a1"},
+                       {"question": "q2", "answer": "a2"},
+                       {"question": "q3", "answer": "a3"}],
+            "question": "what now",
+            "answer": "this",
+        })
+        assert out["response"] == "this"
+        assert "q1" not in out["text_input"]  # capped to last 2 turns
+        assert "q2" in out["text_input"] and "what now" in out["text_input"]
+
+        vf = registry.get_processor_class("gpt_video_ft")(visual_ft_max_len=4)
+        feats = vf(np.ones((9, 8)))
+        assert feats.shape == (4, 8)
