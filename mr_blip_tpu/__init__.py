@@ -32,6 +32,7 @@ from mr_blip_tpu.models import blip2_mr_opt as _blip2_mr_opt
 from mr_blip_tpu.models import blip2_fmr as _blip2_fmr
 from mr_blip_tpu.datasets import builders as _builders  # registers builders
 from mr_blip_tpu.datasets import image_datasets as _image_datasets
+from mr_blip_tpu.datasets import video_zoo_datasets as _video_zoo_datasets
 from mr_blip_tpu.models import gpt_dialogue as _gpt_dialogue
 from mr_blip_tpu.models import pnp_vqa as _pnp_vqa
 from mr_blip_tpu.models import clip as _clip

@@ -174,3 +174,7 @@ STARBuilder = _qa_builder("star")
 TVQABuilder = _qa_builder("tvqa")
 How2QABuilder = _qa_builder("how2qa")
 VLEPBuilder = _qa_builder("vlep")
+# SeViLA-style QVH VideoQA view (reference video_qa_builder.py:104-110)
+@registry.register_builder("qvh_sevilla")
+class QVHSevillaBuilder(MCVideoQABuilder):
+    DATASET_CONFIG_DICT = {"default": "configs/datasets/qvh/defaults.yaml"}

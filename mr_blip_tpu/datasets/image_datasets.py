@@ -229,3 +229,4 @@ VGCaptionBuilder = _make("vg_caption", ImageTextPairBuilder)
 LAIONBuilder = _make("laion2B_multi", ImageTextPairBuilder)
 # Folder-of-classes (reference imagefolder_builder.py / ImageNet)
 ImageNetBuilder = _make("imagenet", ImageFolderBuilder)
+VGVQABuilder = _make("vg_vqa", ImageQABuilder)

@@ -130,3 +130,89 @@ class TestNLVRTaskE2E:
         assert len(results) == 2
         metrics = task.after_evaluation(results, "val", 0)
         assert "acc" in metrics and 0.0 <= metrics["acc"] <= 100.0
+
+
+class TestVideoZooDatasets:
+    def test_video_caption_and_retrieval(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from mr_blip_tpu.datasets.video_zoo_datasets import (
+            VideoCaptionDataset, VideoRetrievalDataset,
+        )
+
+        ann = [
+            {"video": "synthetic://8x32x32@4.0#1", "caption": "a thing moves",
+             "image_id": "v1"},
+            {"video": "synthetic://8x32x32@4.0#1", "caption": "movement",
+             "image_id": "v1"},
+            {"video": "synthetic://8x32x32@4.0#2", "caption": "another clip",
+             "image_id": "v2"},
+        ]
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(ann))
+        ds = VideoCaptionDataset(vis_root="", ann_paths=[str(p)])
+        rec = ds[0]
+        assert rec["image"].shape[0] == ds.n_frms
+        assert rec["text_input"] == "a thing moves"
+
+        rds = VideoRetrievalDataset(vis_root="", ann_paths=[str(p)])
+        gt = rds.i2t_gt
+        assert gt[0] == [0, 1] and gt[1] == [2]
+
+    def test_open_ended_video_qa(self, tmp_path):
+        import json
+
+        from mr_blip_tpu.datasets.video_zoo_datasets import OpenEndedVideoQADataset
+
+        ann = [{"video": "synthetic://6x32x32@3.0", "question": "what moves",
+                "answer": "a square", "question_id": 9}]
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(ann))
+        ds = OpenEndedVideoQADataset(vis_root="", ann_paths=[str(p)])
+        rec = ds[0]
+        assert rec["answers"] == ["a square"]
+        assert rec["question_id"] == 9
+
+    def test_avsd_dialogue_feeds_gpt_wrapper(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        import mr_blip_tpu  # noqa: F401
+        from mr_blip_tpu.common.registry import registry
+        from mr_blip_tpu.datasets.video_zoo_datasets import AVSDDialogueDataset
+
+        ann = [{
+            "video_feats": np.ones((3, 32)).tolist(),
+            "dialog": [{"question": "who", "answer": "a cat"}],
+            "question": "what happened",
+            "answer": "it jumped",
+        }]
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(ann))
+        ds = AVSDDialogueDataset(ann_paths=[str(p)])
+        rec = ds[0]
+        assert rec["response"] == "it jumped"
+        assert "who" in rec["text_input"]
+
+        model = registry.get_model_class("gpt_dialogue_model")(
+            model_size="tiny", video_feature_dim=32)
+        batch = {
+            "video_feats": np.stack([rec["video_feats"]]),
+            "text_input": [rec["text_input"]],
+            "response": [rec["response"]],
+        }
+        loss = float(model(batch)["loss"])
+        assert np.isfinite(loss)
+
+    def test_all_reference_builders_registered(self):
+        import mr_blip_tpu  # noqa: F401
+        from mr_blip_tpu.common.registry import registry
+
+        for name in ("msrvtt_caption", "msvd_caption", "vatex_caption",
+                     "moment_retrieval", "msrvtt_retrieval",
+                     "didemo_retrieval", "vg_vqa", "msrvtt_qa", "msvd_qa",
+                     "avsd_dialogue", "qvh_sevilla"):
+            assert registry.get_builder_class(name) is not None, name
