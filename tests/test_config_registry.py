@@ -128,3 +128,26 @@ class TestLoadModelAndPreprocess:
         assert set(vis) == {"train", "eval"}
         assert set(txt) == {"train", "eval"}
         assert callable(txt["eval"])
+
+
+class TestZooProjectConfigs:
+    def test_all_zoo_configs_resolve(self):
+        """Every zoo project YAML must parse through Config and resolve its
+        arch, task and dataset builder in the registry (the reference ships
+        zoo projects under lavis/projects/{albef,blip,clip,gpt}/)."""
+        import glob
+
+        import mr_blip_tpu  # noqa: F401
+        from mr_blip_tpu.common.config import load_yaml
+        from mr_blip_tpu.common.registry import registry
+
+        paths = sorted(glob.glob("configs/projects/zoo/*.yaml"))
+        assert len(paths) >= 12
+        for p in paths:
+            cfg = load_yaml(p)
+            arch = cfg["model"]["arch"]
+            task = cfg["run"]["task"]
+            assert registry.get_model_class(arch) is not None, (p, arch)
+            assert registry.get_task_class(task) is not None, (p, task)
+            for ds in cfg["datasets"]:
+                assert registry.get_builder_class(ds) is not None, (p, ds)
