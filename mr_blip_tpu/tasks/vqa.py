@@ -245,3 +245,104 @@ class GQARCTask(VQARCTask):
         }
         logging.info(metrics)
         return metrics
+
+
+def _model_answers(model, samples):
+    """Duck-typed answer extraction shared by the open-ended VQA tasks:
+    prefer ``predict_answers`` (reference VQATask protocol), fall back to
+    ``generate`` returning {"answer"|"captions": [...]} or a plain list."""
+    if hasattr(model, "predict_answers"):
+        out = model.predict_answers(samples)
+    else:
+        out = model.generate(samples)
+    if isinstance(out, dict):
+        out = out.get("answer", out.get("answers", out.get("captions", out)))
+    return list(out)
+
+
+@registry.register_task("vqa")
+class VQATask(BaseTask):
+    """Classic open-ended VQA (reference ``lavis/tasks/vqa.py:32-180``):
+    per-question predicted answer strings scored with the VQA devkit
+    consensus rule (min(matches/3, 1) over 10 annotator answers) via
+    :mod:`mr_blip_tpu.common.vqa_tools`."""
+
+    def valid_step(self, model, samples):
+        answers = _model_answers(model, samples)
+        return [
+            {"question_id": qid, "answer": ans, "gt_answers": list(gt)}
+            for qid, ans, gt in zip(
+                samples["question_id"], answers,
+                samples.get("answers", [[]] * len(answers)),
+            )
+        ]
+
+    def after_evaluation(self, val_result, split_name, epoch, **kwargs):
+        result_file = self.save_result(
+            val_result, result_dir=registry.get_path("result_dir"),
+            filename=f"{split_name}_vqa_epoch{epoch}",
+            remove_duplicate="question_id",
+        )
+        return self._report_metrics(result_file, split_name)
+
+    @dist_utils.main_process
+    def _report_metrics(self, result_file, split_name):
+        import json as _json
+
+        from mr_blip_tpu.common.vqa_tools import VQAEval
+
+        results = _json.load(open(result_file))
+        anns = [{"question_id": r["question_id"],
+                 "answers": r.get("gt_answers") or []} for r in results]
+        preds = [{"question_id": r["question_id"], "answer": r["answer"]}
+                 for r in results]
+        acc = VQAEval().evaluate(preds, anns)
+        metrics = {"agg_metrics": acc, "acc": acc, "total": len(results)}
+        logging.info(metrics)
+        return metrics
+
+
+@registry.register_task("gqa")
+class GQATask(VQATask):
+    """GQA: exact match after devkit normalization (reference vqa.py:183-247)."""
+
+    @dist_utils.main_process
+    def _report_metrics(self, result_file, split_name):
+        import json as _json
+
+        from mr_blip_tpu.common.vqa_tools import process_answer
+
+        results = _json.load(open(result_file))
+        acc = [
+            1.0 if r.get("gt_answers")
+            and process_answer(r["answer"]) == process_answer(r["gt_answers"][0])
+            else 0.0
+            for r in results
+        ]
+        accuracy = 100.0 * float(np.mean(acc)) if acc else 0.0
+        metrics = {"agg_metrics": accuracy, "acc": accuracy,
+                   "total": len(results)}
+        logging.info(metrics)
+        return metrics
+
+
+@registry.register_task("aok_vqa")
+class AOKVQATask(VQATask):
+    """A-OKVQA direct-answer accuracy: min(matches/3, 1) over the gt list
+    (reference vqa.py:276-301, per the official aokvqa evaluator)."""
+
+    @dist_utils.main_process
+    def _report_metrics(self, result_file, split_name):
+        import json as _json
+
+        results = _json.load(open(result_file))
+        acc = []
+        for r in results:
+            gt = r.get("gt_answers") or []
+            num_match = sum(r["answer"] == g for g in gt)
+            acc.append(min(1.0, num_match / 3.0))
+        accuracy = 100.0 * float(np.mean(acc)) if acc else 0.0
+        metrics = {"agg_metrics": accuracy, "acc": accuracy,
+                   "total": len(results)}
+        logging.info(metrics)
+        return metrics

@@ -334,3 +334,42 @@ class TestImageProcessors:
         vf = registry.get_processor_class("gpt_video_ft")(visual_ft_max_len=4)
         feats = vf(np.ones((9, 8)))
         assert feats.shape == (4, 8)
+
+
+class TestOpenEndedVQATasks:
+    def _run(self, task_name, answers, gts, tmp_path):
+        import numpy as np
+
+        import mr_blip_tpu  # noqa: F401
+        from mr_blip_tpu.common.registry import registry
+
+        class FakeModel:
+            def predict_answers(self, samples):
+                return answers
+
+        registry.register_path("result_dir", str(tmp_path))
+        task = registry.get_task_class(task_name)()
+        samples = {
+            "question_id": list(range(len(answers))),
+            "answers": gts,
+        }
+        rows = task.valid_step(FakeModel(), samples)
+        return task.after_evaluation(rows, "val", 0)
+
+    def test_vqa_consensus(self, tmp_path):
+        m = self._run(
+            "vqa", ["cat", "dog"],
+            [["cat"] * 10, ["bird"] * 10], tmp_path)
+        assert m["acc"] == 50.0
+
+    def test_gqa_exact_match(self, tmp_path):
+        m = self._run("gqa", ["The Cat!", "dog"],
+                      [["cat"], ["bird"]], tmp_path)
+        assert m["acc"] == 50.0  # normalization maps "The Cat!" -> "cat"
+
+    def test_aokvqa_min_match_rule(self, tmp_path):
+        # one match of 3 -> 1/3 credit; full matches -> 1.0
+        m = self._run("aok_vqa", ["cat", "dog"],
+                      [["cat", "feline", "kitty"], ["dog", "dog", "dog"]],
+                      tmp_path)
+        assert abs(m["acc"] - (100.0 * (1 / 3 + 1.0) / 2)) < 1e-6
