@@ -87,6 +87,19 @@ class ALBEF(nn.Module):
         txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=-1, keepdims=True)
         return img, txt
 
+    def image_feat(self, images):
+        """L2-normalized ITC image feature (retrieval-wrapper surface)."""
+        f = self.vision_proj(self.encode_image(images)[:, 0])
+        return f / jnp.linalg.norm(f.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def text_feat(self, text_ids, text_mask=None):
+        f = self.text_proj(self.encode_text(text_ids, text_mask)[:, 0])
+        return f / jnp.linalg.norm(f.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def itm_logits_from_states(self, image_states, text_ids, text_mask=None):
+        """Alias matching the BLIP retrieval-wrapper surface."""
+        return self.itm_logits_with_states(image_states, text_ids, text_mask)
+
     def itm_logits(self, images, text_ids, text_mask=None):
         """Image-text matching logits from the fused cls token."""
         image_states = self.encode_image(images)
@@ -314,6 +327,7 @@ class AlbefNLVR(nn.Module):
 
     config: ALBEFConfig
     compute_dtype: Any = jnp.bfloat16
+    num_classes: int = 2  # NLVR true/false; SNLI-VE uses 3
 
     def setup(self):
         cfg = self.config
@@ -324,7 +338,8 @@ class AlbefNLVR(nn.Module):
         self.cls_hidden = Dense(cfg.text.hidden_size,
                                 compute_dtype=self.compute_dtype,
                                 name="cls_hidden")
-        self.cls_out = Dense(2, compute_dtype=self.compute_dtype,
+        self.cls_out = Dense(self.num_classes,
+                             compute_dtype=self.compute_dtype,
                              name="cls_out")
 
     def __call__(self, images0, images1, text_ids, text_mask=None):
@@ -332,6 +347,18 @@ class AlbefNLVR(nn.Module):
         s1 = self.visual_encoder(images1)
         fused = self.text_encoder(
             text_ids, text_mask=text_mask, image_states=(s0, s1),
+            mode="multimodal",
+        )
+        h = jax.nn.relu(self.cls_hidden(fused[:, 0]))
+        return self.cls_out(h).astype(jnp.float32)
+
+    def classify_single(self, images, text_ids, text_mask=None):
+        """Single-image entailment head — the SNLI-VE / classification
+        flavor (reference albef_classification.py): one image's tokens
+        cross-attended by every layer."""
+        states = self.visual_encoder(images)
+        fused = self.text_encoder(
+            text_ids, text_mask=text_mask, image_states=states,
             mode="multimodal",
         )
         h = jax.nn.relu(self.cls_hidden(fused[:, 0]))

@@ -33,6 +33,9 @@ class BLIPConfig:
     vision: BaseViTConfig = dataclasses.field(default_factory=BaseViTConfig)
     text: MedConfig = dataclasses.field(default_factory=MedConfig)
     temp: float = 0.07
+    # >0 adds a classification head over the fused cls (reference
+    # blip_classification.py cls_head; SNLI-VE uses 3)
+    num_classes: int = 0
 
 
 def blip_base_config() -> BLIPConfig:
@@ -68,6 +71,16 @@ class BLIPv1(nn.Module):
                                name="text_proj")
         self.itm_head = Dense(2, compute_dtype=self.compute_dtype,
                               name="itm_head")
+        if cfg.num_classes > 0:
+            self.cls_head = Dense(cfg.num_classes,
+                                  compute_dtype=self.compute_dtype,
+                                  name="cls_head")
+
+    def classify(self, images, text_ids, text_mask=None):
+        """Fused-cls classification (reference blip_classification.py)."""
+        assert self.config.num_classes > 0
+        fused = self.question_states(images, text_ids, text_mask)
+        return self.cls_head(fused[:, 0]).astype(jnp.float32)
 
     # ------------------------------------------------------ tower pieces
     def encode_image(self, images):
@@ -201,6 +214,26 @@ class BLIPv1(nn.Module):
                 mode="multimodal",
             )
         return out
+
+    def pretrain_states(self, images, text_ids, text_mask=None):
+        """(image_states, img_feat, txt_feat) — the shared encoder pass of
+        the pretraining objective. Same surface as ALBEF.pretrain_states so
+        ``albef.albef_pretrain_losses`` (momentum distillation + queues +
+        hard-negative ITM, reference blip_pretrain.py:90-180) drives BLIP
+        unchanged: the momentum subtrees (visual_encoder / text_encoder /
+        vision_proj / text_proj) exist under the same names here."""
+        image_states = self.visual_encoder(images)
+        img = self.vision_proj(image_states[:, 0])
+        txt = self.text_proj(
+            self.text_encoder(text_ids, text_mask=text_mask, mode="text")[:, 0]
+        )
+        img = img / jnp.linalg.norm(img.astype(jnp.float32), axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt.astype(jnp.float32), axis=-1, keepdims=True)
+        return image_states, img, txt
+
+    def itm_logits_with_states(self, image_states, text_ids, text_mask=None):
+        """Alias matching ALBEF's method name (albef_pretrain_losses)."""
+        return self.itm_logits_from_states(image_states, text_ids, text_mask)
 
     def question_states(self, images, question_ids, question_mask=None):
         """Fused question representation (shared surface with AlbefVQA so

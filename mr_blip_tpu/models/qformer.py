@@ -77,7 +77,9 @@ class QFormerAttention(nn.Module):
 
         mask = None
         if kv_mask is not None:
-            mask = kv_mask[:, None, None, :].astype(bool)  # (B, 1, 1, M)
+            km = kv_mask.astype(bool)
+            # (B, M) padding mask or (B, N, M) full mask (causal LM mode)
+            mask = km[:, None, None, :] if km.ndim == 2 else km[:, None, :, :]
         drop_kw = {}
         if cfg.dropout > 0.0 and not deterministic:
             # reference Qformer.py BertSelfAttention drops the attention
@@ -110,7 +112,7 @@ class QFormerLayer(nn.Module):
             x, kv_mask=self_mask, deterministic=deterministic
         )
         q_part, t_part = x[:, :nq], x[:, nq:]
-        if self.has_cross_attention:
+        if self.has_cross_attention and nq > 0:
             q_part = QFormerAttention(cfg, self.compute_dtype, name="cross_attention")(
                 q_part, kv_states=encoder_states, kv_mask=encoder_mask,
                 deterministic=deterministic,
@@ -132,9 +134,12 @@ class QFormerLayer(nn.Module):
                 epsilon=cfg.layer_norm_eps, name=f"output{prefix}_norm"
             )(h + y)
 
-        q_part = ffn(q_part, "_query")
+        if nq > 0:
+            q_part = ffn(q_part, "_query")
         if t_part.shape[1] > 0:
             t_part = ffn(t_part, "")
+            if nq == 0:
+                return t_part
             return jnp.concatenate([q_part, t_part], axis=1)
         return q_part
 
@@ -152,23 +157,40 @@ class QFormer(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, encoder_states, encoder_mask=None, text_ids=None,
-                 text_mask=None, deterministic=True):
-        cfg = self.config
-        b = encoder_states.shape[0]
+    def __call__(self, encoder_states=None, encoder_mask=None, text_ids=None,
+                 text_mask=None, deterministic=True, mode="query"):
+        """Modes (reference Blip2Qformer forward variants, blip2_qformer.py):
 
-        query_tokens = self.param(
-            "query_tokens",
-            nn.initializers.normal(0.02),
-            (1, cfg.num_query_tokens, cfg.hidden_size),
-            jnp.float32,
-        )
-        x = jnp.broadcast_to(
-            query_tokens, (b, cfg.num_query_tokens, cfg.hidden_size)
-        ).astype(self.compute_dtype)
+        * ``query``     — return the ``num_query_tokens`` query outputs
+          (default; text optional, shares self-attention when given);
+        * ``multimodal``— same pass, return the FULL [queries ‖ text]
+          sequence (ITM head reads the query part, callers split);
+        * ``text``      — text-only BERT encoding, no queries and no
+          cross-attention (ITC text tower);
+        * ``lm``        — queries attend only among themselves (and the
+          image via cross-attention); text decodes causally over
+          [queries ‖ text prefix] — the image-grounded caption LM.
+        """
+        cfg = self.config
+        assert mode in ("query", "multimodal", "text", "lm")
+        use_queries = mode != "text"
+        b = encoder_states.shape[0] if encoder_states is not None else text_ids.shape[0]
+
+        nq = cfg.num_query_tokens if use_queries else 0
+        if use_queries:
+            query_tokens = self.param(
+                "query_tokens",
+                nn.initializers.normal(0.02),
+                (1, cfg.num_query_tokens, cfg.hidden_size),
+                jnp.float32,
+            )
+            x = jnp.broadcast_to(
+                query_tokens, (b, cfg.num_query_tokens, cfg.hidden_size)
+            ).astype(self.compute_dtype)
+        else:
+            x = jnp.zeros((b, 0, cfg.hidden_size), self.compute_dtype)
 
         self_mask = None
-        nq = cfg.num_query_tokens
         if text_ids is not None:
             assert cfg.with_text, "construct QFormerConfig(with_text=True)"
             word = nn.Embed(
@@ -183,11 +205,20 @@ class QFormer(nn.Module):
             )(jnp.arange(text_ids.shape[1]))
             t = (word + pos).astype(self.compute_dtype)
             x = jnp.concatenate([x, t], axis=1)
-            if text_mask is not None:
-                self_mask = jnp.concatenate(
-                    [jnp.ones((b, nq), jnp.int32), text_mask.astype(jnp.int32)],
-                    axis=1,
-                )
+            n = x.shape[1]
+            pad = (text_mask.astype(bool) if text_mask is not None
+                   else jnp.ones(text_ids.shape, bool))
+            pad = jnp.concatenate([jnp.ones((b, nq), bool), pad], axis=1)
+            if mode == "lm":
+                # queries see only queries; text position i sees queries and
+                # text positions <= i (reference Qformer.py
+                # get_extended_attention_mask is_decoder + query prefix)
+                row = jnp.arange(n)[:, None]
+                col = jnp.arange(n)[None, :]
+                allow = jnp.where(row < nq, col < nq, col <= row)
+                self_mask = allow[None] & pad[:, None, :]  # (B, N, N)
+            else:
+                self_mask = pad
 
         # BertEmbeddings applies LayerNorm + dropout to the sequence.
         x = LayerNormFP32(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(x)
@@ -202,7 +233,9 @@ class QFormer(nn.Module):
                 name=f"layer_{i}",
             )(x, encoder_states, encoder_mask, self_mask=self_mask,
               num_queries=nq, deterministic=deterministic)
-        return x[:, :nq]
+        if mode == "query":
+            return x[:, :nq]
+        return x
 
 
 class TemporalQFormer(nn.Module):
