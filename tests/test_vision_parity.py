@@ -349,6 +349,143 @@ class TestQFormerParity:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def _port_text_path(ref, ported_tree):
+    """Add the text-path tensors (embeddings + per-layer text FFN) that
+    port_qformer skips on the stripped live path."""
+    esd = ref.bert.embeddings
+    ported_tree.setdefault("word_embeddings", {})["embedding"] = (
+        esd.word_embeddings.weight.detach().numpy()
+    )
+    ported_tree.setdefault("position_embeddings", {})["embedding"] = (
+        esd.position_embeddings.weight.detach().numpy()
+    )
+    for i, layer in enumerate(ref.bert.encoder.layer):
+        b = ported_tree.setdefault(f"layer_{i}", {})
+        b.setdefault("intermediate", {})["Dense_0"] = {
+            "kernel": layer.intermediate.dense.weight.detach().numpy().T,
+            "bias": layer.intermediate.dense.bias.detach().numpy(),
+        }
+        b.setdefault("output", {})["Dense_0"] = {
+            "kernel": layer.output.dense.weight.detach().numpy().T,
+            "bias": layer.output.dense.bias.detach().numpy(),
+        }
+        b.setdefault("output_norm", {})["LayerNorm_0"] = {
+            "scale": layer.output.LayerNorm.weight.detach().numpy(),
+            "bias": layer.output.LayerNorm.bias.detach().numpy(),
+        }
+    return ported_tree
+
+
+def _multimodal_qformer_config(cfg):
+    return QFormerConfig(
+        hidden_size=cfg.hidden_size, num_layers=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        encoder_width=cfg.encoder_width, num_query_tokens=cfg.query_length,
+        vocab_size=cfg.vocab_size,
+        max_position_embeddings=cfg.max_position_embeddings, with_text=True,
+    )
+
+
+class TestQFormerModesParity:
+    """The stage-1 BLIP-2 modes (blip2_qformer.py forward): text-only tower
+    and the causal-LM pass with the query prefix, vs the reference's own
+    torch Qformer."""
+
+    def test_text_only_path(self, ref_qformer):
+        """ITC text tower: BertModel(input_ids) with no queries and no
+        cross-attention (blip2_qformer.py:112-118) vs mode='text'."""
+        cfg = _bert_config(ref_qformer)
+        ref = _build_ref_qformer(ref_qformer, cfg, strip_text=False)
+
+        rng = np.random.default_rng(2)
+        B, L = 3, 6
+        text_ids = rng.integers(1, cfg.vocab_size, (B, L))
+        text_mask = np.ones((B, L), np.int64)
+        text_mask[1, 4:] = 0
+
+        with torch.no_grad():
+            want = ref.bert(
+                torch.tensor(text_ids),
+                attention_mask=torch.tensor(text_mask),
+                return_dict=True,
+            ).last_hidden_state.numpy()
+
+        mine = QFormer(_multimodal_qformer_config(cfg),
+                       compute_dtype=jnp.float32)
+        # init with a full multimodal pass so every subtree exists
+        enc0 = jnp.zeros((B, 2, cfg.encoder_width))
+        params = mine.init(
+            jax.random.PRNGKey(0), enc0, None,
+            jnp.asarray(text_ids), jnp.asarray(text_mask),
+        )["params"]
+        qt = np.zeros((1, cfg.query_length, cfg.hidden_size), np.float32)
+        ported = merge_subtree(
+            {"m": params}, _port_text_path(ref, _port_ref_qformer(ref, qt)),
+            "m",
+        )["m"]
+        got = np.asarray(mine.apply(
+            {"params": ported}, text_ids=jnp.asarray(text_ids),
+            text_mask=jnp.asarray(text_mask), mode="text",
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_causal_lm_path(self, ref_qformer):
+        """Image-grounded captioning: the reference computes query outputs
+        with use_cache=True, then decodes text causally over the cached
+        query prefix (blip2_qformer.py:209-246, Qformer.py:743-770 prefix
+        causal mask). Our joint mode='lm' pass must reproduce both the
+        query outputs and the text hidden states."""
+        cfg = _bert_config(ref_qformer)
+        ref = _build_ref_qformer(ref_qformer, cfg, strip_text=False)
+
+        rng = np.random.default_rng(3)
+        B, M, L = 2, 7, 5
+        enc = rng.standard_normal((B, M, cfg.encoder_width)).astype(np.float32)
+        text_ids = rng.integers(1, cfg.vocab_size, (B, L))
+        text_mask = np.ones((B, L), np.int64)
+        text_mask[0, 3:] = 0
+        qt = rng.standard_normal(
+            (1, cfg.query_length, cfg.hidden_size)).astype(np.float32)
+        q_atts = np.ones((B, cfg.query_length), np.int64)
+
+        with torch.no_grad():
+            q_out = ref.bert(
+                query_embeds=torch.tensor(qt).expand(B, -1, -1),
+                encoder_hidden_states=torch.tensor(enc),
+                encoder_attention_mask=torch.tensor(np.ones((B, M), np.int64)),
+                use_cache=True,
+                return_dict=True,
+            )
+            want_q = q_out.last_hidden_state.numpy()
+            want_t = ref.bert(
+                torch.tensor(text_ids),
+                attention_mask=torch.tensor(
+                    np.concatenate([q_atts, text_mask], axis=1)),
+                past_key_values=q_out.past_key_values,
+                is_decoder=True,
+                return_dict=True,
+            ).last_hidden_state.numpy()
+
+        mine = QFormer(_multimodal_qformer_config(cfg),
+                       compute_dtype=jnp.float32)
+        params = mine.init(
+            jax.random.PRNGKey(0), jnp.asarray(enc), None,
+            jnp.asarray(text_ids), jnp.asarray(text_mask),
+        )["params"]
+        ported = merge_subtree(
+            {"m": params}, _port_text_path(ref, _port_ref_qformer(ref, qt)),
+            "m",
+        )["m"]
+        got = np.asarray(mine.apply(
+            {"params": ported}, jnp.asarray(enc), None,
+            jnp.asarray(text_ids), jnp.asarray(text_mask), mode="lm",
+        ))
+        nq = cfg.query_length
+        np.testing.assert_allclose(got[:, :nq], want_q, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got[:, nq:], want_t, rtol=1e-4, atol=1e-4)
+
+
 class TestComposedVisionPath:
     def test_vit_ln_qformer_proj(self, ref_eva, ref_qformer):
         """End-to-end frame featurization: ViT -> fp32 LN (eps 1e-5) ->
