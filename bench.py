@@ -49,8 +49,8 @@ import numpy as np
 # the module docstring); the reference publishes no measured throughput.
 A100_BASELINE_FPS_PER_CHIP = 125.0
 
-N_FRAMES = 60
-BATCH = 4  # the reference QVH eval batch size (eval/qvh.yaml)
+N_FRAMES = int(os.environ.get("MRBLIP_BENCH_FRAMES", "60"))
+BATCH = int(os.environ.get("MRBLIP_BENCH_BATCH", "4"))  # reference QVH eval batch size (eval/qvh.yaml)
 REPEATS = 3
 
 
@@ -70,11 +70,18 @@ def main():
     # length ("[[10, 25]]" ≈ 10-14 tokens + EOS): with placeholder params the
     # HF-exact early stop would otherwise finish in ~2 steps and undercount
     # decode time.
+    # MRBLIP_BENCH_FRAMES>60 exercises the ANet-120s+ long-context path;
+    # the in-kernel rel-pos flash attention keeps encoder memory O(N) where
+    # the materialized (H, N, N) bias would dominate (docs/performance.md).
+    relpos_in_kernel = bool(os.environ.get("MRBLIP_BENCH_RELPOS_KERNEL"))
     model = BLIP2_MR(
         img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
         task="lora", num_beams=5, max_new_tokens=50, min_new_tokens=12,
         compute_dtype="bfloat16", init_params=False,
+        relpos_in_kernel=relpos_in_kernel,
     )
+    if relpos_in_kernel:
+        log("in-kernel rel-pos bias enabled")
     model.params = model.init_params_fast(jax.random.PRNGKey(0), mode="zeros")
     if os.environ.get("MRBLIP_BENCH_INT8"):
         # opt-in int8 weight-only decoder (same e2e path, quantized decode)
@@ -127,7 +134,7 @@ def main():
     per_video = per_batch / BATCH
     fps = N_FRAMES / per_video
     result = {
-        "metric": "e2e video->span inference (60f, ViT-g+FlanT5-XL, beam5)",
+        "metric": f"e2e video->span inference ({N_FRAMES}f, ViT-g+FlanT5-XL, beam5)",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS_PER_CHIP, 3),
