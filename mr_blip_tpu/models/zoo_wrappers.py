@@ -71,6 +71,19 @@ class WordTokenizer:
         return " ".join(out)
 
 
+
+def _zoo_tokenizer(vocab_size: int):
+    """Real BERT WordPiece when a vocab asset is supplied (MRBLIP_BERT_VOCAB,
+    mirroring the reference's bert-base-uncased tokenizer) and it fits the
+    model's embedding table; deterministic word-hash tokenizer otherwise
+    (offline default)."""
+    from mr_blip_tpu.text.wordpiece import BertWordPieceTokenizer
+
+    tok = BertWordPieceTokenizer.from_env()
+    if tok is not None and tok.vocab_size <= vocab_size:
+        return tok
+    return WordTokenizer(vocab_size=vocab_size)
+
 def _stack_images(samples):
     imgs = samples["image"]
     if isinstance(imgs, (list, tuple)):
@@ -95,7 +108,7 @@ class BlipCaptionModel(BaseModel):
         self.config = cfg
         self.max_txt_len = max_txt_len
         self.prompt = prompt
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = BLIPv1(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         ids = jnp.zeros((1, 4), jnp.int32)
@@ -331,7 +344,7 @@ class BlipRetrievalModel(BaseModel):
         cfg, module = self._make_module(model_size, compute_dtype)
         self.config = cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = module
         img = cfg.vision.img_size
         self.params = self.module.init(
@@ -477,7 +490,7 @@ class AlbefNLVRModel(BaseModel):
         cfg = albef_tiny_config() if model_size == "tiny" else albef_base_config()
         self.config = cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = AlbefNLVR(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         z = jnp.zeros((1, img, img, 3))
@@ -529,7 +542,7 @@ class GPTDialogueModel(BaseModel):
 
         cfg = gpt2_tiny_config() if model_size == "tiny" else gpt2_config()
         self.config = cfg
-        self.tokenizer = WordTokenizer(vocab_size=cfg.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.vocab_size)
         self.module = GPTDialogue(cfg, video_feature_dim=video_feature_dim,
                                   compute_dtype=compute_dtype)
         self.params = self.module.init(
@@ -607,7 +620,7 @@ class AlbefPretrainModel(BaseModel):
         self.config = cfg
         self.max_txt_len = max_txt_len
         self.alpha = alpha
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = ALBEF(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         self.params = self.module.init(
@@ -683,7 +696,7 @@ class AlbefClassificationModel(_ClassificationWrapper):
         self.config = cfg
         self.num_classes = num_classes
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = AlbefNLVR(cfg, compute_dtype=compute_dtype,
                                 num_classes=num_classes)
         img = cfg.vision.img_size
@@ -721,7 +734,7 @@ class BlipClassificationModel(_ClassificationWrapper):
         self.config = cfg
         self.num_classes = num_classes
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = BLIPv1(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         im0 = jnp.zeros((1, img, img, 3))
@@ -754,7 +767,7 @@ class BlipNLVRModel(_ClassificationWrapper):
         cfg = blip_tiny_config() if model_size == "tiny" else blip_base_config()
         self.config = cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = BLIPv1(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         self.params = self.module.init(
@@ -807,7 +820,7 @@ class BlipVQAModel(BaseModel):
         cfg = blip_tiny_config() if model_size == "tiny" else blip_base_config()
         self.config = cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.answer_list = answer_list or ["yes", "no"]
         self.module = BLIPv1(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
@@ -864,7 +877,7 @@ class BlipFeatureExtractorModel(BaseModel):
         cfg = blip_tiny_config() if model_size == "tiny" else blip_base_config()
         self.config = cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = BLIPv1(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         self.params = self.module.init(
@@ -927,7 +940,7 @@ class AlproQAModel(BaseModel):
                else alpro_base_config(num_classes=num_classes))
         self.config = cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = ALPRO(cfg, compute_dtype=compute_dtype)
         t, img = cfg.vision.n_frms, cfg.vision.img_size
         self.params = self.module.init(
@@ -988,7 +1001,7 @@ class Blip2Model(BaseModel):
                else blip2_qformer_base_config())
         self.config = cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=cfg.qformer.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.qformer.vocab_size)
         self.module = Blip2Qformer(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         self.params = self.module.init(
@@ -1113,7 +1126,7 @@ class Blip2T5Model(BaseModel):
         self.t5_config = t5_cfg
         self.max_txt_len = max_txt_len
         self.max_new_tokens = max_new_tokens
-        self.tokenizer = WordTokenizer(vocab_size=t5_cfg.vocab_size)
+        self.tokenizer = _zoo_tokenizer(t5_cfg.vocab_size)
         self.module = Blip2MRModule(
             vit_config=vit_cfg, qformer_config=qf_cfg, t5_config=t5_cfg,
             compute_dtype=compute_dtype, decode_cache_len=max_new_tokens,
@@ -1246,7 +1259,7 @@ class Blip2OPTModel(BaseModel):
             opt_cfg = opt_2_7b_config()
         self.opt_config = opt_cfg
         self.max_txt_len = max_txt_len
-        self.tokenizer = WordTokenizer(vocab_size=opt_cfg.vocab_size)
+        self.tokenizer = _zoo_tokenizer(opt_cfg.vocab_size)
         self.module = Blip2OPTModule(
             vit_config=vit_cfg, qformer_config=qf_cfg, opt_config=opt_cfg,
             compute_dtype=compute_dtype)
@@ -1351,7 +1364,7 @@ class BlipPretrainModel(BaseModel):
         self.config = cfg
         self.max_txt_len = max_txt_len
         self.alpha = alpha
-        self.tokenizer = WordTokenizer(vocab_size=cfg.text.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.text.vocab_size)
         self.module = BLIPv1(cfg, compute_dtype=compute_dtype)
         img = cfg.vision.img_size
         self.params = self.module.init(
@@ -1407,7 +1420,7 @@ class PNPUnifiedQAv2FiD(BaseModel):
                else t5_flan_xl_config())
         self.config = cfg
         self.max_new_tokens = max_new_tokens
-        self.tokenizer = WordTokenizer(vocab_size=cfg.vocab_size)
+        self.tokenizer = _zoo_tokenizer(cfg.vocab_size)
         self.module = T5ForConditionalGeneration(cfg,
                                                  compute_dtype=compute_dtype)
         self.params = self.module.init(

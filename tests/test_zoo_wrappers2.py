@@ -177,3 +177,19 @@ def test_reference_model_name_coverage():
         .read_text())
     missing = [n for n in names if registry.get_model_class(n) is None]
     assert not missing, missing
+
+
+def test_wrappers_pick_up_bert_vocab(tmp_path, monkeypatch):
+    """With MRBLIP_BERT_VOCAB set (and a vocab that fits the model's
+    embedding), zoo wrappers tokenize with the real WordPiece."""
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "dog",
+             "cat", "runs", "sits"]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    monkeypatch.setenv("MRBLIP_BERT_VOCAB", str(p))
+    m = registry.get_model_class("blip_caption")(model_size="tiny")
+    from mr_blip_tpu.text.wordpiece import BertWordPieceTokenizer
+
+    assert isinstance(m.tokenizer, BertWordPieceTokenizer)
+    out = m({"image": _img(), "text_input": ["a dog runs", "a cat sits"]})
+    assert np.isfinite(float(out["loss"]))
