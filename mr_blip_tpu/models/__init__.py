@@ -40,10 +40,31 @@ def load_model_and_preprocess(name, model_type=None, is_eval=False, **kwargs):
 
     model = load_model(name, model_type=model_type, is_eval=is_eval, **kwargs)
     img = getattr(model, "img_size", 224)
-    vis_processors = {
-        "train": Blip2VideoTrainProcessor(image_size=img),
-        "eval": BlipVideoEvalProcessor(image_size=img),
-    }
+    if img == 224 and hasattr(model, "config"):
+        vision_cfg = getattr(model.config, "vision", None)
+        img = getattr(vision_cfg, "img_size", img)
+
+    # Per-family processors, as the reference's per-model preprocess_cfg
+    # resolves them: video models get the video pipeline, image models the
+    # still-image pipeline (lavis.models.load_model_and_preprocess builds
+    # from the model yaml's preprocess block).
+    video_families = ("blip2_mr", "blip2_opt_mr", "blip2_fmr", "alpro",
+                      "gpt_dialogue", "timesformer")
+    if any(name.startswith(f) for f in video_families):
+        vis_processors = {
+            "train": Blip2VideoTrainProcessor(image_size=img),
+            "eval": BlipVideoEvalProcessor(image_size=img),
+        }
+    else:
+        from mr_blip_tpu.processors.image_processors import (
+            BlipImageEvalProcessor,
+            BlipImageTrainProcessor,
+        )
+
+        vis_processors = {
+            "train": BlipImageTrainProcessor(image_size=img),
+            "eval": BlipImageEvalProcessor(image_size=img),
+        }
     txt_processors = {
         "train": BlipCaptionProcessor(),
         "eval": BlipQuestionProcessor(),
