@@ -96,7 +96,10 @@ class BlipCaptionModel(BaseModel):
     """BLIP-v1 captioner (reference ``blip_caption``): LM finetuning +
     greedy caption decoding through the MED causal decoder."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base_coco": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "base_coco": "configs/models/blip/blip_caption_base_coco.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
                  prompt: str = "", compute_dtype=jnp.float32, seed: int = 0):
@@ -328,7 +331,11 @@ class BlipRetrievalModel(BaseModel):
     candidates with the ITM head (reference compute_sim_matrix:
     ``score[i, topk] = sim + softmax(itm_logits)[:, 1]``, rest -100)."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base_coco": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "coco": "configs/models/blip/blip_retrieval_coco.yaml",
+        "flickr": "configs/models/blip/blip_retrieval_flickr.yaml",
+    }
 
     @staticmethod
     def _make_module(model_size, compute_dtype):
@@ -588,7 +595,11 @@ class AlbefRetrievalModel(BlipRetrievalModel):
     the ALBEF towers (reference ``albef_models/albef_retrieval.py``; the
     fusion_layer split applies inside ITM when configured)."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"coco": None, "flickr": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "coco": "configs/models/albef/albef_retrieval_coco.yaml",
+        "flickr": "configs/models/albef/albef_retrieval_flickr.yaml",
+    }
 
     @staticmethod
     def _make_module(model_size, compute_dtype):
@@ -606,7 +617,10 @@ class AlbefPretrainModel(BaseModel):
     momentum-distillation + feature-queue + hard-negative-ITM objective
     with the EMA state carried inside the wrapper."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "base": "configs/models/albef/albef_pretrain_base.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
                  queue_size: int = 64, alpha: float = 0.4,
@@ -683,7 +697,10 @@ class AlbefClassificationModel(_ClassificationWrapper):
     """Single-image entailment classification (reference
     ``albef_classification.py``; SNLI-VE = 3 classes)."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"ve": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "ve": "configs/models/albef/albef_classification_ve.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", num_classes: int = 3,
                  max_txt_len: int = 25, compute_dtype=jnp.float32,
@@ -718,7 +735,10 @@ class BlipClassificationModel(_ClassificationWrapper):
     """BLIP single-image classification (reference
     ``blip_classification.py``): cls head over the fused cls token."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "base": "configs/models/blip/blip_classification_base.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", num_classes: int = 3,
                  max_txt_len: int = 25, compute_dtype=jnp.float32,
@@ -756,7 +776,10 @@ class BlipNLVRModel(_ClassificationWrapper):
     """BLIP NLVR2 (reference ``blip_nlvr.py`` + nlvr_encoder.py's merged
     two-image cross-attention)."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"nlvr": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "nlvr": "configs/models/blip/blip_nlvr.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
                  compute_dtype=jnp.float32, seed: int = 0):
@@ -809,7 +832,10 @@ class BlipVQAModel(BaseModel):
     encoding + answer decoding; inference ranks a candidate answer list
     with the shared two-stage ranker (albef.py::rank_answers)."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"vqav2": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "vqav2": "configs/models/blip/blip_vqav2.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
                  answer_list=None, compute_dtype=jnp.float32, seed: int = 0):
@@ -866,7 +892,10 @@ class BlipFeatureExtractorModel(BaseModel):
     """Reference ``blip_feature_extractor``: extract_features(samples,
     mode) over the BLIP towers."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "base": "configs/models/blip/blip_feature_extractor_base.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
                  compute_dtype=jnp.float32, seed: int = 0):
@@ -906,7 +935,11 @@ class BlipITMModel(BlipFeatureExtractorModel):
     """Reference ``blip_image_text_matching``: itm(samples,
     match_head='itm'|'itc') scoring."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base": None, "large": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "base": "configs/models/blip/blip_itm_base.yaml",
+        "large": "configs/models/blip/blip_itm_large.yaml",
+    }
 
     def itm(self, samples, match_head: str = "itm"):
         ids, mask = self.tokenizer(samples["text_input"], self.max_txt_len)
@@ -926,7 +959,11 @@ class AlproQAModel(BaseModel):
     """ALPRO video-QA classifier (reference ``alpro_qa.py``): fused cls ->
     answer-vocabulary logits; drives MultimodalClassificationTask."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"msrvtt": None, "msvd": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "msrvtt": "configs/models/alpro/alpro_qa_msrvtt.yaml",
+        "msvd": "configs/models/alpro/alpro_qa_msvd.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", num_classes: int = 16,
                  max_txt_len: int = 25, compute_dtype=jnp.float32,
@@ -988,8 +1025,11 @@ class Blip2Model(BaseModel):
     LM pretraining over the multimodal Q-Former, plus the caption
     ``generate`` surface."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"pretrain": None, "coco": None,
-                                    "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "pretrain": "configs/models/blip2_zoo/blip2_stage1_pretrain.yaml",
+        "coco": "configs/models/blip2_zoo/blip2_stage1_coco.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_txt_len: int = 32,
                  compute_dtype=jnp.float32, seed: int = 0):
@@ -1348,7 +1388,10 @@ class BlipPretrainModel(BaseModel):
     loss driver, models/albef.py::albef_pretrain_losses — BLIP keeps the
     same objective) plus the caption LM loss of the text decoder."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base": None, "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "base": "configs/models/blip/blip_pretrain_base.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_txt_len: int = 25,
                  queue_size: int = 64, alpha: float = 0.4,
@@ -1407,8 +1450,10 @@ class PNPUnifiedQAv2FiD(BaseModel):
     PNP-VQA is a zoo citizen (the orchestrated pipeline is
     ``pnp_vqa`` / models/pnp_vqa.py)."""
 
-    PRETRAINED_MODEL_CONFIG_DICT = {"base": None, "large": None, "3b": None,
-                                    "tiny": None}
+    PRETRAINED_MODEL_CONFIG_DICT = {
+        "tiny": None,
+        "base": "configs/models/pnp_vqa/pnp_unifiedqav2_fid_base.yaml",
+    }
 
     def __init__(self, model_size: str = "tiny", max_new_tokens: int = 8,
                  compute_dtype=jnp.float32, seed: int = 0):

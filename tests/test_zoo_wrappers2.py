@@ -193,3 +193,28 @@ def test_wrappers_pick_up_bert_vocab(tmp_path, monkeypatch):
     assert isinstance(m.tokenizer, BertWordPieceTokenizer)
     out = m({"image": _img(), "text_input": ["a dog runs", "a cat sits"]})
     assert np.isfinite(float(out["loss"]))
+
+
+def test_default_config_yamls_resolve():
+    """Every non-None PRETRAINED_MODEL_CONFIG_DICT entry must point at a
+    real yaml whose arch matches the registered name, and load_model with
+    model_type='tiny' stays cheap (no yaml)."""
+    import os
+
+    from mr_blip_tpu.common.config import load_yaml
+
+    checked = 0
+    for name, cls in registry.mapping["model_name_mapping"].items():
+        d = getattr(cls, "PRETRAINED_MODEL_CONFIG_DICT", {})
+        for mtype, rel in d.items():
+            if rel is None:
+                continue
+            path = cls.default_config_path(mtype)
+            assert os.path.exists(path), (name, mtype, path)
+            cfg = load_yaml(path)["model"]
+            # subclasses (e.g. blip2_opt_mr) may inherit the parent's yamls
+            arch_cls = registry.get_model_class(cfg["arch"])
+            assert cfg["arch"] == name or issubclass(cls, arch_cls), (
+                name, cfg["arch"])
+            checked += 1
+    assert checked >= 15
