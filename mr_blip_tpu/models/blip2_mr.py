@@ -134,6 +134,7 @@ class BLIP2_MR(BaseModel):
         use_grad_checkpoint: bool = False,
         fast_gelu: bool = False,
         int8_decode: bool = False,
+        int8_base: bool = False,
         relpos_in_kernel: bool = False,
         compute_dtype: str = "bfloat16",
         sequence_parallel: bool = False,
@@ -191,11 +192,15 @@ class BLIP2_MR(BaseModel):
             lora_rank=8 if self.use_lora else 0,
             use_remat=use_grad_checkpoint,
             int8_decode=int8_decode,
+            # QLoRA-style frozen int8 T5 base under LoRA training: halves
+            # T5 weight HBM so bigger per-chip batches fit
+            int8_base=int8_base,
             # O(N)-memory encoder rel-pos bias for long contexts
             # (ANet-120s+): the flash kernel computes it from the table
             relpos_in_kernel=relpos_in_kernel,
         )
         self.int8_decode = int8_decode
+        self.int8_base = int8_base
         if tokenizer_path is None:
             t5_kw["vocab_size"] = self.tokenizer.vocab_size
         else:
@@ -838,6 +843,43 @@ class BLIP2_MR(BaseModel):
             self.__dict__.pop(attr, None)
         return self
 
+    def quantize_base_for_train(self):
+        """QLoRA-style conversion: the whole frozen T5 base (encoder AND
+        decoder blocks + LM head) to int8 weight-only storage; LoRA deltas
+        stay fp32 and trainable. Halves T5 weight HBM (~3 GB on flan-t5-xl)
+        so a larger per-chip train batch fits. Call AFTER loading float
+        checkpoints and BEFORE building the train step."""
+        import dataclasses
+
+        from mr_blip_tpu.models.quantize import quantize_t5_params
+
+        assert self.params is not None, "load/init params before quantizing"
+        assert not self.t5_config.int8_base, "already quantized"
+        assert self.use_lora, "int8 base training requires LoRA (frozen base)"
+        self.int8_base = True
+        self.t5_config = dataclasses.replace(self.t5_config, int8_base=True)
+        self.module = Blip2MRModule(
+            vit_config=self.vit_config,
+            qformer_config=self.qformer_config,
+            t5_config=self.t5_config,
+            compute_dtype=self.compute_dtype,
+            decode_cache_len=self.max_new_tokens,
+            frame_token_aggregation=self.frame_token_aggregation,
+            freeze_vit=self.freeze_vit,
+            sequence_parallel=self.module.sequence_parallel,
+        )
+        params = dict(self.params)
+        params["t5"] = quantize_t5_params(params["t5"])
+        self.params = params
+        if self.answerer_params is not None:
+            ap = dict(self.answerer_params)
+            ap["t5"] = quantize_t5_params(ap["t5"])
+            self.answerer_params = ap
+        for attr in ("_loss_fn", "_jit_loss", "_jit_generate",
+                     "_jit_qa_answer", "_jit_qa_loss"):
+            self.__dict__.pop(attr, None)
+        return self
+
     # --------------------------------------------------------------- config
     @classmethod
     def from_config(cls, cfg):
@@ -883,4 +925,6 @@ class BLIP2_MR(BaseModel):
             # quantize AFTER float checkpoints are merged (the converter
             # reads float kernels)
             model.quantize_for_decode()
+        if cfg.get("int8_base", False):
+            model.quantize_base_for_train()
         return model

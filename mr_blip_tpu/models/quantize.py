@@ -60,6 +60,44 @@ _DECODER_DENSE = ("q", "k", "v", "o")
 _FF_DENSE = ("wi", "wi_0", "wi_1", "wo")
 
 
+def _quantize_section_blocks(section):
+    """Quantize every block_* Dense in an encoder/decoder param section."""
+    sec = dict(section)
+    for name, block in list(sec.items()):
+        if not name.startswith("block_"):
+            continue
+        block = dict(block)
+        for attn_key in ("self_attention", "cross_attention"):
+            if attn_key not in block:
+                continue
+            attn = dict(block[attn_key])
+            for d in _DECODER_DENSE:
+                if d in attn:
+                    attn[d] = quantize_dense(attn[d])
+            block[attn_key] = attn
+        if "ff" in block:
+            ff = dict(block["ff"])
+            for d in _FF_DENSE:
+                if d in ff:
+                    ff[d] = quantize_dense(ff[d])
+            block["ff"] = ff
+        sec[name] = block
+    return sec
+
+
+def quantize_t5_params(t5_params):
+    """Float T5 params -> the tree a ``T5Config(int8_base=True)`` model
+    expects: every ENCODER and DECODER block Dense plus the LM head int8;
+    shared embedding, norms, rel-pos tables, and LoRA deltas stay float —
+    the QLoRA-style training layout (frozen int8 base + fp32 LoRA)."""
+    out = dict(t5_params)
+    out["encoder"] = _quantize_section_blocks(t5_params["encoder"])
+    out["decoder"] = _quantize_section_blocks(t5_params["decoder"])
+    if "lm_head" in out:
+        out["lm_head"] = quantize_dense(out["lm_head"])
+    return out
+
+
 def quantize_t5_decoder_params(t5_params):
     """Float T5ForConditionalGeneration params -> the tree a
     ``T5Config(int8_decode=True)`` model expects: every decoder-block Dense

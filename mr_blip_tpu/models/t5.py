@@ -59,6 +59,12 @@ class T5Config:
     # bandwidth-bound). Convert float params with
     # models/quantize.py::quantize_t5_decoder_params.
     int8_decode: bool = False
+    # QLoRA-style int8 base for TRAINING: every encoder AND decoder block
+    # kernel (and the LM head) stored int8 + per-channel scales; the LoRA
+    # deltas stay fp32 and trainable. Frees ~half the T5 weight HBM so
+    # larger per-chip batches fit. Convert float params with
+    # models/quantize.py::quantize_t5_params.
+    int8_base: bool = False
     # HF T5 also drops the attention WEIGHTS during training
     # (modeling_t5.py F.dropout(attn_weights)). Opt-in: active dropout
     # forces the XLA attention backend (flash kernels are deterministic),
@@ -375,7 +381,8 @@ class T5Encoder(nn.Module):
         for i in range(cfg.num_layers):
             x = block_cls(
                 cfg, causal=False, has_cross_attention=False,
-                compute_dtype=self.compute_dtype, name=f"block_{i}",
+                compute_dtype=self.compute_dtype,
+                quantize_dense=cfg.int8_base, name=f"block_{i}",
             )(x, None, attn_mask, None, position_bias,
               False, deterministic, relpos_table)
         x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
@@ -433,7 +440,8 @@ class T5Decoder(nn.Module):
                 cfg, causal=True, has_cross_attention=True,
                 compute_dtype=self.compute_dtype,
                 decode_cache_len=self.decode_cache_len,
-                quantize_dense=cfg.int8_decode, name=f"block_{i}",
+                quantize_dense=cfg.int8_decode or cfg.int8_base,
+                name=f"block_{i}",
             )(
                 x, encoder_states, self_mask,
                 cross_mask, position_bias,
@@ -468,7 +476,8 @@ class T5ForConditionalGeneration(nn.Module):
             self.lm_head = Dense(
                 cfg.vocab_size, use_bias=False, compute_dtype=self.compute_dtype,
                 lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-                lora_dropout=cfg.lora_dropout, quantize=cfg.int8_decode,
+                lora_dropout=cfg.lora_dropout,
+                quantize=cfg.int8_decode or cfg.int8_base,
                 name="lm_head",
             )
 

@@ -130,7 +130,14 @@ def make_train_step(
             loss, _aux = loss_fn(params, batch, rng)
             return loss
 
-        loss, grads = jax.value_and_grad(lf)(state.params)
+        # allow_int: int8 QLoRA-style base kernels (T5Config.int8_base) get
+        # float0 gradients; rewrite those to integer zeros so the frozen
+        # branch (set_to_zero) and apply_updates stay dtype-preserving
+        loss, grads = jax.value_and_grad(lf, allow_int=True)(state.params)
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros_like(p) if g.dtype == jax.dtypes.float0 else g,
+            grads, state.params,
+        )
         opt_state = _set_lr(state.opt_state, lr)
         updates, opt_state = state.tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
