@@ -22,6 +22,7 @@ from mr_blip_tpu.datasets.mr_datasets import (
     MCVideoQADataset,
     MomentRetrievalDataset,
     MomentRetrievalQuestionsDataset,
+    TemporalActionLocalizationDataset,
 )
 from mr_blip_tpu.processors.text_processors import BaseProcessor
 
@@ -165,6 +166,16 @@ MixedBuilder = _mr_builder("mixed")
 @registry.register_builder("qvhQ")
 class QVHQBuilder(MomentRetrievalQuestionsBuilder):
     DATASET_CONFIG_DICT = {"default": "configs/datasets/qvhQ/defaults.yaml"}
+
+
+# Temporal action localization (reference
+# temporal_action_localization_builder.py:26-29; the reference points at a
+# configs/datasets/anet_TAL/defaults.yaml it never ships — ours exists).
+@registry.register_builder("anet_TAL")
+class ANetTALBuilder(BaseDatasetBuilder):
+    train_dataset_cls = TemporalActionLocalizationDataset
+    eval_dataset_cls = TemporalActionLocalizationDataset
+    DATASET_CONFIG_DICT = {"default": "configs/datasets/anet_TAL/defaults.yaml"}
 
 
 # Multiple-choice VideoQA (reference video_qa_builder.py:62-110)

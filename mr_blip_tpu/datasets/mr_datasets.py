@@ -62,6 +62,49 @@ class MomentRetrievalDataset(BaseDataset):
         }
 
 
+TAL_TASK_PROMPT = (
+    "Given the video, temporally locate the actions and predict the action "
+    "class.\nRelevant windows: "
+)
+
+
+class TemporalActionLocalizationDataset(BaseDataset):
+    """ANet temporal action localization (spans + class labels as text).
+
+    Mirrors the reference ``temporal_action_localization_dataset.py:18-84``:
+    same sample dict as MR but with the TAL task prompt, and an empty query
+    yields an empty ``query_prompt`` (the real TAL setting evaluates with
+    the query prompt when one exists).
+    """
+
+    def __getitem__(self, index):
+        ann = self.annotation[index]
+
+        clip = None
+        if "start" in ann:
+            clip = [float(ann["start"]), float(ann["end"])]
+
+        video_path = _video_path(self.vis_root, ann["video"])
+        frms, indices, fps = self.vis_processor(video_path, clip_proposal=clip)
+        query = ann["query"]
+        relevant_windows = str(ann["relevant_windows"])
+
+        timestamps = np.asarray(
+            [round(float(idx / fps), 2) for idx in indices], np.float64
+        )
+
+        return {
+            "video": np.asarray(frms, np.float32),
+            "duration": float(ann["duration"]),
+            "query_id": ann["qid"],
+            "timestamps": timestamps,
+            "video_prompt_end": "<extra_id_0>",
+            "query_prompt": "Query: " + query + "\n" if query else "",
+            "task_prompt": TAL_TASK_PROMPT,
+            "relevant_windows": relevant_windows,
+        }
+
+
 class MomentRetrievalQuestionsDataset(BaseDataset):
     """MR with multiple-choice option hints folded into the query (qvhQ)."""
 
