@@ -87,6 +87,10 @@ def main():
         # opt-in int8 weight-only decoder (same e2e path, quantized decode)
         model.quantize_for_decode()
         log("int8 decode enabled")
+    if os.environ.get("MRBLIP_BENCH_INT8_VIT"):
+        # opt-in W8A8 int8 ViT (fused Pallas MXU kernels, per-token act quant)
+        model.quantize_vit()
+        log("int8 ViT enabled")
     log(f"params ready in {time.time() - t_start:.0f}s")
 
     rng = np.random.default_rng(0)

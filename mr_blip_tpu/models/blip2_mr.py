@@ -227,6 +227,7 @@ class BLIP2_MR(BaseModel):
         # The answerer reuses the same module class; QA tasks carry separate
         # T5 params for it (reference loads a second T5, blip2_mr.py:150-160).
         self.params = None
+        self.mesh = None  # set_mesh() shards generate/eval over local chips
         self.answerer_params = None
         if init_params:
             self.params = self.init_params(jax.random.PRNGKey(seed))
@@ -516,6 +517,34 @@ class BLIP2_MR(BaseModel):
 
     __call__ = forward
 
+    def set_mesh(self, mesh):
+        """Shard generate/eval over a device mesh (single process, many
+        chips): params replicated over ``dp`` (Megatron-sharded over ``tp``
+        when the mesh has one), batch rows split over ``dp`` by GSPMD.
+
+        Reference parity: the reference evaluates 8-way data-parallel via
+        ``DistributedSampler`` + per-rank merge
+        (``runner_base.py:522-531``, ``base_task.py:250-288``); on a
+        one-process TPU host the same chips are reached by sharding the
+        eval batch instead. ``generate_dispatch`` pads the batch up to a
+        ``dp`` multiple and ``generate_collect`` drops the padded rows.
+        """
+        self.mesh = mesh
+        if mesh is not None and self.params is not None:
+            if dict(mesh.shape).get("tp", 1) > 1:
+                from mr_blip_tpu.parallel.sharding_rules import shard_params
+
+                self.params = shard_params(self.params, mesh)
+            else:
+                from mr_blip_tpu.parallel.mesh import replicate
+
+                self.params = replicate(self.params, mesh)
+        # drop jitted closures traced with the old placement
+        for attr in ("_jit_loss", "_jit_generate", "_jit_qa_answer",
+                     "_jit_qa_loss"):
+            self.__dict__.pop(attr, None)
+        return self
+
     def generate_dispatch(self, samples) -> Dict[str, Any]:
         """Host prep + asynchronous device dispatch; pair with
         ``generate_collect``.
@@ -527,16 +556,31 @@ class BLIP2_MR(BaseModel):
         """
         batch = self.prepare_mr_batch(samples, need_targets=False)
         batch.pop("video_prompt")
-        b = batch["frames"].shape[0]
-        seqs, scores = self._jit_generate(self.params, batch, b)
-        return {"seqs": seqs, "scores": scores, "samples": samples}
+        b_real = batch["frames"].shape[0]
+        if self.mesh is not None:
+            from mr_blip_tpu.parallel.mesh import (
+                pad_batch_to_multiple, shard_batch,
+            )
+
+            dp = dict(self.mesh.shape).get("dp", 1)
+            batch, _ = pad_batch_to_multiple(batch, dp)
+            batch = shard_batch(batch, self.mesh)
+            with jax.set_mesh(self.mesh):
+                seqs, scores = self._jit_generate(
+                    self.params, batch, batch["frames"].shape[0]
+                )
+        else:
+            seqs, scores = self._jit_generate(self.params, batch, b_real)
+        return {"seqs": seqs, "scores": scores, "samples": samples,
+                "b_real": b_real}
 
     def generate_collect(self, handle) -> Dict[str, Any]:
         """Block on a ``generate_dispatch`` handle and post-process."""
         samples = handle["samples"]
         out: Dict[str, Any] = {}
+        seqs = np.asarray(handle["seqs"])[: handle.get("b_real", None)]
         pred_ans = self.tokenizer.batch_decode(
-            np.asarray(handle["seqs"]), skip_special_tokens=True
+            seqs, skip_special_tokens=True
         )
 
         durations = samples["duration"]
@@ -843,6 +887,45 @@ class BLIP2_MR(BaseModel):
             self.__dict__.pop(attr, None)
         return self
 
+    def quantize_vit(self):
+        """Convert the loaded float ViT to the W8A8 int8 layout and rebuild
+        the module with ``int8_matmul=True`` (per-token activation quant
+        happens inside the Pallas kernels — no calibration pass).
+
+        The frozen EVA ViT dominates inference (73% of the 60-frame batch)
+        and the v5e MXU's int8 peak is ~2x bf16; the fused kernels hit
+        ~2x on the MLP (ops/int8_matmul.py). Inference-only, opt-in:
+        off the bit-parity path. Call AFTER loading float checkpoints."""
+        import dataclasses
+
+        from mr_blip_tpu.models.quantize import quantize_vit_params
+
+        assert self.params is not None, "load/init params before quantizing"
+        assert not self.vit_config.int8_matmul, "already quantized"
+        self.vit_config = dataclasses.replace(self.vit_config, int8_matmul=True)
+        self.module = Blip2MRModule(
+            vit_config=self.vit_config,
+            qformer_config=self.qformer_config,
+            t5_config=self.t5_config,
+            compute_dtype=self.compute_dtype,
+            decode_cache_len=self.max_new_tokens,
+            frame_token_aggregation=self.frame_token_aggregation,
+            freeze_vit=self.freeze_vit,
+            sequence_parallel=self.module.sequence_parallel,
+        )
+        params = dict(self.params)
+        params["visual_encoder"] = quantize_vit_params(params["visual_encoder"])
+        self.params = params
+        if self.answerer_params is not None:
+            ap = dict(self.answerer_params)
+            if "visual_encoder" in ap:
+                ap["visual_encoder"] = quantize_vit_params(ap["visual_encoder"])
+            self.answerer_params = ap
+        for attr in ("_loss_fn", "_jit_loss", "_jit_generate",
+                     "_jit_qa_answer", "_jit_qa_loss"):
+            self.__dict__.pop(attr, None)
+        return self
+
     def quantize_base_for_train(self):
         """QLoRA-style conversion: the whole frozen T5 base (encoder AND
         decoder blocks + LM head) to int8 weight-only storage; LoRA deltas
@@ -927,4 +1010,6 @@ class BLIP2_MR(BaseModel):
             model.quantize_for_decode()
         if cfg.get("int8_base", False):
             model.quantize_base_for_train()
+        if cfg.get("int8_vit", False):
+            model.quantize_vit()
         return model

@@ -38,6 +38,11 @@ class ViTConfig:
     use_checkpoint: bool = False
     # perf opt-in: tanh-GELU instead of exact erf (breaks bit-parity)
     fast_gelu: bool = False
+    # perf opt-in: W8A8 int8 MXU matmuls (qkv/proj/fc1/fc2) with per-token
+    # activation quantization — ~2x the bf16 MLP throughput on v5e
+    # (ops/int8_matmul.py). Params use the quantized layout; convert float
+    # trees with models/quantize.quantize_vit_params. Inference only.
+    int8_matmul: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -45,10 +50,53 @@ class ViTConfig:
 
 
 def eva_vit_g_config(img_size: int = 224, use_checkpoint: bool = False,
-                     fast_gelu: bool = False) -> ViTConfig:
+                     fast_gelu: bool = False,
+                     int8_matmul: bool = False) -> ViTConfig:
     """EVA ViT-g/14: mlp_hidden = int(1408 * 4.3637) = 6144 (eva_vit.py:422-428)."""
     return ViTConfig(img_size=img_size, use_checkpoint=use_checkpoint,
-                     fast_gelu=fast_gelu)
+                     fast_gelu=fast_gelu, int8_matmul=int8_matmul)
+
+
+class _QDenseParams(nn.Module):
+    """Parameter-only scope in the ``layers.Dense(quantize=True)`` layout
+    (kernel_q int8 + per-channel kernel_scale [+ bias])."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wq = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (self.in_features, self.features), jnp.int8,
+        )
+        sw = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        return wq, sw, b
+
+
+class Int8Mlp(nn.Module):
+    """Fused W8A8 GELU MLP (single Pallas kernel on TPU)."""
+
+    hidden_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from mr_blip_tpu.ops.int8_matmul import w8a8_mlp
+
+        d = x.shape[-1]
+        w1q, s1, b1 = _QDenseParams(self.hidden_features, d, name="fc1")()
+        w2q, s2, b2 = _QDenseParams(d, self.hidden_features, name="fc2")()
+        shp = x.shape
+        y = w8a8_mlp(x.reshape(-1, d), w1q, s1, b1, w2q, s2, b2)
+        return y.reshape(shp)
 
 
 def vit_tiny_config(img_size: int = 28) -> ViTConfig:
@@ -69,12 +117,6 @@ class ViTAttention(nn.Module):
         b, n, c = x.shape
         head_dim = cfg.embed_dim // cfg.num_heads
 
-        qkv = Dense(
-            3 * cfg.embed_dim,
-            use_bias=False,
-            compute_dtype=self.compute_dtype,
-            name="qkv",
-        )(x)
         if cfg.qkv_bias:
             # EVA quirk: bias on q and v only; k bias is identically zero
             # (eva_vit.py:77-81,124-127).
@@ -84,10 +126,30 @@ class ViTAttention(nn.Module):
             v_bias = self.param(
                 "v_bias", nn.initializers.zeros, (cfg.embed_dim,), jnp.float32
             )
-            bias = jnp.concatenate(
+            qkv_bias = jnp.concatenate(
                 [q_bias, jnp.zeros_like(q_bias), v_bias]
-            ).astype(qkv.dtype)
-            qkv = qkv + bias
+            )
+        else:
+            qkv_bias = None
+
+        if cfg.int8_matmul:
+            from mr_blip_tpu.ops.int8_matmul import w8a8_linear
+
+            wq, sw, _ = _QDenseParams(
+                3 * cfg.embed_dim, c, use_bias=False, name="qkv"
+            )()
+            qkv = w8a8_linear(
+                x.reshape(b * n, c), wq, sw, qkv_bias
+            ).reshape(b, n, 3 * cfg.embed_dim)
+        else:
+            qkv = Dense(
+                3 * cfg.embed_dim,
+                use_bias=False,
+                compute_dtype=self.compute_dtype,
+                name="qkv",
+            )(x)
+            if qkv_bias is not None:
+                qkv = qkv + qkv_bias.astype(qkv.dtype)
 
         import jax
 
@@ -108,6 +170,14 @@ class ViTAttention(nn.Module):
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             out = dot_product_attention(q, k, v)
             out = out.reshape(b, n, cfg.embed_dim)
+        if cfg.int8_matmul:
+            from mr_blip_tpu.ops.int8_matmul import w8a8_linear
+
+            wq, sw, pb = _QDenseParams(cfg.embed_dim, cfg.embed_dim,
+                                       name="proj")()
+            return w8a8_linear(
+                out.reshape(b * n, cfg.embed_dim), wq, sw, pb
+            ).reshape(b, n, cfg.embed_dim)
         return Dense(cfg.embed_dim, compute_dtype=self.compute_dtype, name="proj")(out)
 
 
@@ -121,10 +191,14 @@ class ViTBlock(nn.Module):
         x = x + ViTAttention(cfg, self.compute_dtype, name="attn")(
             LayerNormFP32(name="norm1")(x)
         )
-        x = x + Mlp(
-            cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
-            approximate_gelu=cfg.fast_gelu, name="mlp",
-        )(LayerNormFP32(name="norm2")(x))
+        if cfg.int8_matmul:
+            mlp = Int8Mlp(cfg.mlp_hidden_dim, name="mlp")
+        else:
+            mlp = Mlp(
+                cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
+                approximate_gelu=cfg.fast_gelu, name="mlp",
+            )
+        x = x + mlp(LayerNormFP32(name="norm2")(x))
         return x
 
 

@@ -56,6 +56,31 @@ def dequantize_dense(qtree):
     return out
 
 
+def quantize_vit_params(vit_params):
+    """Float EVA/base-ViT params -> the tree a ``ViTConfig(int8_matmul=True)``
+    model expects: every block's qkv/proj/fc1/fc2 kernel stored int8 with
+    per-output-channel scales (W8A8 — activations are quantized per token
+    inside the Pallas kernels, no calibration state needed). patch_embed,
+    cls_token, pos_embed, LayerNorms, and the q/v bias vectors stay float."""
+    out = dict(vit_params)
+    for name, block in list(out.items()):
+        if not name.startswith("blocks_"):
+            continue
+        block = dict(block)
+        attn = dict(block["attn"])
+        for d in ("qkv", "proj"):
+            if d in attn and "Dense_0" in attn[d]:
+                attn[d] = quantize_dense(attn[d])
+        block["attn"] = attn
+        mlp = dict(block["mlp"])
+        for d in ("fc1", "fc2"):
+            if d in mlp and "Dense_0" in mlp[d]:
+                mlp[d] = quantize_dense(mlp[d])
+        block["mlp"] = mlp
+        out[name] = block
+    return out
+
+
 _DECODER_DENSE = ("q", "k", "v", "o")
 _FF_DENSE = ("wi", "wi_0", "wi_1", "wo")
 

@@ -346,6 +346,16 @@ class RunnerBase:
         if not skip_reload and cur_epoch == "best":
             self._reload_best_model()
 
+        # Mesh-sharded eval: generate uses every local chip (reference runs
+        # eval 8-way data-parallel via DistributedSampler,
+        # runner_base.py:522-531; here GSPMD shards the eval batch).
+        if (
+            self.mesh is not None
+            and hasattr(self.model, "set_mesh")
+            and getattr(self.model, "mesh", None) is None
+        ):
+            self.model.set_mesh(self.mesh)
+
         self.task.before_evaluation(model=self.model, dataset=None)
         results = self.task.evaluation(self.model, data_loader)
         if results is not None:
