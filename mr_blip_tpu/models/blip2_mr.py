@@ -132,6 +132,7 @@ class BLIP2_MR(BaseModel):
         resample_frames: bool = False,
         freeze_vit: bool = True,
         use_grad_checkpoint: bool = False,
+        drop_path_rate: float = 0.4,
         fast_gelu: bool = False,
         int8_decode: bool = False,
         int8_base: bool = False,
@@ -140,6 +141,7 @@ class BLIP2_MR(BaseModel):
         sequence_parallel: bool = False,
         seed: int = 42,
         init_params: bool = True,
+        vocab_size: int | None = None,
     ):
         self.task = task
         self.use_lora = "lora" in task
@@ -182,6 +184,9 @@ class BLIP2_MR(BaseModel):
         vit_cfg = self.VIT_CONFIGS[vit_model](
             img_size=img_size, use_checkpoint=use_grad_checkpoint,
             fast_gelu=fast_gelu,
+            # reference default for unfrozen training (eva_vit.py:415);
+            # the frozen flagship path never samples it (eval = identity)
+            drop_path_rate=drop_path_rate if not freeze_vit else 0.0,
         ) if vit_model == "eva_vit_g" else self.VIT_CONFIGS[vit_model](img_size=img_size)
         qf_cfg = (
             qformer_base_config(vit_cfg.embed_dim, num_query_token)
@@ -201,7 +206,13 @@ class BLIP2_MR(BaseModel):
         )
         self.int8_decode = int8_decode
         self.int8_base = int8_base
-        if tokenizer_path is None:
+        if vocab_size is not None:
+            # Explicit override: build the T5 at the true checkpoint vocab
+            # even when no tokenizer asset exists (weight porting /
+            # full-geometry rehearsal; token ids from a smaller fallback
+            # tokenizer still index validly into the larger table).
+            t5_kw["vocab_size"] = int(vocab_size)
+        elif tokenizer_path is None:
             t5_kw["vocab_size"] = self.tokenizer.vocab_size
         else:
             # Model vocab = max(config default, tokenizer vocab padded to a
@@ -416,7 +427,11 @@ class BLIP2_MR(BaseModel):
         interleaved = self.interleave_data and "only_frames" not in self.task
 
         def loss_fn(params, batch, dropout_rng=None):
-            rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+            if dropout_rng is not None:
+                dropout_rng, dp_rng = jax.random.split(dropout_rng)
+                rngs = {"dropout": dropout_rng, "drop_path": dp_rng}
+            else:
+                rngs = None
             deterministic = dropout_rng is None
 
             def run(mod):
@@ -966,6 +981,14 @@ class BLIP2_MR(BaseModel):
     # --------------------------------------------------------------- config
     @classmethod
     def from_config(cls, cfg):
+        # Production full-geometry loading: ``model.params_dtype: bfloat16``
+        # stores params on device in bf16 (ViT-g + Flan-T5-XL fp32 would be
+        # ~16 GB — over a v5e's HBM; the reference's analog is its fp16 ViT
+        # cast, eva_vit.py:429-436). Params init as device-side zeros and
+        # the checkpoint load overwrites every tensor (ported msgpacks carry
+        # the full tree); fp32 LN/RMS statistics are unaffected (compute-
+        # time policy, layers.py).
+        params_dtype = cfg.get("params_dtype")
         model = cls(
             img_size=cfg.get("image_size", 224),
             vit_model=cfg.get("vit_model", "eva_vit_g"),
@@ -983,12 +1006,31 @@ class BLIP2_MR(BaseModel):
             num_frames_for_answer=cfg.get("num_frames_for_answer", 4),
             resample_frames=cfg.get("resample_frames", False),
             freeze_vit=cfg.get("freeze_vit", True),
+            drop_path_rate=cfg.get("drop_path_rate", 0.4),
             fast_gelu=cfg.get("fast_gelu", False),
             relpos_in_kernel=cfg.get("relpos_in_kernel", False),
             use_grad_checkpoint=cfg.get("use_grad_checkpoint", False),
             compute_dtype=cfg.get("compute_dtype", "bfloat16"),
             sequence_parallel=cfg.get("sequence_parallel", False),
+            init_params=params_dtype is None,
+            vocab_size=cfg.get("vocab_size"),
         )
+        if params_dtype is not None:
+            dtype = {"bfloat16": jnp.bfloat16,
+                     "float32": jnp.float32}[params_dtype]
+            logging.info(
+                "params_dtype=%s: zero-init on device; checkpoint load must "
+                "cover the tree", params_dtype,
+            )
+            model.params = model.init_params_fast(
+                jax.random.PRNGKey(cfg.get("seed", 42)), dtype=dtype,
+                mode="zeros",
+            )
+            if model.is_qa:
+                model.answerer_params = model.init_params_fast(
+                    jax.random.PRNGKey(cfg.get("seed", 42) + 1), dtype=dtype,
+                    mode="zeros",
+                )
         finetuned = cfg.get("finetuned")
         pretrained = cfg.get("pretrained")
         load_finetuned = cfg.get("load_finetuned", False)

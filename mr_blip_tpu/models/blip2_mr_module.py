@@ -93,7 +93,7 @@ class Blip2MRModule(nn.Module):
                 flat = jax.lax.with_sharding_constraint(flat, P("dp"))
             except RuntimeError:
                 pass  # no mesh context (single-device run): constraint is moot
-        image_embeds = self.visual_encoder(flat)
+        image_embeds = self.visual_encoder(flat, deterministic)
         if self.freeze_vit:
             image_embeds = jax.lax.stop_gradient(image_embeds)
         image_embeds = self.ln_vision(image_embeds)

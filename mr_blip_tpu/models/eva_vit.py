@@ -20,7 +20,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mr_blip_tpu.models.layers import Dense, LayerNormFP32, Mlp
+from mr_blip_tpu.models.layers import Dense, DropPath, LayerNormFP32, Mlp
 from mr_blip_tpu.ops.attention import dot_product_attention
 
 
@@ -35,6 +35,11 @@ class ViTConfig:
     mlp_hidden_dim: int = 6144
     qkv_bias: bool = True
     drop_rate: float = 0.0
+    # Stochastic depth: linear per-block ramp 0 -> drop_path_rate
+    # (reference eva_vit.py:290-292 torch.linspace; create_eva_vit_g
+    # defaults 0.4, eva_vit.py:415). Training-only (needs a "drop_path"
+    # rng and deterministic=False); eval is identity, so parity holds.
+    drop_path_rate: float = 0.0
     use_checkpoint: bool = False
     # perf opt-in: tanh-GELU instead of exact erf (breaks bit-parity)
     fast_gelu: bool = False
@@ -50,11 +55,12 @@ class ViTConfig:
 
 
 def eva_vit_g_config(img_size: int = 224, use_checkpoint: bool = False,
-                     fast_gelu: bool = False,
-                     int8_matmul: bool = False) -> ViTConfig:
+                     fast_gelu: bool = False, int8_matmul: bool = False,
+                     drop_path_rate: float = 0.0) -> ViTConfig:
     """EVA ViT-g/14: mlp_hidden = int(1408 * 4.3637) = 6144 (eva_vit.py:422-428)."""
     return ViTConfig(img_size=img_size, use_checkpoint=use_checkpoint,
-                     fast_gelu=fast_gelu, int8_matmul=int8_matmul)
+                     fast_gelu=fast_gelu, int8_matmul=int8_matmul,
+                     drop_path_rate=drop_path_rate)
 
 
 class _QDenseParams(nn.Module):
@@ -184,12 +190,17 @@ class ViTAttention(nn.Module):
 class ViTBlock(nn.Module):
     config: ViTConfig
     compute_dtype: Any = jnp.bfloat16
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         cfg = self.config
-        x = x + ViTAttention(cfg, self.compute_dtype, name="attn")(
-            LayerNormFP32(name="norm1")(x)
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = x + dp(
+            ViTAttention(cfg, self.compute_dtype, name="attn")(
+                LayerNormFP32(name="norm1")(x)
+            ),
+            deterministic=deterministic,
         )
         if cfg.int8_matmul:
             mlp = Int8Mlp(cfg.mlp_hidden_dim, name="mlp")
@@ -198,7 +209,8 @@ class ViTBlock(nn.Module):
                 cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
                 approximate_gelu=cfg.fast_gelu, name="mlp",
             )
-        x = x + mlp(LayerNormFP32(name="norm2")(x))
+        x = x + dp(mlp(LayerNormFP32(name="norm2")(x)),
+                   deterministic=deterministic)
         return x
 
 
@@ -209,7 +221,7 @@ class EvaViT(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, deterministic: bool = True):
         """images: (B, H, W, C) NHWC float in the processor's normalized range."""
         cfg = self.config
         b = images.shape[0]
@@ -244,7 +256,13 @@ class EvaViT(nn.Module):
 
         block_cls = ViTBlock
         if cfg.use_checkpoint:
-            block_cls = nn.remat(ViTBlock)
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,))
         for i in range(cfg.depth):
-            x = block_cls(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
+            rate = (
+                cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+                if cfg.drop_path_rate else 0.0
+            )
+            x = block_cls(
+                cfg, self.compute_dtype, rate, name=f"blocks_{i}"
+            )(x, deterministic)
         return x

@@ -83,6 +83,26 @@ class RMSNormFP32(nn.Module):
         return (y * scale).astype(orig_dtype)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth (timm ``drop_path``, reference eva_vit.py:20-43):
+    drop an entire residual branch per SAMPLE with probability ``rate``,
+    scaling survivors by 1/(1-rate). Identity when deterministic or
+    rate == 0. Uses the ``"drop_path"`` rng collection.
+    """
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("drop_path")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class Dense(nn.Module):
     """nn.Dense with the framework dtype policy and optional LoRA delta.
 

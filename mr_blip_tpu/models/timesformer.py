@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mr_blip_tpu.common.registry import registry
-from mr_blip_tpu.models.layers import Dense, LayerNormFP32, Mlp
+from mr_blip_tpu.models.layers import Dense, DropPath, LayerNormFP32, Mlp
 from mr_blip_tpu.ops.attention import dot_product_attention
 
 
@@ -35,6 +35,9 @@ class TimeSformerConfig:
     # "joint_space_time" (one attention over all 1+T*P tokens),
     # "space_only" (frames processed independently, averaged at the end)
     attention_type: str = "divided_space_time"
+    # stochastic depth, linear per-block ramp (reference vit.py:145,183:
+    # default drop_path_rate 0.1 under timm DropPath)
+    drop_path_rate: float = 0.0
 
     @property
     def patches_per_frame(self) -> int:
@@ -70,11 +73,13 @@ class _MHA(nn.Module):
 class _DividedBlock(nn.Module):
     config: TimeSformerConfig
     compute_dtype: Any = jnp.bfloat16
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         """x: (B, 1 + T*P, D) — cls token then frame-major patch tokens."""
         cfg = self.config
+        dp = DropPath(self.drop_path, name="drop_path")
         b = x.shape[0]
         t, p, d = cfg.n_frms, cfg.patches_per_frame, cfg.embed_dim
         cls, patches = x[:, :1], x[:, 1:]
@@ -85,7 +90,7 @@ class _DividedBlock(nn.Module):
         h = _MHA(d, cfg.num_heads, self.compute_dtype, name="temporal_attn")(h)
         h = Dense(d, compute_dtype=self.compute_dtype, name="temporal_fc")(h)
         h = h.reshape(b, p, t, d).transpose(0, 2, 1, 3).reshape(b, t * p, d)
-        patches = patches + h
+        patches = patches + dp(h, deterministic=deterministic)
 
         # Spatial attention: cls joins each frame.
         h = LayerNormFP32(epsilon=cfg.norm_eps, name="norm1")(jnp.concatenate([cls, patches], axis=1))
@@ -96,12 +101,17 @@ class _DividedBlock(nn.Module):
         h = _MHA(d, cfg.num_heads, self.compute_dtype, name="attn")(h)
         cls_out = h[:, :1].reshape(b, t, 1, d).mean(axis=1)  # avg over frames
         patch_out = h[:, 1:].reshape(b, t * p, d)
-        cls = cls + cls_out
-        patches = patches + patch_out
+        sp = dp(jnp.concatenate([cls_out, patch_out], axis=1),
+                deterministic=deterministic)
+        cls = cls + sp[:, :1]
+        patches = patches + sp[:, 1:]
 
         x = jnp.concatenate([cls, patches], axis=1)
-        x = x + Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
-                    name="mlp")(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x))
+        x = x + dp(
+            Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
+                name="mlp")(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x)),
+            deterministic=deterministic,
+        )
         return x
 
 
@@ -112,16 +122,21 @@ class _JointBlock(nn.Module):
 
     config: TimeSformerConfig
     compute_dtype: Any = jnp.bfloat16
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         d = cfg.embed_dim
-        x = x + _MHA(d, cfg.num_heads, self.compute_dtype, name="attn")(
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = x + dp(_MHA(d, cfg.num_heads, self.compute_dtype, name="attn")(
             LayerNormFP32(epsilon=cfg.norm_eps, name="norm1")(x)
+        ), deterministic=deterministic)
+        x = x + dp(
+            Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
+                name="mlp")(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x)),
+            deterministic=deterministic,
         )
-        x = x + Mlp(int(d * cfg.mlp_ratio), compute_dtype=self.compute_dtype,
-                    name="mlp")(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x))
         return x
 
 
@@ -131,7 +146,7 @@ class TimeSformer(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, video):
+    def __call__(self, video, deterministic: bool = True):
         """video: (B, T, H, W, C) -> final-normed tokens.
 
         Output is (B, 1 + T*P, D) for divided/joint attention; for
@@ -177,7 +192,10 @@ class TimeSformer(nn.Module):
             ).astype(x.dtype)
             x = jnp.concatenate([cls_tok, x], axis=1)
             for i in range(cfg.depth):
-                x = _JointBlock(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
+                rate = (cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+                        if cfg.drop_path_rate else 0.0)
+                x = _JointBlock(cfg, self.compute_dtype, rate,
+                                name=f"blocks_{i}")(x, deterministic)
             x = x.reshape(b, t, p + 1, cfg.embed_dim).mean(axis=1)
             return LayerNormFP32(epsilon=cfg.norm_eps, name="norm")(x)
 
@@ -189,7 +207,10 @@ class TimeSformer(nn.Module):
         block_cls = (_DividedBlock if cfg.attention_type == "divided_space_time"
                      else _JointBlock)
         for i in range(cfg.depth):
-            x = block_cls(cfg, self.compute_dtype, name=f"blocks_{i}")(x)
+            rate = (cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+                    if cfg.drop_path_rate else 0.0)
+            x = block_cls(cfg, self.compute_dtype, rate,
+                          name=f"blocks_{i}")(x, deterministic)
         return LayerNormFP32(epsilon=cfg.norm_eps, name="norm")(x)
 
 

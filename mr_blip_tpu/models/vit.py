@@ -15,7 +15,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mr_blip_tpu.models.layers import Dense, LayerNormFP32, Mlp
+from mr_blip_tpu.models.layers import Dense, DropPath, LayerNormFP32, Mlp
 from mr_blip_tpu.ops.attention import dot_product_attention
 
 
@@ -30,6 +30,8 @@ class BaseViTConfig:
     mlp_ratio: float = 4.0
     num_classes: int = 0
     drop_rate: float = 0.0
+    # stochastic depth, linear per-block ramp (reference vit.py drop_path)
+    drop_path_rate: float = 0.0
     act: str = "gelu"  # "gelu" | "quick_gelu" (OpenAI CLIP towers)
     pre_norm: bool = False  # CLIP's ln_pre before the blocks
     norm_eps: float = 1e-6  # CLIP towers use torch's 1e-5 default
@@ -71,18 +73,21 @@ class _Attention(nn.Module):
 class _Block(nn.Module):
     config: BaseViTConfig
     compute_dtype: Any = jnp.bfloat16
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.config
-        x = x + _Attention(cfg, self.compute_dtype, name="attn")(
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = x + dp(_Attention(cfg, self.compute_dtype, name="attn")(
             LayerNormFP32(epsilon=cfg.norm_eps, name="norm1")(x), deterministic=deterministic
-        )
-        x = x + Mlp(
+        ), deterministic=deterministic)
+        x = x + dp(Mlp(
             cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
             dropout=cfg.drop_rate, name="mlp",
             activation=None if cfg.act == "gelu" else cfg.act,
-        )(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x), deterministic=deterministic)
+        )(LayerNormFP32(epsilon=cfg.norm_eps, name="norm2")(x), deterministic=deterministic),
+            deterministic=deterministic)
         return x
 
 
@@ -115,7 +120,9 @@ class VisionTransformer(nn.Module):
             x = LayerNormFP32(epsilon=cfg.norm_eps, name="ln_pre")(x)
 
         for i in range(cfg.depth):
-            x = _Block(cfg, self.compute_dtype, name=f"blocks_{i}")(
+            rate = (cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+                    if cfg.drop_path_rate else 0.0)
+            x = _Block(cfg, self.compute_dtype, rate, name=f"blocks_{i}")(
                 x, deterministic=deterministic
             )
         x = LayerNormFP32(epsilon=cfg.norm_eps, name="norm")(x)

@@ -91,7 +91,7 @@ def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False,
                              dropout_rate=dropout_rate,
                              dropout_rng=dropout_rng)
     backend = _BACKEND
-    long_seq = q.shape[1] >= _FLASH_MIN_SEQ and q.shape[1] == k.shape[1]
+    long_q = q.shape[1] >= _FLASH_MIN_SEQ
     # K-only masks (B, 1, 1, M) ride the bias kernel's validity vector.
     k_only_mask = (
         mask is not None
@@ -99,17 +99,39 @@ def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False,
         and mask.shape[1] == 1
         and mask.shape[2] == 1
     )
-    if backend == "auto" and _on_tpu() and long_seq:
+    if backend == "auto" and _on_tpu() and long_q:
         from mr_blip_tpu.ops.flash_attention import (
             flash_attention,
             flash_attention_bias,
         )
 
         if bias is None and mask is None:
+            # The mask-free kernel streams K/V blocks from kv_len
+            # independently of q_len, so rectangular (q_len != k_len)
+            # cross-attention prefill takes the flash path too.
             return flash_attention(q, k, v)
-        if bias is not None and bias.shape[0] == 1 and (
-            mask is None or k_only_mask
+        if (
+            bias is not None and bias.shape[0] == 1
+            and q.shape[1] == k.shape[1]
+            and (mask is None or k_only_mask)
         ):
+            # DISPATCH CONSTRAINTS (bias kernel, measured in
+            # docs/performance.md "Rel-pos bias economics"):
+            # * bias.shape[0] == 1 — the kernel reuses one batch-broadcast
+            #   bias tile across the batch-innermost grid (the tile is the
+            #   dominant per-tile HBM term; per-batch bias would refetch
+            #   bq x M bytes per batch row and erase the win). T5's rel-pos
+            #   bias is (1, H, N, M) by construction, so the constraint is
+            #   free on every current call site.
+            # * q_len == k_len — the T5 encoder (the only bias site) is
+            #   self-attention. Rectangular bias shapes (decoder
+            #   cross-attn prefill, Q-Former 32x257) fall back to XLA,
+            #   which is at its fusion ceiling for short q (<256 rows:
+            #   the (B, H, N, M) logits fit in VMEM and XLA fuses
+            #   softmax+matmul; measured parity at these shapes).
+            # Long-context QA prefill (4k+) with rectangular shapes would
+            # land on relpos_attention / the mask-free kernel above, not
+            # here.
             kv_mask = None
             if mask is not None:
                 kv_mask = jnp.broadcast_to(

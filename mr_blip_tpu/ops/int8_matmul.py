@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_M = 512
 DEFAULT_BLOCK_N = 1408
-DEFAULT_BLOCK_H = 1024
+DEFAULT_BLOCK_H = 1536
+# The XLA default scoped-vmem limit (16 MB) rejects the best block shapes;
+# the v5e physically has headroom (32 MB verified on-chip: all probed block
+# configs compile and run; bm=512/bh=1536 measured fastest at 7.17 ms vs
+# 14.9 bf16 for the EVA-g MLP).
+_VMEM_LIMIT = 32 * 2**20
 
 
 def _quant_rows(x):
@@ -102,6 +107,9 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret=False):
             pltpu.VMEM((block_m, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
     )(x, wq, sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n))
     return out[:m] if pad_m else out
 
@@ -186,6 +194,9 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
             pltpu.VMEM((block_m, d), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
     )(
         x,
         w1q, s1.reshape(1, hdim).astype(jnp.float32), b1.reshape(1, hdim),

@@ -30,6 +30,10 @@ def main():
     parser.add_argument("--t5", help="HF T5 model dir or state file")
     parser.add_argument("--lora", help="PEFT LoRA adapter checkpoint")
     parser.add_argument("--tokenizer-path", help="local tokenizer dir")
+    parser.add_argument("--vocab-size", type=int,
+                        help="override the model vocab (default: inferred "
+                             "from the --t5 checkpoint when no tokenizer "
+                             "is given)")
     parser.add_argument("--output", required=True)
     args = parser.parse_args()
 
@@ -40,8 +44,41 @@ def main():
     from mr_blip_tpu.models import load_model
     from mr_blip_tpu.models import port
 
+    build_kw = {}
+    if args.vocab_size:
+        build_kw["vocab_size"] = args.vocab_size
+    elif args.t5 and not args.tokenizer_path and args.arch == "blip2_mr":
+        # No tokenizer asset: size the embedding/LM head from the T5
+        # checkpoint itself instead of the fallback tokenizer's vocab
+        # (otherwise shared.weight (32128, d) is skipped against a
+        # 4096-row table — found by the full-geometry rehearsal).
+        import torch
+
+        vocab = None
+        t5_path = args.t5
+        if os.path.isdir(t5_path):
+            for cand in ("pytorch_model.bin", "model.safetensors"):
+                if os.path.exists(os.path.join(t5_path, cand)):
+                    t5_path = os.path.join(t5_path, cand)
+                    break
+        if t5_path.endswith(".safetensors"):
+            from safetensors import safe_open
+
+            with safe_open(t5_path, framework="np") as f:
+                if "shared.weight" in f.keys():
+                    vocab = f.get_slice("shared.weight").get_shape()[0]
+        else:
+            sd = torch.load(t5_path, map_location="meta", weights_only=False)
+            if "shared.weight" in sd:
+                vocab = sd["shared.weight"].shape[0]
+            del sd
+        if vocab:
+            logging.info("inferred vocab_size=%d from %s", vocab, args.t5)
+            build_kw["vocab_size"] = int(vocab)
+
     model = load_model(
-        args.arch, args.model_type, tokenizer_path=args.tokenizer_path
+        args.arch, args.model_type, tokenizer_path=args.tokenizer_path,
+        **build_kw,
     )
     params = jax.tree.map(lambda x: __import__("numpy").asarray(x), model.params)
 

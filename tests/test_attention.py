@@ -490,3 +490,45 @@ class TestAttentionWeightDropout:
         assert not np.allclose(np.asarray(a1), np.asarray(a2))
         # attention-weight dropout changes the draw pattern vs residual-only
         assert not np.allclose(np.asarray(a1), np.asarray(b1))
+
+
+class TestRectangularFlash:
+    """q_len != k_len on the mask-free flash kernel (cross-attention
+    prefill shapes) — must match the XLA reference."""
+
+    def test_rectangular_matches_xla(self, monkeypatch):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((2, 512, 2, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 896, 2, 16)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 896, 2, 16)), jnp.float32)
+        orig = fa.pl.pallas_call
+        monkeypatch.setattr(
+            fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        )
+        got = np.asarray(fa.flash_attention(q, k, v))
+        want = np.asarray(xla_attention(q, k, v))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_rectangular_ragged_kv(self, monkeypatch):
+        """kv_len not a block multiple + q_len != k_len."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mr_blip_tpu.ops import flash_attention as fa
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((1, 512, 2, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 700, 2, 16)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 700, 2, 16)), jnp.float32)
+        orig = fa.pl.pallas_call
+        monkeypatch.setattr(
+            fa.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        )
+        got = np.asarray(fa.flash_attention(q, k, v))
+        want = np.asarray(xla_attention(q, k, v))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

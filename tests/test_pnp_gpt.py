@@ -116,3 +116,93 @@ class TestFusionInDecoder:
         joint = model.answer(["what runs"], captions, max_new_tokens=4,
                              fid=False)
         assert isinstance(fid[0], str) and isinstance(joint[0], str)
+
+
+class TestImg2PromptFull:
+    """Full Img2Prompt surface (reference img2prompt_vqa.py:247-457)."""
+
+    @pytest.fixture(scope="class")
+    def i2p(self):
+        tok = MockT5Tokenizer()
+        blip_cfg = blip_tiny_config()
+        blip = BLIPv1(blip_cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        imgs = jnp.array(rng.standard_normal((1, 28, 28, 3), np.float32))
+        ids = jnp.array(rng.integers(3, 100, (1, 5)))
+        mask = jnp.ones((1, 5), jnp.int32)
+        blip_params = blip.init(jax.random.PRNGKey(0), imgs, ids, mask)["params"]
+        from mr_blip_tpu.models.t5 import T5ForConditionalGeneration, t5_tiny_config
+
+        t5_cfg = t5_tiny_config(vocab_size=tok.vocab_size)
+        reader = T5ForConditionalGeneration(t5_cfg, compute_dtype=jnp.float32)
+        emb = jnp.zeros((1, 4, t5_cfg.d_model))
+        reader_params = reader.init(
+            jax.random.PRNGKey(1), emb, jnp.zeros((1, 2), jnp.int32)
+        )["params"]
+        return Img2PromptVQA(blip, blip_params, reader, reader_params, tok,
+                             num_patches=2, num_captions=2)
+
+    def test_answer_extraction(self, i2p):
+        caps = ["a black cat sitting on a red mat",
+                "the cat is sleeping near a window",
+                "a cat on a mat"]
+        contexts, answers, a2c = i2p.answer_extraction(caps)
+        # frequency-ranked candidates: 'cat' appears in all three captions
+        assert answers[0].rstrip(".").lower() == "cat"
+        assert answers[-1] == "yes."  # appended vqav2 exemplar answer
+        assert a2c["cat"] == [0, 1, 2]
+        assert all(c.startswith("answer: ") and "context:" in c
+                   for c in contexts)
+
+    def test_context_prompt_selects_exemplar_caps(self, i2p):
+        caps = ["a black cat sitting on a red mat",
+                "the cat is sleeping near a window"]
+        samples = {"captions": [caps]}
+        contexts, answers, a2c = i2p.answer_extraction(caps)
+        samples.update(answers=answers, ans_to_cap_dict=a2c)
+        ctx = i2p.create_context_prompt(samples, num_caps_per_img=4)
+        # one caption per answer, no repeats: the context is built from
+        # distinct source captions
+        assert ctx
+        assert any(c in ctx for c in caps)
+
+    def test_task_prompt_neural_and_rule(self, i2p):
+        samples = {
+            "captions": [["a dog running fast"]],
+            "questions": ["What animal is this?", "Is there a dog?"],
+            "answers": ["dog.", "yes."],
+            "ans_to_cap_dict": {"dog": [0]},
+        }
+        neural = i2p.create_task_prompt(dict(samples), "neural",
+                                        num_question_per_img=2)
+        assert "Question:" in neural and "Answer:" in neural
+        assert "Answer:yes\n" in neural  # vqav2 yes/no exemplar block
+        assert "Question:Is this a toilet?\nAnswer:no\n" in neural
+        rule = i2p.create_task_prompt(dict(samples), "rule",
+                                      num_question_per_img=2)
+        assert "Answer:dog\n" in rule
+        assert any(q in rule for q in
+                   i2p.NOUN_QUESTIONS + i2p.VERB_QUESTIONS + i2p.ADJ_QUESTIONS)
+
+    def test_prompts_construction_end_to_end(self, i2p):
+        caps = ["a black cat sitting on a red mat"]
+        samples = {"captions": [caps], "text_input": ["what color is the cat?"]}
+        samples = i2p.forward_qa_generation(samples, num_question_generation=3)
+        assert len(samples["questions"]) == len(samples["answers"])
+        prompt = i2p.prompts_construction(samples)
+        assert prompt.startswith("Please reason the answer")
+        assert "Contexts:" in prompt
+        assert prompt.endswith("Question:what color is the cat?\nAnswer:")
+
+    def test_simple_tagger_pos(self):
+        from mr_blip_tpu.models.pnp_vqa import SimpleTagger
+
+        doc = SimpleTagger()("a quick dog chasing 3 red balls in Paris")
+        pos = {t.text: t.pos_ for t in doc}
+        assert pos["dog"] == "NOUN"
+        assert pos["chasing"] == "VERB"
+        assert pos["3"] == "NUM"
+        assert pos["Paris"] == "PROPN"
+        assert pos["a"] == "X" and pos["in"] == "X"
+        assert [e.text for e in doc.ents] == ["Paris"]
+        assert len(list(doc.noun_chunks)) >= 1
