@@ -87,10 +87,16 @@ def main():
         # opt-in int8 weight-only decoder (same e2e path, quantized decode)
         model.quantize_for_decode()
         log("int8 decode enabled")
-    if os.environ.get("MRBLIP_BENCH_INT8_VIT"):
-        # opt-in W8A8 int8 ViT (fused Pallas MXU kernels, per-token act quant)
+    # W8A8 int8 ViT (fused Pallas MXU kernels, in-kernel per-token
+    # activation quant) is the production inference mode and the bench
+    # DEFAULT: the frozen EVA ViT is 73% of the batch and the v5e MXU's
+    # int8 peak is ~2x bf16. MRBLIP_BENCH_FP=1 measures the bit-parity
+    # float path instead. Fidelity: tests/test_int8_vit.py (cosine > 0.99
+    # on the tiny proxy); 161 -> 212 f/s/chip measured.
+    int8_vit = not os.environ.get("MRBLIP_BENCH_FP")
+    if int8_vit:
         model.quantize_vit()
-        log("int8 ViT enabled")
+        log("int8 ViT enabled (default; MRBLIP_BENCH_FP=1 for float)")
     log(f"params ready in {time.time() - t_start:.0f}s")
 
     rng = np.random.default_rng(0)
@@ -137,8 +143,12 @@ def main():
 
     per_video = per_batch / BATCH
     fps = N_FRAMES / per_video
+    mode = "int8-ViT" if int8_vit else "bf16"
     result = {
-        "metric": f"e2e video->span inference ({N_FRAMES}f, ViT-g+FlanT5-XL, beam5)",
+        "metric": (
+            f"e2e video->span inference ({N_FRAMES}f, ViT-g+FlanT5-XL, "
+            f"beam5, {mode})"
+        ),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS_PER_CHIP, 3),
@@ -161,13 +171,27 @@ def main():
     # cached; guard so an inference-only result still prints on failure.
     if not os.environ.get("MRBLIP_BENCH_SKIP_TRAIN"):
         try:
-            import jax.numpy as jnp
+            import gc
 
             from mr_blip_tpu.runners.train_state import (
                 TrainState, make_optimizer, make_train_step,
             )
 
             t0 = time.time()
+            # fresh FLOAT model: training runs the bf16 path (the int8 ViT
+            # is inference-only); free the inference params first so both
+            # fit the 16 GB chip.
+            model.params = None
+            gc.collect()
+            train_model = BLIP2_MR(
+                img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
+                task="lora", num_beams=5, max_new_tokens=50,
+                compute_dtype="bfloat16", init_params=False,
+                relpos_in_kernel=relpos_in_kernel,
+            )
+            train_model.params = train_model.init_params_fast(
+                jax.random.PRNGKey(0), mode="zeros"
+            )
             tr_samples = {
                 k: (v[:1] if hasattr(v, "__getitem__") and not isinstance(v, float)
                     else v)
@@ -176,13 +200,13 @@ def main():
             tr_samples["video"] = jax.device_put(
                 np.asarray(samples["video"][:1])
             )
-            batch = model.prepare_mr_batch(tr_samples)
+            batch = train_model.prepare_mr_batch(tr_samples)
             batch.pop("video_prompt")
             tx = make_optimizer(
-                weight_decay=0.05, trainable_mask=model.trainable_mask()
+                weight_decay=0.05, trainable_mask=train_model.trainable_mask()
             )
-            state = TrainState.create(model.params, tx)
-            step = make_train_step(model._loss_fn, donate=True)
+            state = TrainState.create(train_model.params, tx)
+            step = make_train_step(train_model._loss_fn, donate=True)
             rng = jax.random.PRNGKey(0)
             state, loss = step(state, batch, 3e-4, rng)
             loss = float(loss)
@@ -195,7 +219,7 @@ def main():
             loss = float(loss)  # fence
             s_per_step = (time.time() - t0) / n_steps
             result["train_value"] = round(N_FRAMES / s_per_step, 2)
-            result["train_unit"] = "train frames/sec/chip (B=1x60f, LoRA)"
+            result["train_unit"] = "train frames/sec/chip (B=1x60f, LoRA, bf16)"
             log(f"train steady state: {s_per_step:.3f}s/step")
         except Exception as e:  # noqa: BLE001 — never lose the inference row
             log(f"train bench failed: {type(e).__name__}: {e}")

@@ -114,13 +114,26 @@ def vit_tiny_config(img_size: int = 28) -> ViTConfig:
 
 
 class ViTAttention(nn.Module):
+    """Self-attention; int8 mode takes 2D ``(B*N, C)`` tokens + ``bn``.
+
+    The int8 path keeps activations rank-2 between kernels: 3D<->2D
+    reshapes are NOT free on TPU (the tiled (B, 257, C) layout pads the
+    257 axis, so every reshape is a relayout copy — profiled at 151 ms/run
+    across the 39 blocks before this). Only the attention kernel itself
+    sees a 3D view.
+    """
+
     config: ViTConfig
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bn=None):
         cfg = self.config
-        b, n, c = x.shape
+        if cfg.int8_matmul:
+            b, n = bn
+            c = x.shape[-1]
+        else:
+            b, n, c = x.shape
         head_dim = cfg.embed_dim // cfg.num_heads
 
         if cfg.qkv_bias:
@@ -144,9 +157,9 @@ class ViTAttention(nn.Module):
             wq, sw, _ = _QDenseParams(
                 3 * cfg.embed_dim, c, use_bias=False, name="qkv"
             )()
-            qkv = w8a8_linear(
-                x.reshape(b * n, c), wq, sw, qkv_bias
-            ).reshape(b, n, 3 * cfg.embed_dim)
+            qkv = w8a8_linear(x, wq, sw, qkv_bias).reshape(
+                b, n, 3 * cfg.embed_dim
+            )
         else:
             qkv = Dense(
                 3 * cfg.embed_dim,
@@ -183,7 +196,7 @@ class ViTAttention(nn.Module):
                                        name="proj")()
             return w8a8_linear(
                 out.reshape(b * n, cfg.embed_dim), wq, sw, pb
-            ).reshape(b, n, cfg.embed_dim)
+            )  # stays 2D (B*N, C)
         return Dense(cfg.embed_dim, compute_dtype=self.compute_dtype, name="proj")(out)
 
 
@@ -192,9 +205,24 @@ class ViTBlock(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     drop_path: float = 0.0
 
+    bn: tuple | None = None  # (B, N) when int8 mode runs on 2D tokens
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
+        if cfg.int8_matmul:
+            # 2D token flow; drop_path sampling is per-sample and the int8
+            # path is inference-only, so stochastic depth must be inactive.
+            assert deterministic or self.drop_path == 0.0, (
+                "int8_matmul is an inference mode; train with float params"
+            )
+            x = x + ViTAttention(cfg, self.compute_dtype, name="attn")(
+                LayerNormFP32(name="norm1")(x), bn=self.bn
+            )
+            x = x + Int8Mlp(cfg.mlp_hidden_dim, name="mlp")(
+                LayerNormFP32(name="norm2")(x)
+            )
+            return x
         dp = DropPath(self.drop_path, name="drop_path")
         x = x + dp(
             ViTAttention(cfg, self.compute_dtype, name="attn")(
@@ -202,13 +230,10 @@ class ViTBlock(nn.Module):
             ),
             deterministic=deterministic,
         )
-        if cfg.int8_matmul:
-            mlp = Int8Mlp(cfg.mlp_hidden_dim, name="mlp")
-        else:
-            mlp = Mlp(
-                cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
-                approximate_gelu=cfg.fast_gelu, name="mlp",
-            )
+        mlp = Mlp(
+            cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
+            approximate_gelu=cfg.fast_gelu, name="mlp",
+        )
         x = x + dp(mlp(LayerNormFP32(name="norm2")(x)),
                    deterministic=deterministic)
         return x
@@ -257,12 +282,20 @@ class EvaViT(nn.Module):
         block_cls = ViTBlock
         if cfg.use_checkpoint:
             block_cls = nn.remat(ViTBlock, static_argnums=(2,))
+        n_tok = x.shape[1]
+        if cfg.int8_matmul:
+            # one flatten for the whole stack (see ViTAttention docstring)
+            x = x.reshape(b * n_tok, cfg.embed_dim)
         for i in range(cfg.depth):
             rate = (
                 cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
                 if cfg.drop_path_rate else 0.0
             )
             x = block_cls(
-                cfg, self.compute_dtype, rate, name=f"blocks_{i}"
+                cfg, self.compute_dtype, rate,
+                bn=(b, n_tok) if cfg.int8_matmul else None,
+                name=f"blocks_{i}",
             )(x, deterministic)
+        if cfg.int8_matmul:
+            x = x.reshape(b, n_tok, cfg.embed_dim)
         return x

@@ -84,10 +84,12 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret=False):
     n = wq.shape[1]
     block_n = min(block_n, n)
     assert n % block_n == 0, (n, block_n)
-    pad_m = (-m) % block_m
-    if pad_m:
-        x = jnp.pad(x, ((0, pad_m), (0, 0)))
-    grid = (x.shape[0] // block_m, n // block_n)
+    # Ragged M rides Pallas boundary-block masking (same contract the
+    # flash kernels rely on): the tail block reads padded garbage rows
+    # whose per-row scales only affect those rows, and their writes are
+    # masked. An explicit jnp.pad would cost a full HBM copy of x per
+    # call (profiled: pad+slice was 123 ms/run across the 39-block ViT).
+    grid = (pl.cdiv(m, block_m), n // block_n)
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((1, n), jnp.float32)
@@ -101,7 +103,7 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret=False):
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], n), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((block_m, k), jnp.int8),
             pltpu.VMEM((block_m, 1), jnp.float32),
@@ -111,7 +113,7 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret=False):
             vmem_limit_bytes=_VMEM_LIMIT
         ),
     )(x, wq, sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n))
-    return out[:m] if pad_m else out
+    return out
 
 
 def _w8a8_linear_ref(x, wq, sw, bias):
@@ -170,10 +172,7 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
     block_h = min(block_h, hdim)
     assert hdim % block_h == 0, (hdim, block_h)
     num_h = hdim // block_h
-    pad_m = (-m) % block_m
-    if pad_m:
-        x = jnp.pad(x, ((0, pad_m), (0, 0)))
-    grid = (x.shape[0] // block_m, num_h)
+    grid = (pl.cdiv(m, block_m), num_h)  # ragged M: boundary-masked
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, num_h=num_h),
         grid=grid,
@@ -187,7 +186,7 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], d), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((block_m, d), jnp.int8),
             pltpu.VMEM((block_m, 1), jnp.float32),
@@ -202,7 +201,7 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
         w1q, s1.reshape(1, hdim).astype(jnp.float32), b1.reshape(1, hdim),
         w2q, s2.reshape(1, d).astype(jnp.float32), b2.reshape(1, d),
     )
-    return out[:m] if pad_m else out
+    return out
 
 
 def _w8a8_mlp_ref(x, w1q, s1, b1, w2q, s2, b2, block_h):

@@ -194,7 +194,8 @@ def synthesize(out_dir):
 def port(out_dir):
     """Run the real port CLI as a subprocess; measure its peak RSS."""
     out = os.path.join(out_dir, "params.msgpack")
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""),
                HF_HUB_OFFLINE="1", TRANSFORMERS_OFFLINE="1")
     t0 = time.time()
     cmd = [
@@ -228,8 +229,10 @@ def eval_full_geometry(out_dir):
     make_mr_annotations(synth, n_train=2, n_val=2, n_test=2,
                         n_video_frames=40, fps=2.0, height=240, width=320)
     run_out = os.path.join(out_dir, "eval_out")
-    env = dict(os.environ, PYTHONPATH=REPO, HF_HUB_OFFLINE="1",
-               TRANSFORMERS_OFFLINE="1")
+    # extend (never overwrite) PYTHONPATH: the TPU plugin lives on it
+    env = dict(os.environ,
+               PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""),
+               HF_HUB_OFFLINE="1", TRANSFORMERS_OFFLINE="1")
     t0 = time.time()
     cmd = [
         sys.executable, os.path.join(REPO, "evaluate.py"),
