@@ -41,8 +41,12 @@ def load_model_and_preprocess(name, model_type=None, is_eval=False, **kwargs):
     model = load_model(name, model_type=model_type, is_eval=is_eval, **kwargs)
     img = getattr(model, "img_size", 224)
     if img == 224 and hasattr(model, "config"):
-        vision_cfg = getattr(model.config, "vision", None)
-        img = getattr(vision_cfg, "img_size", img)
+        resnet_cfg = getattr(model.config, "resnet", None)
+        if resnet_cfg is not None:
+            img = resnet_cfg.image_size
+        else:
+            vision_cfg = getattr(model.config, "vision", None)
+            img = getattr(vision_cfg, "img_size", img)
 
     # Per-family processors, as the reference's per-model preprocess_cfg
     # resolves them: video models get the video pipeline, image models the

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from mr_blip_tpu.common.registry import registry
+from mr_blip_tpu.models.clip_resnet import ModifiedResNet, ResNetVisionConfig
 from mr_blip_tpu.models.layers import Dense, LayerNormFP32, Mlp
 from mr_blip_tpu.models.vit import BaseViTConfig, VisionTransformer
 from mr_blip_tpu.ops.attention import dot_product_attention
@@ -32,6 +33,10 @@ class CLIPConfig:
             pre_norm=True, norm_eps=1e-5,
         )
     )
+    # When set, the visual tower is the anti-aliased ModifiedResNet
+    # (reference model.py:456-464 chooses it when vision layers is a tuple)
+    # and ``vision`` is ignored; the tower projects to embed_dim itself.
+    resnet: Optional[ResNetVisionConfig] = None
     vocab_size: int = 49408
     context_length: int = 77
     text_width: int = 512
@@ -41,11 +46,11 @@ class CLIPConfig:
     norm_eps: float = 1e-5  # torch nn.LayerNorm default (reference model.py)
 
 
-# OpenCLIP ViT model zoo — geometry mirrors the reference's JSON configs
-# (lavis/configs/models/clip/ViT-*.json; vision heads = width // head_width,
-# head_width default 64). The ResNet/timm tower families are intentionally
-# not ported: convolutional CLIP towers are off the TPU-first path and no
-# mr_BLIP / LAVIS project config references them.
+# OpenCLIP model zoo — geometry mirrors the reference's JSON configs
+# (lavis/configs/models/clip/*.json; ViT vision heads = width // head_width,
+# head_width default 64; ResNet towers via models/clip_resnet.py). The timm
+# tower family is not ported (needs the timm library; no reference yaml or
+# checkpoint uses it).
 CLIP_MODEL_ZOO = {
     # name: (embed, img, patch, v_width, v_layers, v_head_width, v_mlp_ratio,
     #        t_width, t_heads, t_layers, quick_gelu)
@@ -59,9 +64,30 @@ CLIP_MODEL_ZOO = {
     "ViT-g-14":           (1024, 224, 14, 1408, 40, 88, 4.3637, 1024, 16, 24, False),
 }
 
+# ResNet tower zoo (reference configs/models/clip/RN*.json):
+# name: (embed, img, width, layers, t_width, t_heads, t_layers, quick_gelu)
+CLIP_RESNET_ZOO = {
+    "RN50":            (1024, 224, 64, (3, 4, 6, 3), 512, 8, 12, False),
+    "RN50-quickgelu":  (1024, 224, 64, (3, 4, 6, 3), 512, 8, 12, True),
+    "RN101":           (512, 224, 64, (3, 4, 23, 3), 512, 8, 12, False),
+    "RN101-quickgelu": (512, 224, 64, (3, 4, 23, 3), 512, 8, 12, True),
+    "RN50x4":          (640, 288, 80, (4, 6, 10, 6), 640, 10, 12, False),
+    "RN50x16":         (768, 384, 96, (6, 8, 18, 8), 768, 12, 12, False),
+}
+
 
 def clip_config_from_name(name: str) -> CLIPConfig:
-    """CLIPConfig for an OpenCLIP zoo name (see CLIP_MODEL_ZOO)."""
+    """CLIPConfig for an OpenCLIP zoo name (see CLIP_MODEL_ZOO /
+    CLIP_RESNET_ZOO)."""
+    if name in CLIP_RESNET_ZOO:
+        embed, img, w, layers, tw, th, tl, qg = CLIP_RESNET_ZOO[name]
+        return CLIPConfig(
+            embed_dim=embed,
+            resnet=ResNetVisionConfig(
+                layers=layers, output_dim=embed, image_size=img, width=w,
+            ),
+            text_width=tw, text_heads=th, text_layers=tl, quick_gelu=qg,
+        )
     (embed, img, patch, vw, vl, vhw, vmr, tw, th, tl,
      qg) = CLIP_MODEL_ZOO[name]
     return CLIPConfig(
@@ -121,11 +147,16 @@ class CLIP(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.visual = VisionTransformer(cfg.vision, self.compute_dtype,
-                                        name="visual")
-        self.visual_proj = Dense(cfg.embed_dim, use_bias=False,
-                                 compute_dtype=self.compute_dtype,
-                                 name="visual_proj")
+        if cfg.resnet is not None:
+            self.visual = ModifiedResNet(cfg.resnet, self.compute_dtype,
+                                         name="visual")
+            self.visual_proj = None  # attnpool c_proj already maps to embed
+        else:
+            self.visual = VisionTransformer(cfg.vision, self.compute_dtype,
+                                            name="visual")
+            self.visual_proj = Dense(cfg.embed_dim, use_bias=False,
+                                     compute_dtype=self.compute_dtype,
+                                     name="visual_proj")
         self.token_embedding = nn.Embed(
             cfg.vocab_size, cfg.text_width,
             embedding_init=nn.initializers.normal(0.02),
@@ -151,6 +182,8 @@ class CLIP(nn.Module):
         )
 
     def encode_image(self, images):
+        if self.config.resnet is not None:
+            return self.visual(images)  # tower pools + projects internally
         tokens = self.visual(images)
         return self.visual_proj(tokens[:, 0])
 

@@ -487,6 +487,11 @@ def port_clip(state_dict: Dict[str, np.ndarray]) -> dict:
     token/positional embeddings, resblocks, ln_final, text_projection,
     logit_scale. The two projection matrices apply as ``x @ W`` so they
     map to Dense kernels WITHOUT transposition.
+
+    ModifiedResNet checkpoints (RN50 family, ``model.py:156-244``) are
+    detected by their ``visual.layer1.*`` keys: convs transpose
+    OIHW -> HWIO, BatchNorm running stats port into the params tree
+    (models/clip_resnet.py), attnpool projections port as Dense.
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
     out: dict = {}
@@ -501,32 +506,68 @@ def port_clip(state_dict: Dict[str, np.ndarray]) -> dict:
         _set(out, dst + "/LayerNorm_0/scale", sd[src + ".weight"])
         _set(out, dst + "/LayerNorm_0/bias", sd[src + ".bias"])
 
-    # ------------------------------------------------------------- visual
-    _set(out, "visual/patch_embed/kernel",
-         sd["visual.conv1.weight"].transpose(2, 3, 1, 0))
-    _set(out, "visual/patch_embed/bias",
-         np.zeros(sd["visual.conv1.weight"].shape[0], np.float32))
-    _set(out, "visual/cls_token", sd["visual.class_embedding"][None, None])
-    _set(out, "visual/pos_embed", sd["visual.positional_embedding"][None])
-    norm("visual.ln_pre", "visual/ln_pre")
-    norm("visual.ln_post", "visual/norm")
-    _set(out, "visual_proj/Dense_0/kernel", sd["visual.proj"])  # x @ W
+    def bn(src, dst):
+        """torch BatchNorm2d -> our BatchNorm2d (running stats as params)."""
+        _set(out, dst + "/scale", sd[src + ".weight"])
+        _set(out, dst + "/bias", sd[src + ".bias"])
+        _set(out, dst + "/mean", sd[src + ".running_mean"])
+        _set(out, dst + "/var", sd[src + ".running_var"])
 
-    n_v = 1 + max(
-        int(m.group(1)) for k in sd
-        if (m := re.match(r"visual\.transformer\.resblocks\.(\d+)\.", k))
-    )
-    for i in range(n_v):
-        p = f"visual.transformer.resblocks.{i}."
-        b = f"visual/blocks_{i}/"
-        norm(p + "ln_1", b + "norm1")
-        dense(p + "attn.in_proj_weight", b + "attn/qkv",
-              p + "attn.in_proj_bias")
-        dense(p + "attn.out_proj.weight", b + "attn/proj",
-              p + "attn.out_proj.bias")
-        norm(p + "ln_2", b + "norm2")
-        dense(p + "mlp.c_fc.weight", b + "mlp/fc1", p + "mlp.c_fc.bias")
-        dense(p + "mlp.c_proj.weight", b + "mlp/fc2", p + "mlp.c_proj.bias")
+    def conv(src, dst):
+        _set(out, dst + "/kernel", sd[src + ".weight"].transpose(2, 3, 1, 0))
+
+    # ------------------------------------------------------------- visual
+    if "visual.layer1.0.conv1.weight" in sd:
+        # ModifiedResNet tower (reference model.py:156-244)
+        for j in (1, 2, 3):
+            conv(f"visual.conv{j}", f"visual/conv{j}")
+            bn(f"visual.bn{j}", f"visual/bn{j}")
+        for li in range(1, 5):
+            n_blocks = 1 + max(
+                int(m.group(1)) for k in sd
+                if (m := re.match(rf"visual\.layer{li}\.(\d+)\.", k))
+            )
+            for bi in range(n_blocks):
+                p = f"visual.layer{li}.{bi}."
+                d = f"visual/layer{li}_block{bi}/"
+                for j in (1, 2, 3):
+                    conv(p + f"conv{j}", d + f"conv{j}")
+                    bn(p + f"bn{j}", d + f"bn{j}")
+                if p + "downsample.0.weight" in sd:
+                    conv(p + "downsample.0", d + "ds_conv")
+                    bn(p + "downsample.1", d + "ds_bn")
+        _set(out, "visual/attnpool/pos_embed",
+             sd["visual.attnpool.positional_embedding"])
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            dense(f"visual.attnpool.{proj}.weight",
+                  f"visual/attnpool/{proj}",
+                  f"visual.attnpool.{proj}.bias")
+    else:
+        _set(out, "visual/patch_embed/kernel",
+             sd["visual.conv1.weight"].transpose(2, 3, 1, 0))
+        _set(out, "visual/patch_embed/bias",
+             np.zeros(sd["visual.conv1.weight"].shape[0], np.float32))
+        _set(out, "visual/cls_token", sd["visual.class_embedding"][None, None])
+        _set(out, "visual/pos_embed", sd["visual.positional_embedding"][None])
+        norm("visual.ln_pre", "visual/ln_pre")
+        norm("visual.ln_post", "visual/norm")
+        _set(out, "visual_proj/Dense_0/kernel", sd["visual.proj"])  # x @ W
+
+        n_v = 1 + max(
+            int(m.group(1)) for k in sd
+            if (m := re.match(r"visual\.transformer\.resblocks\.(\d+)\.", k))
+        )
+        for i in range(n_v):
+            p = f"visual.transformer.resblocks.{i}."
+            b = f"visual/blocks_{i}/"
+            norm(p + "ln_1", b + "norm1")
+            dense(p + "attn.in_proj_weight", b + "attn/qkv",
+                  p + "attn.in_proj_bias")
+            dense(p + "attn.out_proj.weight", b + "attn/proj",
+                  p + "attn.out_proj.bias")
+            norm(p + "ln_2", b + "norm2")
+            dense(p + "mlp.c_fc.weight", b + "mlp/fc1", p + "mlp.c_fc.bias")
+            dense(p + "mlp.c_proj.weight", b + "mlp/fc2", p + "mlp.c_proj.bias")
 
     # --------------------------------------------------------------- text
     _set(out, "token_embedding/embedding", sd["token_embedding.weight"])

@@ -219,24 +219,27 @@ class ClipModel(BaseModel):
     ``clip_models/model.py`` surface: encode_image/encode_text/forward,
     plus RetrievalTask's ``compute_sim_matrix``)."""
 
-    # every OpenCLIP ViT geometry the reference ships JSONs for
-    # (lavis/configs/models/clip/ViT-*.json) plus the tiny test size
+    # every OpenCLIP geometry the reference ships JSONs for
+    # (lavis/configs/models/clip/*.json) plus the tiny test size; RN*
+    # names select the ModifiedResNet tower (models/clip_resnet.py)
     PRETRAINED_MODEL_CONFIG_DICT = {
         "tiny": None, "ViT-B-32": None, "ViT-B-32-quickgelu": None,
         "ViT-B-16": None, "ViT-B-16-plus-240": None, "ViT-L-14": None,
         "ViT-L-14-336": None, "ViT-H-14": None, "ViT-g-14": None,
+        "RN50": None, "RN50-quickgelu": None, "RN101": None,
+        "RN101-quickgelu": None, "RN50x4": None, "RN50x16": None,
     }
 
     def __init__(self, model_size: str = "tiny", bpe_path: str | None = None,
                  compute_dtype=jnp.float32, seed: int = 0):
         from mr_blip_tpu.models.clip import (
-            CLIP, CLIP_MODEL_ZOO, clip_config_from_name, clip_tiny_config,
-            clip_vit_b16_config,
+            CLIP, CLIP_MODEL_ZOO, CLIP_RESNET_ZOO, clip_config_from_name,
+            clip_tiny_config, clip_vit_b16_config,
         )
 
         if model_size == "tiny":
             cfg = clip_tiny_config()
-        elif model_size in CLIP_MODEL_ZOO:
+        elif model_size in CLIP_MODEL_ZOO or model_size in CLIP_RESNET_ZOO:
             cfg = clip_config_from_name(model_size)
         else:
             cfg = clip_vit_b16_config()
@@ -256,7 +259,8 @@ class ClipModel(BaseModel):
             self.tokenizer = None  # word fallback below
         self._word_tok = WordTokenizer(vocab_size=cfg.vocab_size)
         self.module = CLIP(cfg, compute_dtype=compute_dtype)
-        img = cfg.vision.img_size
+        img = (cfg.resnet.image_size if cfg.resnet is not None
+               else cfg.vision.img_size)
         self.params = self.module.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, img, img, 3)),
             jnp.zeros((1, cfg.context_length), jnp.int32),

@@ -387,3 +387,45 @@ class TestClipModelZoo:
 
         cfg = clip_config_from_name("ViT-B-32-quickgelu")
         assert cfg.quick_gelu and cfg.vision.act == "quick_gelu"
+
+
+class TestClipResNetZoo:
+    """ModifiedResNet zoo geometries must match the reference's RN*.json
+    configs (tuple layers select the ResNet tower, model.py:456-464;
+    vision heads = width * 32 // 64, embed = width * 32)."""
+
+    def test_rn_geometries_match_reference_jsons(self, reference_root):
+        import json
+
+        from mr_blip_tpu.models.clip import (
+            CLIP_RESNET_ZOO, clip_config_from_name,
+        )
+
+        cfg_dir = reference_root / "lavis/configs/models/clip"
+        checked = 0
+        for name in CLIP_RESNET_ZOO:
+            path = cfg_dir / f"{name}.json"
+            if not path.exists():
+                continue
+            ref = json.loads(path.read_text())
+            ours = clip_config_from_name(name)
+            assert ours.resnet is not None, name
+            assert ours.embed_dim == ref["embed_dim"], name
+            v = ref["vision_cfg"]
+            assert ours.resnet.image_size == v["image_size"], name
+            assert tuple(ours.resnet.layers) == tuple(v["layers"]), name
+            assert ours.resnet.width == v["width"], name
+            assert ours.resnet.output_dim == ref["embed_dim"], name
+            assert ours.resnet.heads == v["width"] * 32 // 64, name
+            t = ref["text_cfg"]
+            assert ours.text_width == t["width"], name
+            assert ours.text_heads == t["heads"], name
+            assert ours.text_layers == t["layers"], name
+            assert ours.quick_gelu == ref.get("quick_gelu", False), name
+            checked += 1
+        assert checked >= 6  # RN50/RN101 (+quickgelu), RN50x4, RN50x16
+
+    def test_rn_name_instantiates_through_wrapper(self):
+        from mr_blip_tpu.models.zoo_wrappers import ClipModel
+
+        assert "RN50" in ClipModel.PRETRAINED_MODEL_CONFIG_DICT
