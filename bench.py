@@ -83,20 +83,18 @@ def main():
     if relpos_in_kernel:
         log("in-kernel rel-pos bias enabled")
     model.params = model.init_params_fast(jax.random.PRNGKey(0), mode="zeros")
-    if os.environ.get("MRBLIP_BENCH_INT8"):
-        # opt-in int8 weight-only decoder (same e2e path, quantized decode)
-        model.quantize_for_decode()
-        log("int8 decode enabled")
-    # W8A8 int8 ViT (fused Pallas MXU kernels, in-kernel per-token
-    # activation quant) is the production inference mode and the bench
-    # DEFAULT: the frozen EVA ViT is 73% of the batch and the v5e MXU's
-    # int8 peak is ~2x bf16. MRBLIP_BENCH_FP=1 measures the bit-parity
-    # float path instead. Fidelity: tests/test_int8_vit.py (cosine > 0.99
-    # on the tiny proxy); 161 -> 212 f/s/chip measured.
-    int8_vit = not os.environ.get("MRBLIP_BENCH_FP")
-    if int8_vit:
-        model.quantize_vit()
-        log("int8 ViT enabled (default; MRBLIP_BENCH_FP=1 for float)")
+    # Full int8 inference (fused W8A8 Pallas ViT + W8A8 T5 encoder +
+    # weight-only int8 decode) is the production inference mode and the
+    # bench DEFAULT: the frozen ViT is ~58% and the T5 encoder ~25% of the
+    # int8 batch, and the v5e MXU's int8 peak is ~2x bf16.
+    # MRBLIP_BENCH_FP=1 measures the bit-parity float path instead.
+    # Fidelity: tests/test_int8_vit.py + tests/test_int8_t5_encoder.py +
+    # tests/test_int8_decode.py (cosine > 0.99 proxies).
+    int8_mode = not os.environ.get("MRBLIP_BENCH_FP")
+    if int8_mode:
+        model.quantize_for_inference()
+        log("int8 inference enabled: ViT + T5 encoder + decode "
+            "(default; MRBLIP_BENCH_FP=1 for float)")
     log(f"params ready in {time.time() - t_start:.0f}s")
 
     rng = np.random.default_rng(0)
@@ -143,7 +141,7 @@ def main():
 
     per_video = per_batch / BATCH
     fps = N_FRAMES / per_video
-    mode = "int8-ViT" if int8_vit else "bf16"
+    mode = "int8" if int8_mode else "bf16"
     result = {
         "metric": (
             f"e2e video->span inference ({N_FRAMES}f, ViT-g+FlanT5-XL, "
@@ -156,7 +154,7 @@ def main():
         # the >=2x target was set for v5p-8; this bench chip is a v5e with
         # 197 bf16 TFLOP/s peak = 63% of the A100's 312 fp16 TFLOP/s, so
         # bf16 parity per chip already implies ~1.6x the A100's MFU. The
-        # int8 path (MRBLIP_BENCH_INT8_VIT) uses the v5e MXU's ~2x int8
+        # default int8 path uses the v5e MXU's ~2x int8
         # peak to go further.
         "hardware_note": (
             "bench chip v5e (197 bf16 TFLOP/s, ~394 int8 TOP/s) vs baseline "

@@ -941,6 +941,56 @@ class BLIP2_MR(BaseModel):
             self.__dict__.pop(attr, None)
         return self
 
+    def quantize_encoder(self):
+        """Convert the loaded float T5 ENCODER to the W8A8 int8 layout and
+        rebuild the module with ``int8_encoder=True``. LoRA deltas are
+        merged into the quantized kernels (same function as base + delta).
+
+        The encoder is the #2 inference consumer after the ViT (~280 ms of
+        the 60-frame batch: profiled scripts/profile_inference.py) and its
+        projections/FFN hit the same ~2x int8 MXU peak as the ViT kernels.
+        Inference-only, opt-in: off the bit-parity path. Call AFTER loading
+        float checkpoints."""
+        import dataclasses
+
+        from mr_blip_tpu.models.quantize import quantize_t5_encoder_params
+
+        assert self.params is not None, "load/init params before quantizing"
+        assert not self.t5_config.int8_encoder, "already quantized"
+        self.t5_config = dataclasses.replace(self.t5_config,
+                                             int8_encoder=True)
+        self.module = Blip2MRModule(
+            vit_config=self.vit_config,
+            qformer_config=self.qformer_config,
+            t5_config=self.t5_config,
+            compute_dtype=self.compute_dtype,
+            decode_cache_len=self.max_new_tokens,
+            frame_token_aggregation=self.frame_token_aggregation,
+            freeze_vit=self.freeze_vit,
+            sequence_parallel=self.module.sequence_parallel,
+        )
+        params = dict(self.params)
+        params["t5"] = quantize_t5_encoder_params(
+            params["t5"], lora_alpha=self.t5_config.lora_alpha
+        )
+        self.params = params
+        if self.answerer_params is not None:
+            ap = dict(self.answerer_params)
+            ap["t5"] = quantize_t5_encoder_params(
+                ap["t5"], lora_alpha=self.t5_config.lora_alpha
+            )
+            self.answerer_params = ap
+        for attr in ("_loss_fn", "_jit_loss", "_jit_generate",
+                     "_jit_qa_answer", "_jit_qa_loss"):
+            self.__dict__.pop(attr, None)
+        return self
+
+    def quantize_for_inference(self):
+        """Production int8 inference mode: W8A8 ViT + W8A8 T5 encoder +
+        weight-only int8 decoder/LM-head in one call (the three opt-in
+        conversions; see each method's docstring for the measured wins)."""
+        return self.quantize_vit().quantize_encoder().quantize_for_decode()
+
     def quantize_base_for_train(self):
         """QLoRA-style conversion: the whole frozen T5 base (encoder AND
         decoder blocks + LM head) to int8 weight-only storage; LoRA deltas
@@ -1046,12 +1096,18 @@ class BLIP2_MR(BaseModel):
                 logging.info("loaded finetuned weights from %s", finetuned)
             except FileNotFoundError:
                 logging.warning("finetuned checkpoint %s not found", finetuned)
-        if cfg.get("int8_decode", False):
-            # quantize AFTER float checkpoints are merged (the converter
-            # reads float kernels)
-            model.quantize_for_decode()
+        # quantize AFTER float checkpoints are merged (the converters read
+        # float kernels). ``int8_inference: True`` is the production
+        # inference mode (ViT + T5 encoder + decode in one flag).
+        if cfg.get("int8_inference", False):
+            model.quantize_for_inference()
+        else:
+            if cfg.get("int8_decode", False):
+                model.quantize_for_decode()
+            if cfg.get("int8_vit", False):
+                model.quantize_vit()
+            if cfg.get("int8_encoder", False):
+                model.quantize_encoder()
         if cfg.get("int8_base", False):
             model.quantize_base_for_train()
-        if cfg.get("int8_vit", False):
-            model.quantize_vit()
         return model

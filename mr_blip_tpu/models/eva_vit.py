@@ -63,29 +63,7 @@ def eva_vit_g_config(img_size: int = 224, use_checkpoint: bool = False,
                      drop_path_rate=drop_path_rate)
 
 
-class _QDenseParams(nn.Module):
-    """Parameter-only scope in the ``layers.Dense(quantize=True)`` layout
-    (kernel_q int8 + per-channel kernel_scale [+ bias])."""
-
-    features: int
-    in_features: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        wq = self.param(
-            "kernel_q", nn.initializers.zeros,
-            (self.in_features, self.features), jnp.int8,
-        )
-        sw = self.param(
-            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.features,),
-                       jnp.float32)
-            if self.use_bias else None
-        )
-        return wq, sw, b
+from mr_blip_tpu.models.layers import QDenseParams as _QDenseParams  # noqa: E402 (moved to layers for T5 reuse)
 
 
 class Int8Mlp(nn.Module):

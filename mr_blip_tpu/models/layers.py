@@ -227,3 +227,30 @@ class Mlp(nn.Module):
         if self.dropout > 0.0:
             x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
         return x
+
+
+class QDenseParams(nn.Module):
+    """Parameter-only scope in the ``Dense(quantize=True)`` layout
+    (kernel_q int8 + per-channel kernel_scale [+ bias]) for modules that
+    feed the W8A8 Pallas kernels directly (ops/int8_matmul.py)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wq = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (self.in_features, self.features), jnp.int8,
+        )
+        sw = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        return wq, sw, b

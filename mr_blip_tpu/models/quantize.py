@@ -153,3 +153,55 @@ def quantize_t5_decoder_params(t5_params):
     if "lm_head" in out:
         out["lm_head"] = quantize_dense(out["lm_head"])
     return out
+
+
+def merge_quantize_dense(dense_tree, lora_alpha: float = 8.0):
+    """Dense tree (float kernel + optional LoRA delta) -> W8A8 layout with
+    the LoRA update MERGED into the quantized kernel:
+
+        w' = w + lora_a @ lora_b * (alpha / rank)
+
+    Used by the int8 encoder path, where the Pallas kernels consume the
+    whole weight (no separate bf16 delta like ``layers.Dense(quantize=
+    True)`` keeps). Mathematically the same function as float base + delta
+    (PEFT's merge_and_unload identity), then quantized per output channel.
+    """
+    inner = dense_tree["Dense_0"]
+    w = jnp.asarray(inner["kernel"], jnp.float32)
+    if "lora_a" in dense_tree:
+        a = jnp.asarray(dense_tree["lora_a"], jnp.float32)
+        b = jnp.asarray(dense_tree["lora_b"], jnp.float32)
+        w = w + (a @ b) * (lora_alpha / a.shape[1])
+    scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": q, "kernel_scale": scale.astype(jnp.float32)}
+    if "bias" in inner:
+        out["bias"] = inner["bias"]
+    return out
+
+
+def quantize_t5_encoder_params(t5_params, lora_alpha: float = 8.0):
+    """Float T5 params -> the tree a ``T5Config(int8_encoder=True)`` model
+    expects: every ENCODER block projection (q/k/v/o) and gated-FFN kernel
+    (wi_0/wi_1/wo) stored int8 with per-channel scales, LoRA deltas merged
+    in (W8A8 — activations quantize per token inside the Pallas kernels).
+    Decoder, shared embedding, norms, and rel-pos tables untouched."""
+    out = dict(t5_params)
+    enc = dict(t5_params["encoder"])
+    for name, block in list(enc.items()):
+        if not name.startswith("block_"):
+            continue
+        block = dict(block)
+        attn = dict(block["self_attention"])
+        for d in _DECODER_DENSE:
+            if d in attn:
+                attn[d] = merge_quantize_dense(attn[d], lora_alpha)
+        block["self_attention"] = attn
+        ff = dict(block["ff"])
+        for d in _FF_DENSE:
+            if d in ff:
+                ff[d] = merge_quantize_dense(ff[d], lora_alpha)
+        block["ff"] = ff
+        enc[name] = block
+    out["encoder"] = enc
+    return out

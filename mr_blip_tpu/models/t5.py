@@ -59,6 +59,13 @@ class T5Config:
     # bandwidth-bound). Convert float params with
     # models/quantize.py::quantize_t5_decoder_params.
     int8_decode: bool = False
+    # W8A8 int8 ENCODER (inference-only): every encoder-block projection and
+    # the gated FFN run on fused Pallas int8 MXU kernels with in-kernel
+    # per-token activation quantization (ops/int8_matmul.py); LoRA deltas
+    # are merged into the kernels at conversion time. Convert float params
+    # with models/quantize.py::quantize_t5_encoder_params. Attention
+    # (flash + rel-pos bias) stays bf16.
+    int8_encoder: bool = False
     # QLoRA-style int8 base for TRAINING: every encoder AND decoder block
     # kernel (and the LM head) stored int8 + per-channel scales; the LoRA
     # deltas stay fp32 and trainable. Frees ~half the T5 weight HBM so
@@ -134,6 +141,7 @@ class T5Attention(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     decode_cache_len: int = 0
     quantize_dense: bool = False  # int8 weight-only kernels (decoder/infer)
+    w8a8: bool = False  # fused W8A8 Pallas projections (encoder inference)
 
     @nn.compact
     def __call__(
@@ -150,12 +158,29 @@ class T5Attention(nn.Module):
         inner = cfg.num_heads * cfg.d_kv
         is_cross = kv_states is not None
 
-        dense = lambda name: Dense(
-            inner, use_bias=False, compute_dtype=self.compute_dtype,
-            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-            lora_dropout=cfg.lora_dropout, quantize=self.quantize_dense,
-            name=name,
-        )
+        if self.w8a8:
+            # W8A8 encoder projections: 2D token flow around the Pallas
+            # kernels; LoRA is merged into kernel_q at conversion
+            # (quantize_t5_encoder_params), so no delta here.
+            assert not is_cross and not decode, "w8a8 is encoder-only"
+            from mr_blip_tpu.models.layers import QDenseParams
+            from mr_blip_tpu.ops.int8_matmul import w8a8_linear
+
+            def dense(name):
+                def apply(t, deterministic=True):
+                    wq, sw, _ = QDenseParams(
+                        inner, t.shape[-1], use_bias=False, name=name
+                    )()
+                    y = w8a8_linear(t.reshape(-1, t.shape[-1]), wq, sw)
+                    return y.reshape(t.shape[:-1] + (inner,))
+                return apply
+        else:
+            dense = lambda name: Dense(
+                inner, use_bias=False, compute_dtype=self.compute_dtype,
+                lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                lora_dropout=cfg.lora_dropout, quantize=self.quantize_dense,
+                name=name,
+            )
         b, n, _ = x.shape
         q = dense("q")(x, deterministic=deterministic).reshape(b, n, cfg.num_heads, cfg.d_kv)
 
@@ -266,10 +291,29 @@ class T5FeedForward(nn.Module):
     config: T5Config
     compute_dtype: Any = jnp.bfloat16
     quantize_dense: bool = False
+    w8a8: bool = False  # fused W8A8 gated-MLP kernel (encoder inference)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.config
+        if self.w8a8:
+            # one fused Pallas kernel: gelu(x@wi_0) * (x@wi_1) @ wo with the
+            # gated hidden resident in VMEM (int8 MXU ~2x bf16 on v5e);
+            # tanh-GELU in-kernel (Mosaic has no erf; below int8 noise)
+            assert cfg.is_gated_act and cfg.dense_act_fn.startswith("gelu")
+            from mr_blip_tpu.models.layers import QDenseParams
+            from mr_blip_tpu.ops.int8_matmul import w8a8_mlp_gated
+
+            w0q, s0, _ = QDenseParams(cfg.d_ff, cfg.d_model, use_bias=False,
+                                      name="wi_0")()
+            w1q, s1, _ = QDenseParams(cfg.d_ff, cfg.d_model, use_bias=False,
+                                      name="wi_1")()
+            woq, so, _ = QDenseParams(cfg.d_model, cfg.d_ff, use_bias=False,
+                                      name="wo")()
+            shp = x.shape
+            y = w8a8_mlp_gated(x.reshape(-1, shp[-1]), w0q, s0, w1q, s1,
+                               woq, so)
+            return y.reshape(shp)
         act = {
             "gelu": lambda y: nn.gelu(y, approximate=False),
             "gelu_new": lambda y: nn.gelu(y, approximate=True),
@@ -298,6 +342,7 @@ class T5Block(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     decode_cache_len: int = 0
     quantize_dense: bool = False
+    w8a8: bool = False
 
     @nn.compact
     def __call__(
@@ -323,7 +368,7 @@ class T5Block(nn.Module):
         h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="self_attn_norm")(x)
         h = T5Attention(cfg, causal=self.causal, compute_dtype=self.compute_dtype,
                         decode_cache_len=self.decode_cache_len,
-                        quantize_dense=self.quantize_dense,
+                        quantize_dense=self.quantize_dense, w8a8=self.w8a8,
                         name="self_attention")(
             h, mask=self_mask, position_bias=position_bias, decode=decode,
             deterministic=deterministic, relpos_table=relpos_table,
@@ -340,7 +385,8 @@ class T5Block(nn.Module):
             x = x + drop(h)
         h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="ff_norm")(x)
         h = T5FeedForward(cfg, compute_dtype=self.compute_dtype,
-                          quantize_dense=self.quantize_dense, name="ff")(
+                          quantize_dense=self.quantize_dense,
+                          w8a8=self.w8a8, name="ff")(
             h, deterministic=deterministic
         )
         return x + drop(h)
@@ -382,7 +428,8 @@ class T5Encoder(nn.Module):
             x = block_cls(
                 cfg, causal=False, has_cross_attention=False,
                 compute_dtype=self.compute_dtype,
-                quantize_dense=cfg.int8_base, name=f"block_{i}",
+                quantize_dense=cfg.int8_base, w8a8=cfg.int8_encoder,
+                name=f"block_{i}",
             )(x, None, attn_mask, None, position_bias,
               False, deterministic, relpos_table)
         x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
