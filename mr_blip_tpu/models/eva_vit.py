@@ -67,19 +67,20 @@ from mr_blip_tpu.models.layers import QDenseParams as _QDenseParams  # noqa: E40
 
 
 class Int8Mlp(nn.Module):
-    """Fused W8A8 GELU MLP (single Pallas kernel on TPU)."""
+    """Fused W8A8 GELU MLP (single Pallas kernel on TPU); optional fused
+    pre-LayerNorm (the norm2 pass folds into the kernel's quant step)."""
 
     hidden_features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, norm=None):
         from mr_blip_tpu.ops.int8_matmul import w8a8_mlp
 
         d = x.shape[-1]
         w1q, s1, b1 = _QDenseParams(self.hidden_features, d, name="fc1")()
         w2q, s2, b2 = _QDenseParams(d, self.hidden_features, name="fc2")()
         shp = x.shape
-        y = w8a8_mlp(x.reshape(-1, d), w1q, s1, b1, w2q, s2, b2)
+        y = w8a8_mlp(x.reshape(-1, d), w1q, s1, b1, w2q, s2, b2, norm=norm)
         return y.reshape(shp)
 
 
@@ -105,7 +106,7 @@ class ViTAttention(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, bn=None):
+    def __call__(self, x, bn=None, norm=None):
         cfg = self.config
         if cfg.int8_matmul:
             b, n = bn
@@ -135,7 +136,7 @@ class ViTAttention(nn.Module):
             wq, sw, _ = _QDenseParams(
                 3 * cfg.embed_dim, c, use_bias=False, name="qkv"
             )()
-            qkv = w8a8_linear(x, wq, sw, qkv_bias).reshape(
+            qkv = w8a8_linear(x, wq, sw, qkv_bias, norm=norm).reshape(
                 b, n, 3 * cfg.embed_dim
             )
         else:
@@ -194,11 +195,18 @@ class ViTBlock(nn.Module):
             assert deterministic or self.drop_path == 0.0, (
                 "int8_matmul is an inference mode; train with float params"
             )
+            # pre-norms fold into the int8 kernels' quant step (the
+            # standalone LN pass is a full HBM round-trip of x per call);
+            # params stay at the float tree's norm1/norm2 paths
+            from mr_blip_tpu.models.layers import LNParamsScope
+
+            s1, b1 = LNParamsScope(cfg.embed_dim, name="norm1")()
             x = x + ViTAttention(cfg, self.compute_dtype, name="attn")(
-                LayerNormFP32(name="norm1")(x), bn=self.bn
+                x, bn=self.bn, norm=("ln", s1, b1, 1e-6)
             )
+            s2, b2 = LNParamsScope(cfg.embed_dim, name="norm2")()
             x = x + Int8Mlp(cfg.mlp_hidden_dim, name="mlp")(
-                LayerNormFP32(name="norm2")(x)
+                x, norm=("ln", s2, b2, 1e-6)
             )
             return x
         dp = DropPath(self.drop_path, name="drop_path")

@@ -254,3 +254,27 @@ class QDenseParams(nn.Module):
             if self.use_bias else None
         )
         return wq, sw, b
+
+
+class LNParamsScope(nn.Module):
+    """Parameter-only scope producing the ``<name>/LayerNorm_0/{scale,bias}``
+    layout of LayerNormFP32 — used when the norm COMPUTE is fused into a
+    downstream Pallas kernel (int8 path) but the params must stay at the
+    float tree's path so ports/checkpoints are layout-identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNParams(self.features, name="LayerNorm_0")()
+
+
+class RMSParamsScope(nn.Module):
+    """Parameter-only scope matching RMSNormFP32's ``<name>/scale`` path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("scale", nn.initializers.ones, (self.features,),
+                          jnp.float32)

@@ -180,12 +180,24 @@ def merge_quantize_dense(dense_tree, lora_alpha: float = 8.0):
     return out
 
 
+def _merged_float_kernel(dense_tree, lora_alpha):
+    w = jnp.asarray(dense_tree["Dense_0"]["kernel"], jnp.float32)
+    if "lora_a" in dense_tree:
+        a = jnp.asarray(dense_tree["lora_a"], jnp.float32)
+        b = jnp.asarray(dense_tree["lora_b"], jnp.float32)
+        w = w + (a @ b) * (lora_alpha / a.shape[1])
+    return w
+
+
 def quantize_t5_encoder_params(t5_params, lora_alpha: float = 8.0):
     """Float T5 params -> the tree a ``T5Config(int8_encoder=True)`` model
-    expects: every ENCODER block projection (q/k/v/o) and gated-FFN kernel
+    expects: every ENCODER block projection and gated-FFN kernel
     (wi_0/wi_1/wo) stored int8 with per-channel scales, LoRA deltas merged
     in (W8A8 — activations quantize per token inside the Pallas kernels).
-    Decoder, shared embedding, norms, and rel-pos tables untouched."""
+    q/k/v merge into one packed (d, 3*inner) ``qkv_packed`` kernel (one
+    quant pass + one kernel launch; per-output-channel scales make the
+    concat-then-quantize identical to quantize-then-concat). Decoder,
+    shared embedding, norms, and rel-pos tables untouched."""
     out = dict(t5_params)
     enc = dict(t5_params["encoder"])
     for name, block in list(enc.items()):
@@ -193,9 +205,17 @@ def quantize_t5_encoder_params(t5_params, lora_alpha: float = 8.0):
             continue
         block = dict(block)
         attn = dict(block["self_attention"])
-        for d in _DECODER_DENSE:
-            if d in attn:
-                attn[d] = merge_quantize_dense(attn[d], lora_alpha)
+        w = jnp.concatenate(
+            [_merged_float_kernel(attn.pop(d), lora_alpha)
+             for d in ("q", "k", "v")], axis=1,
+        )
+        scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-8) / 127.0
+        attn["qkv_packed"] = {
+            "kernel_q": jnp.clip(jnp.round(w / scale), -127, 127).astype(
+                jnp.int8),
+            "kernel_scale": scale.astype(jnp.float32),
+        }
+        attn["o"] = merge_quantize_dense(attn["o"], lora_alpha)
         block["self_attention"] = attn
         ff = dict(block["ff"])
         for d in _FF_DENSE:

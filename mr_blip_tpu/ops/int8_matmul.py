@@ -73,16 +73,62 @@ def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)
 
 
+def _norm_rows(xf, norm_kind, ls, lb, eps):
+    """Fused pre-norm in fp32 (LayerNorm or T5 RMSNorm) on a row block.
+
+    The normalized activation is produced INSIDE the kernel right before
+    quantization — the standalone norm pass (read x + write normed x, a
+    full HBM round-trip per call: ~0.44 ms at the 240-frame ViT shape)
+    disappears, and the fp32 statistics match LayerNormFP32/RMSNormFP32.
+    """
+    if norm_kind == "ln":
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + eps) * ls + lb
+    if norm_kind == "rms":
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        return xf * jax.lax.rsqrt(var + eps) * ls
+    assert norm_kind is None
+    return xf
+
+
+def _norm_args(norm, k):
+    """(norm_kind, eps, ls_arr(1,k), lb_arr(1,k)) from the public ``norm``
+    tuple ``None | ("ln", scale, bias, eps) | ("rms", scale, None, eps)``."""
+    if norm is None:
+        return None, 0.0, jnp.ones((1, k), jnp.float32), jnp.zeros(
+            (1, k), jnp.float32)
+    kind, scale, bias, eps = norm
+    ls = scale.reshape(1, k).astype(jnp.float32)
+    lb = (bias.reshape(1, k).astype(jnp.float32) if bias is not None
+          else jnp.zeros((1, k), jnp.float32))
+    return kind, float(eps), ls, lb
+
+
+def _norm_ref(x, norm):
+    if norm is None:
+        return x
+    kind, scale, bias, eps = norm
+    xf = x.astype(jnp.float32)
+    return _norm_rows(
+        xf, kind, scale.reshape(1, -1).astype(jnp.float32),
+        bias.reshape(1, -1).astype(jnp.float32) if bias is not None else 0.0,
+        eps,
+    )
+
+
 # --------------------------------------------------------------- linear
 
 
-def _linear_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref, xq_ref, sa_ref,
-                   *, has_bias: bool):
+def _linear_kernel(x_ref, w_ref, sw_ref, b_ref, ls_ref, lb_ref, o_ref,
+                   xq_ref, sa_ref, *, has_bias: bool, norm_kind, eps):
     n_idx = pl.program_id(1)
 
     @pl.when(n_idx == 0)
     def _():
-        q, s = _quant_rows(x_ref[:])
+        xf = _norm_rows(x_ref[:].astype(jnp.float32), norm_kind,
+                        ls_ref[:], lb_ref[:], eps)
+        q, s = _quant_rows(xf)
         xq_ref[:] = q
         sa_ref[:] = s
 
@@ -93,10 +139,12 @@ def _linear_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref, xq_ref, sa_ref,
     o_ref[:] = y.astype(jnp.bfloat16)
 
 
-def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret=False):
+def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, norm=None,
+                     interpret=False):
     m, k = x.shape
     n = wq.shape[1]
     block_n = _pick_block(n, block_n)
+    norm_kind, eps, ls, lb = _norm_args(norm, k)
     # Ragged M rides Pallas boundary-block masking (same contract the
     # flash kernels rely on): the tail block reads padded garbage rows
     # whose per-row scales only affect those rows, and their writes are
@@ -107,13 +155,16 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret=False):
     if bias is None:
         bias = jnp.zeros((1, n), jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_linear_kernel, has_bias=has_bias),
+        functools.partial(_linear_kernel, has_bias=has_bias,
+                          norm_kind=norm_kind, eps=eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
             pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
@@ -125,7 +176,8 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret=False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
-    )(x, wq, sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n))
+    )(x, wq, sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n),
+      ls, lb)
     return out
 
 
@@ -141,27 +193,34 @@ def _w8a8_linear_ref(x, wq, sw, bias):
     return y.astype(jnp.bfloat16)
 
 
-def w8a8_linear(x, wq, sw, bias=None, *, block_m=DEFAULT_BLOCK_M,
+def w8a8_linear(x, wq, sw, bias=None, *, norm=None,
+                block_m=DEFAULT_BLOCK_M,
                 block_n=DEFAULT_BLOCK_N, interpret=False):
     """``bf16 (M,K) @ int8 (K,N) -> bf16 (M,N)`` with in-kernel per-token
     activation quantization. ``sw``: per-output-channel weight scales (N,);
-    ``bias``: optional fp32 (N,). ``interpret=True`` runs the Pallas kernel
-    in interpreter mode (CPU testing)."""
+    ``bias``: optional fp32 (N,). ``norm``: optional fused PRE-norm applied
+    to x inside the kernel — ``("ln", scale, bias, eps)`` or
+    ``("rms", scale, None, eps)``. ``interpret=True`` runs the Pallas
+    kernel in interpreter mode (CPU testing)."""
     if jax.default_backend() == "tpu" or interpret:
-        return _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, interpret)
-    return _w8a8_linear_ref(x, wq, sw, bias)
+        return _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, norm,
+                                interpret)
+    return _w8a8_linear_ref(_norm_ref(x, norm), wq, sw, bias)
 
 
 # ------------------------------------------------------------------ mlp
 
 
 def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                o_ref, xq_ref, sa_ref, acc_ref, *, num_h: int):
+                ls_ref, lb_ref, o_ref, xq_ref, sa_ref, acc_ref,
+                *, num_h: int, norm_kind, eps):
     h_idx = pl.program_id(1)
 
     @pl.when(h_idx == 0)
     def _():
-        q, s = _quant_rows(x_ref[:])
+        xf = _norm_rows(x_ref[:].astype(jnp.float32), norm_kind,
+                        ls_ref[:], lb_ref[:], eps)
+        q, s = _quant_rows(xf)
         xq_ref[:] = q
         sa_ref[:] = s
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -179,14 +238,16 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 
 
 def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
-                  interpret=False):
+                  norm=None, interpret=False):
     m, d = x.shape
     hdim = w1q.shape[1]
     block_h = _pick_block(hdim, block_h)
+    norm_kind, eps, ls, lb = _norm_args(norm, d)
     num_h = hdim // block_h
     grid = (pl.cdiv(m, block_m), num_h)  # ragged M: boundary-masked
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, num_h=num_h),
+        functools.partial(_mlp_kernel, num_h=num_h, norm_kind=norm_kind,
+                          eps=eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
@@ -194,6 +255,8 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
             pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
             pl.BlockSpec((block_h, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
         ],
@@ -212,6 +275,7 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
         x,
         w1q, s1.reshape(1, hdim).astype(jnp.float32), b1.reshape(1, hdim),
         w2q, s2.reshape(1, d).astype(jnp.float32), b2.reshape(1, d),
+        ls, lb,
     )
     return out
 
@@ -243,26 +307,32 @@ def _w8a8_mlp_ref(x, w1q, s1, b1, w2q, s2, b2, block_h):
     return (acc + b2.reshape(1, -1)).astype(jnp.bfloat16)
 
 
-def w8a8_mlp(x, w1q, s1, b1, w2q, s2, b2, *, block_m=DEFAULT_BLOCK_M,
+def w8a8_mlp(x, w1q, s1, b1, w2q, s2, b2, *, norm=None,
+             block_m=DEFAULT_BLOCK_M,
              block_h=DEFAULT_BLOCK_H, interpret=False):
     """Fused int8 GELU MLP: ``gelu(x @ w1 + b1) @ w2 + b2`` with both
-    matmuls on the int8 MXU and the hidden activation resident in VMEM."""
+    matmuls on the int8 MXU and the hidden activation resident in VMEM.
+    ``norm``: optional fused pre-norm on x (see w8a8_linear)."""
     if jax.default_backend() == "tpu" or interpret:
         return _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
-                             interpret)
-    return _w8a8_mlp_ref(x, w1q, s1, b1, w2q, s2, b2, block_h)
+                             norm, interpret)
+    return _w8a8_mlp_ref(_norm_ref(x, norm), w1q, s1, b1, w2q, s2, b2,
+                         block_h)
 
 
 # ------------------------------------------------------------ gated mlp
 
 
 def _gated_mlp_kernel(x_ref, w0_ref, s0_ref, w1_ref, s1_ref, wo_ref, so_ref,
-                      o_ref, xq_ref, sa_ref, acc_ref, *, num_h: int):
+                      ls_ref, lb_ref, o_ref, xq_ref, sa_ref, acc_ref,
+                      *, num_h: int, norm_kind, eps):
     h_idx = pl.program_id(1)
 
     @pl.when(h_idx == 0)
     def _():
-        q, s = _quant_rows(x_ref[:])
+        xf = _norm_rows(x_ref[:].astype(jnp.float32), norm_kind,
+                        ls_ref[:], lb_ref[:], eps)
+        q, s = _quant_rows(xf)
         xq_ref[:] = q
         sa_ref[:] = s
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -281,7 +351,7 @@ def _gated_mlp_kernel(x_ref, w0_ref, s0_ref, w1_ref, s1_ref, wo_ref, so_ref,
 
 
 def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
-                        interpret=False):
+                        norm=None, interpret=False):
     m, d = x.shape
     hdim = w0q.shape[1]
     block_h = _pick_block(hdim, block_h)
@@ -298,10 +368,12 @@ def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
         if est <= _VMEM_LIMIT * 3 // 4:
             break
         block_m //= 2
+    norm_kind, eps, ls, lb = _norm_args(norm, d)
     num_h = hdim // block_h
     grid = (pl.cdiv(m, block_m), num_h)  # ragged M: boundary-masked
     out = pl.pallas_call(
-        functools.partial(_gated_mlp_kernel, num_h=num_h),
+        functools.partial(_gated_mlp_kernel, num_h=num_h,
+                          norm_kind=norm_kind, eps=eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
@@ -310,6 +382,8 @@ def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
             pl.BlockSpec((d, block_h), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
             pl.BlockSpec((block_h, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
@@ -328,6 +402,7 @@ def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
         w0q, s0.reshape(1, hdim).astype(jnp.float32),
         w1q, s1.reshape(1, hdim).astype(jnp.float32),
         woq, so.reshape(1, d).astype(jnp.float32),
+        ls, lb,
     )
     return out
 
@@ -363,7 +438,8 @@ def _w8a8_mlp_gated_ref(x, w0q, s0, w1q, s1, woq, so, block_h):
     return acc.astype(jnp.bfloat16)
 
 
-def w8a8_mlp_gated(x, w0q, s0, w1q, s1, woq, so, *, block_m=DEFAULT_BLOCK_M,
+def w8a8_mlp_gated(x, w0q, s0, w1q, s1, woq, so, *, norm=None,
+                   block_m=DEFAULT_BLOCK_M,
                    block_h=640, interpret=False):
     """Fused int8 gated-GELU MLP (T5 ``gelu(x@wi_0) * (x@wi_1) @ wo``,
     bias-free): all three matmuls on the int8 MXU, the gated hidden
@@ -374,5 +450,6 @@ def w8a8_mlp_gated(x, w0q, s0, w1q, s1, woq, so, *, block_m=DEFAULT_BLOCK_M,
     T5DenseGatedActDense with the dense_act_fn="gelu" override)."""
     if jax.default_backend() == "tpu" or interpret:
         return _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m,
-                                   block_h, interpret)
-    return _w8a8_mlp_gated_ref(x, w0q, s0, w1q, s1, woq, so, block_h)
+                                   block_h, norm, interpret)
+    return _w8a8_mlp_gated_ref(_norm_ref(x, norm), w0q, s0, w1q, s1, woq, so,
+                               block_h)

@@ -124,8 +124,11 @@ class TestInt8T5Encoder:
     def test_quantized_layout(self):
         _, params, qt5, qparams, embeds, mask = self._encoder_pair()
         blk = qparams["encoder"]["block_0"]
-        assert blk["self_attention"]["q"]["kernel_q"].dtype == jnp.int8
-        assert "lora_a" not in blk["self_attention"]["q"]  # merged
+        packed = blk["self_attention"]["qkv_packed"]
+        assert packed["kernel_q"].dtype == jnp.int8
+        assert packed["kernel_q"].shape[1] == 3 * packed["kernel_q"].shape[0]
+        assert "q" not in blk["self_attention"]  # packed + merged
+        assert "lora_a" not in blk["self_attention"]["o"]  # merged
         assert blk["ff"]["wi_0"]["kernel_q"].dtype == jnp.int8
         assert blk["ff"]["wo"]["kernel_scale"].dtype == jnp.float32
         out = qt5.apply({"params": qparams}, embeds, mask=mask,
@@ -183,8 +186,8 @@ class TestBlip2MRQuantizeInference:
         float_out = model.generate(samples)
         model.quantize_encoder()
         assert model.t5_config.int8_encoder
-        q = model.params["t5"]["encoder"]["block_0"]["self_attention"]["q"]
-        assert q["kernel_q"].dtype == jnp.int8
+        attn = model.params["t5"]["encoder"]["block_0"]["self_attention"]
+        assert attn["qkv_packed"]["kernel_q"].dtype == jnp.int8
         int8_out = model.generate(samples)
         assert isinstance(int8_out["prediction"][0], str)
         assert len(int8_out["prediction"]) == len(float_out["prediction"])
