@@ -93,8 +93,8 @@ def main():
     int8_mode = not os.environ.get("MRBLIP_BENCH_FP")
     if int8_mode:
         model.quantize_for_inference()
-        log("int8 inference enabled: ViT + T5 encoder + decode "
-            "(default; MRBLIP_BENCH_FP=1 for float)")
+        log("int8 inference enabled: ViT + Q-Former KV + T5 encoder + "
+            "decode (default; MRBLIP_BENCH_FP=1 for float)")
     log(f"params ready in {time.time() - t_start:.0f}s")
 
     rng = np.random.default_rng(0)
@@ -176,11 +176,27 @@ def main():
             )
 
             t0 = time.time()
-            # fresh FLOAT model: training runs the bf16 path (the int8 ViT
-            # is inference-only); free the inference params first so both
-            # fit the 16 GB chip.
+            # fresh FLOAT model: training runs the bf16 path (the int8
+            # modes are inference-only). Release the ENTIRE inference
+            # phase first — params, jitted executables, and device inputs:
+            # leftover executables/buffers from the int8 generate measurably
+            # degrade the subsequent train step (0.647 s/step in a fresh
+            # process vs 0.757 with the inference phase still resident —
+            # isolated via /tmp A/B on identical HLO).
+            tr_samples = {
+                k: (v[:1] if hasattr(v, "__getitem__") and not isinstance(v, float)
+                    else v)
+                for k, v in samples.items()
+            }
+            tr_samples["video"] = np.asarray(samples["video"][:1])
             model.params = None
+            for attr in ("_loss_fn", "_jit_loss", "_jit_generate",
+                         "_jit_qa_answer", "_jit_qa_loss"):
+                model.__dict__.pop(attr, None)
+            del model, out, video, samples
+            jax.clear_caches()
             gc.collect()
+            tr_samples["video"] = jax.device_put(tr_samples["video"])
             train_model = BLIP2_MR(
                 img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
                 task="lora", num_beams=5, max_new_tokens=50,
@@ -189,14 +205,6 @@ def main():
             )
             train_model.params = train_model.init_params_fast(
                 jax.random.PRNGKey(0), mode="zeros"
-            )
-            tr_samples = {
-                k: (v[:1] if hasattr(v, "__getitem__") and not isinstance(v, float)
-                    else v)
-                for k, v in samples.items()
-            }
-            tr_samples["video"] = jax.device_put(
-                np.asarray(samples["video"][:1])
             )
             batch = train_model.prepare_mr_batch(tr_samples)
             batch.pop("video_prompt")

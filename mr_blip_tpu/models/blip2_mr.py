@@ -985,11 +985,50 @@ class BLIP2_MR(BaseModel):
             self.__dict__.pop(attr, None)
         return self
 
+    def quantize_qformer(self):
+        """Convert the Q-Former's cross-attention K/V projections to the
+        packed W8A8 int8 layout and rebuild with ``int8_cross=True``. The
+        (B*T*257, 1408) K/V matmuls dominate the Q-Former stage; q/output
+        projections and FFNs stay float (post-LN residuals, small rows).
+        Inference-only, opt-in. Call AFTER loading float checkpoints."""
+        import dataclasses
+
+        from mr_blip_tpu.models.quantize import quantize_qformer_cross_params
+
+        assert self.params is not None, "load/init params before quantizing"
+        assert not self.qformer_config.int8_cross, "already quantized"
+        self.qformer_config = dataclasses.replace(self.qformer_config,
+                                                  int8_cross=True)
+        self.module = Blip2MRModule(
+            vit_config=self.vit_config,
+            qformer_config=self.qformer_config,
+            t5_config=self.t5_config,
+            compute_dtype=self.compute_dtype,
+            decode_cache_len=self.max_new_tokens,
+            frame_token_aggregation=self.frame_token_aggregation,
+            freeze_vit=self.freeze_vit,
+            sequence_parallel=self.module.sequence_parallel,
+        )
+        params = dict(self.params)
+        params["qformer"] = quantize_qformer_cross_params(params["qformer"])
+        self.params = params
+        if self.answerer_params is not None:
+            ap = dict(self.answerer_params)
+            if "qformer" in ap:
+                ap["qformer"] = quantize_qformer_cross_params(ap["qformer"])
+            self.answerer_params = ap
+        for attr in ("_loss_fn", "_jit_loss", "_jit_generate",
+                     "_jit_qa_answer", "_jit_qa_loss"):
+            self.__dict__.pop(attr, None)
+        return self
+
     def quantize_for_inference(self):
-        """Production int8 inference mode: W8A8 ViT + W8A8 T5 encoder +
-        weight-only int8 decoder/LM-head in one call (the three opt-in
-        conversions; see each method's docstring for the measured wins)."""
-        return self.quantize_vit().quantize_encoder().quantize_for_decode()
+        """Production int8 inference mode: W8A8 ViT + W8A8 Q-Former cross
+        K/V + W8A8 T5 encoder + weight-only int8 decoder/LM-head in one
+        call (the opt-in conversions; see each method's docstring for the
+        measured wins)."""
+        return (self.quantize_vit().quantize_qformer().quantize_encoder()
+                .quantize_for_decode())
 
     def quantize_base_for_train(self):
         """QLoRA-style conversion: the whole frozen T5 base (encoder AND
@@ -1106,6 +1145,8 @@ class BLIP2_MR(BaseModel):
                 model.quantize_for_decode()
             if cfg.get("int8_vit", False):
                 model.quantize_vit()
+            if cfg.get("int8_qformer", False):
+                model.quantize_qformer()
             if cfg.get("int8_encoder", False):
                 model.quantize_encoder()
         if cfg.get("int8_base", False):

@@ -73,14 +73,17 @@ class Int8Mlp(nn.Module):
     hidden_features: int
 
     @nn.compact
-    def __call__(self, x, norm=None):
+    def __call__(self, x, norm=None, residual=None):
         from mr_blip_tpu.ops.int8_matmul import w8a8_mlp
 
         d = x.shape[-1]
         w1q, s1, b1 = _QDenseParams(self.hidden_features, d, name="fc1")()
         w2q, s2, b2 = _QDenseParams(d, self.hidden_features, name="fc2")()
         shp = x.shape
-        y = w8a8_mlp(x.reshape(-1, d), w1q, s1, b1, w2q, s2, b2, norm=norm)
+        if residual is not None:
+            residual = residual.reshape(-1, d)
+        y = w8a8_mlp(x.reshape(-1, d), w1q, s1, b1, w2q, s2, b2, norm=norm,
+                     residual=residual)
         return y.reshape(shp)
 
 
@@ -106,7 +109,7 @@ class ViTAttention(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, bn=None, norm=None):
+    def __call__(self, x, bn=None, norm=None, residual=None):
         cfg = self.config
         if cfg.int8_matmul:
             b, n = bn
@@ -173,8 +176,11 @@ class ViTAttention(nn.Module):
 
             wq, sw, pb = _QDenseParams(cfg.embed_dim, cfg.embed_dim,
                                        name="proj")()
+            if residual is not None:
+                residual = residual.reshape(b * n, cfg.embed_dim)
             return w8a8_linear(
-                out.reshape(b * n, cfg.embed_dim), wq, sw, pb
+                out.reshape(b * n, cfg.embed_dim), wq, sw, pb,
+                residual=residual,
             )  # stays 2D (B*N, C)
         return Dense(cfg.embed_dim, compute_dtype=self.compute_dtype, name="proj")(out)
 
@@ -200,13 +206,15 @@ class ViTBlock(nn.Module):
             # params stay at the float tree's norm1/norm2 paths
             from mr_blip_tpu.models.layers import LNParamsScope
 
+            # the skip adds ride the int8 kernels' epilogue (``residual=``):
+            # a standalone x + y pass is 2 extra HBM round-trips per block
             s1, b1 = LNParamsScope(cfg.embed_dim, name="norm1")()
-            x = x + ViTAttention(cfg, self.compute_dtype, name="attn")(
-                x, bn=self.bn, norm=("ln", s1, b1, 1e-6)
+            x = ViTAttention(cfg, self.compute_dtype, name="attn")(
+                x, bn=self.bn, norm=("ln", s1, b1, 1e-6), residual=x
             )
             s2, b2 = LNParamsScope(cfg.embed_dim, name="norm2")()
-            x = x + Int8Mlp(cfg.mlp_hidden_dim, name="mlp")(
-                x, norm=("ln", s2, b2, 1e-6)
+            x = Int8Mlp(cfg.mlp_hidden_dim, name="mlp")(
+                x, norm=("ln", s2, b2, 1e-6), residual=x
             )
             return x
         dp = DropPath(self.drop_path, name="drop_path")

@@ -39,6 +39,12 @@ class QFormerConfig:
     vocab_size: int = 30522  # bert-base-uncased
     max_position_embeddings: int = 512
     with_text: bool = False
+    # W8A8 int8 cross-attention K/V projections (inference-only): the
+    # (B*T*257, encoder_width) -> hidden K and V matmuls dominate the
+    # Q-Former stage (SURVEY bench note "cross K/V projections dominate");
+    # packed into one fused Pallas kernel. Convert float params with
+    # models/quantize.py::quantize_qformer_cross_params.
+    int8_cross: bool = False
 
 
 def qformer_base_config(encoder_width: int = 1408, num_query_tokens: int = 32):
@@ -66,8 +72,23 @@ class QFormerAttention(nn.Module):
         kv = kv_states if kv_states is not None else x
 
         q = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype, name="query")(x)
-        k = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype, name="key")(kv)
-        v = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype, name="value")(kv)
+        if cfg.int8_cross and kv_states is not None:
+            # packed K+V on the int8 MXU: one in-kernel quant pass over the
+            # (B*T*tokens, encoder_width) frame features, one launch
+            from mr_blip_tpu.models.layers import QDenseParams
+            from mr_blip_tpu.ops.int8_matmul import w8a8_linear
+
+            kvw, kvs, kvb = QDenseParams(
+                2 * cfg.hidden_size, kv.shape[-1], name="kv_packed"
+            )()
+            kv2 = w8a8_linear(
+                kv.reshape(-1, kv.shape[-1]), kvw, kvs, kvb
+            ).reshape(kv.shape[0], kv.shape[1], 2 * cfg.hidden_size)
+            k = kv2[..., :cfg.hidden_size]
+            v = kv2[..., cfg.hidden_size:]
+        else:
+            k = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype, name="key")(kv)
+            v = Dense(cfg.hidden_size, compute_dtype=self.compute_dtype, name="value")(kv)
 
         b, n, _ = q.shape
         m = k.shape[1]

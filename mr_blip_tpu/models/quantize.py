@@ -225,3 +225,36 @@ def quantize_t5_encoder_params(t5_params, lora_alpha: float = 8.0):
         enc[name] = block
     out["encoder"] = enc
     return out
+
+
+def quantize_qformer_cross_params(qf_params):
+    """Float Q-Former params -> the tree a ``QFormerConfig(int8_cross=
+    True)`` model expects: each cross-attention layer's key/value Dense
+    pair packed into one int8 ``kv_packed`` kernel (per-output-channel
+    scales + concatenated bias). Everything else (query/output Dense,
+    norms, query tokens, FFNs) stays float."""
+    out = dict(qf_params)
+    for name, layer in list(out.items()):
+        if not name.startswith("layer_") or "cross_attention" not in layer:
+            continue
+        layer = dict(layer)
+        cross = dict(layer["cross_attention"])
+        w = jnp.concatenate(
+            [jnp.asarray(cross.pop(d)["Dense_0"]["kernel"], jnp.float32)
+             for d in ("key", "value")], axis=1,
+        )
+        bias = jnp.concatenate(
+            [jnp.asarray(layer["cross_attention"][d]["Dense_0"]["bias"],
+                         jnp.float32)
+             for d in ("key", "value")],
+        )
+        scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-8) / 127.0
+        cross["kv_packed"] = {
+            "kernel_q": jnp.clip(jnp.round(w / scale), -127, 127).astype(
+                jnp.int8),
+            "kernel_scale": scale.astype(jnp.float32),
+            "bias": bias,
+        }
+        layer["cross_attention"] = cross
+        out[name] = layer
+    return out

@@ -154,6 +154,7 @@ class T5Attention(nn.Module):
         deterministic: bool = True,
         relpos_table=None,
         norm_scale=None,
+        residual=None,
     ):
         cfg = self.config
         inner = cfg.num_heads * cfg.d_kv
@@ -189,7 +190,11 @@ class T5Attention(nn.Module):
                     wq, sw, _ = QDenseParams(
                         inner, t.shape[-1], use_bias=False, name=name
                     )()
-                    y = w8a8_linear(t.reshape(-1, t.shape[-1]), wq, sw)
+                    # "o": the block's skip add rides the kernel epilogue
+                    r = (residual.reshape(-1, inner) if residual is not None
+                         else None)
+                    y = w8a8_linear(t.reshape(-1, t.shape[-1]), wq, sw,
+                                    residual=r)
                     return y.reshape(t.shape[:-1] + (inner,))
                 return apply
         else:
@@ -312,7 +317,8 @@ class T5FeedForward(nn.Module):
     w8a8: bool = False  # fused W8A8 gated-MLP kernel (encoder inference)
 
     @nn.compact
-    def __call__(self, x, deterministic=True, norm_scale=None):
+    def __call__(self, x, deterministic=True, norm_scale=None,
+                 residual=None):
         cfg = self.config
         if self.w8a8:
             # one fused Pallas kernel: gelu(x@wi_0) * (x@wi_1) @ wo with the
@@ -331,8 +337,10 @@ class T5FeedForward(nn.Module):
             shp = x.shape
             norm = (None if norm_scale is None else
                     ("rms", norm_scale, None, cfg.layer_norm_epsilon))
+            r = (residual.reshape(-1, shp[-1]) if residual is not None
+                 else None)
             y = w8a8_mlp_gated(x.reshape(-1, shp[-1]), w0q, s0, w1q, s1,
-                               woq, so, norm=norm)
+                               woq, so, norm=norm, residual=r)
             return y.reshape(shp)
         act = {
             "gelu": lambda y: nn.gelu(y, approximate=False),
@@ -390,21 +398,22 @@ class T5Block(nn.Module):
             # params keep the float tree's {self_attn,ff}_norm/scale paths
             from mr_blip_tpu.models.layers import RMSParamsScope
 
+            # skip adds ride the int8 kernels' epilogue (``residual=``) —
+            # w8a8 is inference-only, so the residual dropout is identity
+            assert deterministic, "w8a8 is an inference mode"
             ns = RMSParamsScope(cfg.d_model, name="self_attn_norm")()
-            h = T5Attention(cfg, causal=self.causal,
+            x = T5Attention(cfg, causal=self.causal,
                             compute_dtype=self.compute_dtype,
                             w8a8=True, name="self_attention")(
                 x, mask=self_mask, position_bias=position_bias,
                 decode=decode, deterministic=deterministic,
-                relpos_table=relpos_table, norm_scale=ns,
+                relpos_table=relpos_table, norm_scale=ns, residual=x,
             )
-            x = x + drop(h)
             fs = RMSParamsScope(cfg.d_model, name="ff_norm")()
-            h = T5FeedForward(cfg, compute_dtype=self.compute_dtype,
-                              w8a8=True, name="ff")(
-                x, deterministic=deterministic, norm_scale=fs,
+            return T5FeedForward(cfg, compute_dtype=self.compute_dtype,
+                                 w8a8=True, name="ff")(
+                x, deterministic=deterministic, norm_scale=fs, residual=x,
             )
-            return x + drop(h)
         h = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="self_attn_norm")(x)
         h = T5Attention(cfg, causal=self.causal, compute_dtype=self.compute_dtype,
                         decode_cache_len=self.decode_cache_len,

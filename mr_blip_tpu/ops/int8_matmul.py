@@ -120,8 +120,9 @@ def _norm_ref(x, norm):
 # --------------------------------------------------------------- linear
 
 
-def _linear_kernel(x_ref, w_ref, sw_ref, b_ref, ls_ref, lb_ref, o_ref,
-                   xq_ref, sa_ref, *, has_bias: bool, norm_kind, eps):
+def _linear_kernel(x_ref, w_ref, sw_ref, b_ref, ls_ref, lb_ref, r_ref,
+                   o_ref, xq_ref, sa_ref, *, has_bias: bool, norm_kind, eps,
+                   has_residual: bool):
     n_idx = pl.program_id(1)
 
     @pl.when(n_idx == 0)
@@ -136,15 +137,23 @@ def _linear_kernel(x_ref, w_ref, sw_ref, b_ref, ls_ref, lb_ref, o_ref,
     y = acc.astype(jnp.float32) * (sa_ref[:] * sw_ref[:])
     if has_bias:
         y = y + b_ref[:]
+    if has_residual:
+        y = y + r_ref[:].astype(jnp.float32)
     o_ref[:] = y.astype(jnp.bfloat16)
 
 
 def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, norm=None,
-                     interpret=False):
+                     residual=None, interpret=False):
     m, k = x.shape
     n = wq.shape[1]
     block_n = _pick_block(n, block_n)
     norm_kind, eps, ls, lb = _norm_args(norm, k)
+    has_residual = residual is not None
+    if residual is None:
+        residual = jnp.zeros((1, 1), jnp.bfloat16)
+        r_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0))
+    else:
+        r_spec = pl.BlockSpec((block_m, block_n), lambda i, j: (i, j))
     # Ragged M rides Pallas boundary-block masking (same contract the
     # flash kernels rely on): the tail block reads padded garbage rows
     # whose per-row scales only affect those rows, and their writes are
@@ -156,7 +165,8 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, norm=None,
         bias = jnp.zeros((1, n), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_linear_kernel, has_bias=has_bias,
-                          norm_kind=norm_kind, eps=eps),
+                          norm_kind=norm_kind, eps=eps,
+                          has_residual=has_residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
@@ -165,6 +175,7 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, norm=None,
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
             pl.BlockSpec((1, k), lambda i, j: (0, 0)),
             pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+            r_spec,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
@@ -177,7 +188,7 @@ def _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, norm=None,
             vmem_limit_bytes=_VMEM_LIMIT
         ),
     )(x, wq, sw.reshape(1, n).astype(jnp.float32), bias.reshape(1, n),
-      ls, lb)
+      ls, lb, residual)
     return out
 
 
@@ -193,7 +204,7 @@ def _w8a8_linear_ref(x, wq, sw, bias):
     return y.astype(jnp.bfloat16)
 
 
-def w8a8_linear(x, wq, sw, bias=None, *, norm=None,
+def w8a8_linear(x, wq, sw, bias=None, *, norm=None, residual=None,
                 block_m=DEFAULT_BLOCK_M,
                 block_n=DEFAULT_BLOCK_N, interpret=False):
     """``bf16 (M,K) @ int8 (K,N) -> bf16 (M,N)`` with in-kernel per-token
@@ -204,16 +215,20 @@ def w8a8_linear(x, wq, sw, bias=None, *, norm=None,
     kernel in interpreter mode (CPU testing)."""
     if jax.default_backend() == "tpu" or interpret:
         return _w8a8_linear_tpu(x, wq, sw, bias, block_m, block_n, norm,
-                                interpret)
-    return _w8a8_linear_ref(_norm_ref(x, norm), wq, sw, bias)
+                                residual, interpret)
+    y = _w8a8_linear_ref(_norm_ref(x, norm), wq, sw, bias)
+    if residual is not None:
+        y = (y.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
+            jnp.bfloat16)
+    return y
 
 
 # ------------------------------------------------------------------ mlp
 
 
 def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                ls_ref, lb_ref, o_ref, xq_ref, sa_ref, acc_ref,
-                *, num_h: int, norm_kind, eps):
+                ls_ref, lb_ref, r_ref, o_ref, xq_ref, sa_ref, acc_ref,
+                *, num_h: int, norm_kind, eps, has_residual: bool):
     h_idx = pl.program_id(1)
 
     @pl.when(h_idx == 0)
@@ -234,20 +249,32 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
 
     @pl.when(h_idx == num_h - 1)
     def _():
-        o_ref[:] = (acc_ref[:] + b2_ref[:]).astype(jnp.bfloat16)
+        y = acc_ref[:] + b2_ref[:]
+        if has_residual:
+            y = y + r_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(jnp.bfloat16)
+
+
+def _residual_spec(residual, block_m, d):
+    if residual is None:
+        return jnp.zeros((1, 1), jnp.bfloat16), pl.BlockSpec(
+            (1, 1), lambda i, j: (0, 0))
+    return residual, pl.BlockSpec((block_m, d), lambda i, j: (i, 0))
 
 
 def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
-                  norm=None, interpret=False):
+                  norm=None, residual=None, interpret=False):
     m, d = x.shape
     hdim = w1q.shape[1]
     block_h = _pick_block(hdim, block_h)
     norm_kind, eps, ls, lb = _norm_args(norm, d)
+    has_residual = residual is not None
+    residual, r_spec = _residual_spec(residual, block_m, d)
     num_h = hdim // block_h
     grid = (pl.cdiv(m, block_m), num_h)  # ragged M: boundary-masked
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, num_h=num_h, norm_kind=norm_kind,
-                          eps=eps),
+                          eps=eps, has_residual=has_residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
@@ -259,6 +286,7 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            r_spec,
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
@@ -275,7 +303,7 @@ def _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
         x,
         w1q, s1.reshape(1, hdim).astype(jnp.float32), b1.reshape(1, hdim),
         w2q, s2.reshape(1, d).astype(jnp.float32), b2.reshape(1, d),
-        ls, lb,
+        ls, lb, residual,
     )
     return out
 
@@ -307,25 +335,30 @@ def _w8a8_mlp_ref(x, w1q, s1, b1, w2q, s2, b2, block_h):
     return (acc + b2.reshape(1, -1)).astype(jnp.bfloat16)
 
 
-def w8a8_mlp(x, w1q, s1, b1, w2q, s2, b2, *, norm=None,
+def w8a8_mlp(x, w1q, s1, b1, w2q, s2, b2, *, norm=None, residual=None,
              block_m=DEFAULT_BLOCK_M,
              block_h=DEFAULT_BLOCK_H, interpret=False):
     """Fused int8 GELU MLP: ``gelu(x @ w1 + b1) @ w2 + b2`` with both
     matmuls on the int8 MXU and the hidden activation resident in VMEM.
-    ``norm``: optional fused pre-norm on x (see w8a8_linear)."""
+    ``norm``: optional fused pre-norm on x; ``residual``: optional (M, N)
+    tensor added in the epilogue (skip connection without the extra HBM
+    round-trip of a separate add)."""
     if jax.default_backend() == "tpu" or interpret:
         return _w8a8_mlp_tpu(x, w1q, s1, b1, w2q, s2, b2, block_m, block_h,
-                             norm, interpret)
-    return _w8a8_mlp_ref(_norm_ref(x, norm), w1q, s1, b1, w2q, s2, b2,
-                         block_h)
+                             norm, residual, interpret)
+    y = _w8a8_mlp_ref(_norm_ref(x, norm), w1q, s1, b1, w2q, s2, b2, block_h)
+    if residual is not None:
+        y = (y.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
+            jnp.bfloat16)
+    return y
 
 
 # ------------------------------------------------------------ gated mlp
 
 
 def _gated_mlp_kernel(x_ref, w0_ref, s0_ref, w1_ref, s1_ref, wo_ref, so_ref,
-                      ls_ref, lb_ref, o_ref, xq_ref, sa_ref, acc_ref,
-                      *, num_h: int, norm_kind, eps):
+                      ls_ref, lb_ref, r_ref, o_ref, xq_ref, sa_ref, acc_ref,
+                      *, num_h: int, norm_kind, eps, has_residual: bool):
     h_idx = pl.program_id(1)
 
     @pl.when(h_idx == 0)
@@ -347,11 +380,14 @@ def _gated_mlp_kernel(x_ref, w0_ref, s0_ref, w1_ref, s1_ref, wo_ref, so_ref,
 
     @pl.when(h_idx == num_h - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(jnp.bfloat16)
+        y = acc_ref[:]
+        if has_residual:
+            y = y + r_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(jnp.bfloat16)
 
 
 def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
-                        norm=None, interpret=False):
+                        norm=None, residual=None, interpret=False):
     m, d = x.shape
     hdim = w0q.shape[1]
     block_h = _pick_block(hdim, block_h)
@@ -369,11 +405,14 @@ def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
             break
         block_m //= 2
     norm_kind, eps, ls, lb = _norm_args(norm, d)
+    has_residual = residual is not None
+    residual, r_spec = _residual_spec(residual, block_m, d)
     num_h = hdim // block_h
     grid = (pl.cdiv(m, block_m), num_h)  # ragged M: boundary-masked
     out = pl.pallas_call(
         functools.partial(_gated_mlp_kernel, num_h=num_h,
-                          norm_kind=norm_kind, eps=eps),
+                          norm_kind=norm_kind, eps=eps,
+                          has_residual=has_residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
@@ -385,6 +424,7 @@ def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            r_spec,
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
@@ -402,7 +442,7 @@ def _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m, block_h,
         w0q, s0.reshape(1, hdim).astype(jnp.float32),
         w1q, s1.reshape(1, hdim).astype(jnp.float32),
         woq, so.reshape(1, d).astype(jnp.float32),
-        ls, lb,
+        ls, lb, residual,
     )
     return out
 
@@ -439,7 +479,7 @@ def _w8a8_mlp_gated_ref(x, w0q, s0, w1q, s1, woq, so, block_h):
 
 
 def w8a8_mlp_gated(x, w0q, s0, w1q, s1, woq, so, *, norm=None,
-                   block_m=DEFAULT_BLOCK_M,
+                   residual=None, block_m=DEFAULT_BLOCK_M,
                    block_h=640, interpret=False):
     """Fused int8 gated-GELU MLP (T5 ``gelu(x@wi_0) * (x@wi_1) @ wo``,
     bias-free): all three matmuls on the int8 MXU, the gated hidden
@@ -450,6 +490,10 @@ def w8a8_mlp_gated(x, w0q, s0, w1q, s1, woq, so, *, norm=None,
     T5DenseGatedActDense with the dense_act_fn="gelu" override)."""
     if jax.default_backend() == "tpu" or interpret:
         return _w8a8_mlp_gated_tpu(x, w0q, s0, w1q, s1, woq, so, block_m,
-                                   block_h, norm, interpret)
-    return _w8a8_mlp_gated_ref(_norm_ref(x, norm), w0q, s0, w1q, s1, woq, so,
-                               block_h)
+                                   block_h, norm, residual, interpret)
+    y = _w8a8_mlp_gated_ref(_norm_ref(x, norm), w0q, s0, w1q, s1, woq, so,
+                            block_h)
+    if residual is not None:
+        y = (y.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
+            jnp.bfloat16)
+    return y

@@ -207,3 +207,51 @@ class TestBlip2MRQuantizeInference:
         assert isinstance(out["prediction"][0], str)
         with pytest.raises(AssertionError):
             model.quantize_encoder()
+
+
+class TestInt8QFormerCross:
+    """Packed W8A8 cross-attention K/V for the Q-Former."""
+
+    def _pair(self):
+        from mr_blip_tpu.models.qformer import QFormer, qformer_tiny_config
+        from mr_blip_tpu.models.quantize import quantize_qformer_cross_params
+
+        cfg = qformer_tiny_config(encoder_width=48)
+        cfg = dataclasses.replace(cfg, dropout=0.0)
+        qf = QFormer(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(5)
+        enc = jnp.asarray(rng.standard_normal((3, 7, 48)), jnp.float32)
+        params = qf.init(jax.random.PRNGKey(0), enc)["params"]
+        qcfg = dataclasses.replace(cfg, int8_cross=True)
+        qqf = QFormer(qcfg, compute_dtype=jnp.float32)
+        qparams = quantize_qformer_cross_params(params)
+        return qf, params, qqf, qparams, enc
+
+    def test_layout_and_fidelity(self):
+        qf, params, qqf, qparams, enc = self._pair()
+        cross = qparams["layer_0"]["cross_attention"]
+        assert cross["kv_packed"]["kernel_q"].dtype == jnp.int8
+        assert "key" not in cross and "value" not in cross
+        # self-attention layers untouched
+        assert "Dense_0" in qparams["layer_0"]["self_attention"]["key"]
+
+        want = np.asarray(qf.apply({"params": params}, enc), np.float32)
+        got = np.asarray(qqf.apply({"params": qparams}, enc), np.float32)
+        cos = (got.ravel() @ want.ravel()) / (
+            np.linalg.norm(got) * np.linalg.norm(want))
+        assert cos > 0.99, cos
+
+    def test_blip2_chain_includes_qformer(self):
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+        model = BLIP2_MR(
+            img_size=28, vit_model="tiny", t5_model="tiny", task="lora",
+            num_beams=2, max_new_tokens=6, compute_dtype="float32",
+        )
+        model.quantize_for_inference()
+        assert model.qformer_config.int8_cross
+        cross = model.params["qformer"]["layer_0"]["cross_attention"]
+        assert cross["kv_packed"]["kernel_q"].dtype == jnp.int8
+        out = model.generate(TestBlip2MRQuantizeInference._samples(
+            TestBlip2MRQuantizeInference()))
+        assert isinstance(out["prediction"][0], str)

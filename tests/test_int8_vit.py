@@ -74,6 +74,47 @@ class TestKernelVsReference:
             rtol=0.05, atol=0.05,
         )
 
+    def test_residual_epilogue(self):
+        """``residual=`` adds the skip tensor in the kernel epilogue —
+        kernel (interpreter) must match ref + residual for linear, mlp,
+        and the gated mlp, including a ragged (boundary-masked) M."""
+        from mr_blip_tpu.ops.int8_matmul import (
+            _w8a8_mlp_gated_ref,
+            w8a8_mlp_gated,
+        )
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((27, 128)), jnp.bfloat16)
+        r = jnp.asarray(rng.standard_normal((27, 128)), jnp.bfloat16)
+        wq, sw, _ = _qw(rng, 128, 128)
+        ker = w8a8_linear(x, wq, sw, None, residual=r, block_m=16,
+                          block_n=128, interpret=True)
+        ref = _w8a8_linear_ref(x, wq, sw, None).astype(jnp.float32) + \
+            r.astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(ker, np.float32),
+                                   np.asarray(ref), rtol=0.02, atol=0.05)
+
+        w1q, s1, _ = _qw(rng, 128, 256)
+        w2q, s2, _ = _qw(rng, 256, 128)
+        b1 = jnp.asarray(rng.standard_normal((256,)) * 0.01, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((128,)) * 0.01, jnp.float32)
+        ker = w8a8_mlp(x, w1q, s1, b1, w2q, s2, b2, residual=r, block_m=16,
+                       block_h=128, interpret=True)
+        ref = _w8a8_mlp_ref(x, w1q, s1, b1, w2q, s2, b2,
+                            block_h=128).astype(jnp.float32) + \
+            r.astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(ker, np.float32),
+                                   np.asarray(ref), rtol=0.05, atol=0.05)
+
+        w0q, s0, _ = _qw(rng, 128, 256)
+        ker = w8a8_mlp_gated(x, w0q, s0, w1q, s1, w2q, s2, residual=r,
+                             block_m=16, block_h=128, interpret=True)
+        ref = _w8a8_mlp_gated_ref(x, w0q, s0, w1q, s1, w2q, s2,
+                                  block_h=128).astype(jnp.float32) + \
+            r.astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(ker, np.float32),
+                                   np.asarray(ref), rtol=0.05, atol=0.06)
+
     def test_quant_rows_roundtrip(self):
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
