@@ -206,6 +206,13 @@ def main():
             train_model.params = train_model.init_params_fast(
                 jax.random.PRNGKey(0), mode="zeros"
             )
+            # MRBLIP_BENCH_TRAIN_INT8=1: int8 frozen-ViT forward inside the
+            # train step (model.int8_vit in a train config) — the ViT fwd
+            # is the largest single slice of the bf16 step.
+            train_int8 = bool(os.environ.get("MRBLIP_BENCH_TRAIN_INT8"))
+            if train_int8:
+                train_model.quantize_vit()
+                log("train: int8 frozen-ViT forward enabled")
             batch = train_model.prepare_mr_batch(tr_samples)
             batch.pop("video_prompt")
             tx = make_optimizer(
@@ -225,7 +232,10 @@ def main():
             loss = float(loss)  # fence
             s_per_step = (time.time() - t0) / n_steps
             result["train_value"] = round(N_FRAMES / s_per_step, 2)
-            result["train_unit"] = "train frames/sec/chip (B=1x60f, LoRA, bf16)"
+            result["train_unit"] = (
+                "train frames/sec/chip (B=1x60f, LoRA, "
+                + ("int8 frozen ViT)" if train_int8 else "bf16)")
+            )
             log(f"train steady state: {s_per_step:.3f}s/step")
         except Exception as e:  # noqa: BLE001 — never lose the inference row
             log(f"train bench failed: {type(e).__name__}: {e}")

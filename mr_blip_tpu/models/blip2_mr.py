@@ -425,8 +425,21 @@ class BLIP2_MR(BaseModel):
     def _loss_fn(self):
         module = self.module
         interleaved = self.interleave_data and "only_frames" not in self.task
+        freeze_vit = self.freeze_vit
 
         def loss_fn(params, batch, dropout_rng=None):
+            if freeze_vit:
+                # Param-level stop-grad on the frozen ViT: semantically
+                # identical to the module's stop_gradient(image_embeds)
+                # (the mask already zeroes these grads), but it also keeps
+                # autodiff from linearizing through the ViT internals —
+                # which is what lets the forward-only int8 Pallas kernels
+                # (quantize_vit, no custom VJP) run INSIDE a train step
+                # (``model.int8_vit: True`` in a train config).
+                params = dict(params)
+                params["visual_encoder"] = jax.lax.stop_gradient(
+                    params["visual_encoder"]
+                )
             if dropout_rng is not None:
                 dropout_rng, dp_rng = jax.random.split(dropout_rng)
                 rngs = {"dropout": dropout_rng, "drop_path": dp_rng}
@@ -909,8 +922,11 @@ class BLIP2_MR(BaseModel):
 
         The frozen EVA ViT dominates inference (73% of the 60-frame batch)
         and the v5e MXU's int8 peak is ~2x bf16; the fused kernels hit
-        ~2x on the MLP (ops/int8_matmul.py). Inference-only, opt-in:
-        off the bit-parity path. Call AFTER loading float checkpoints."""
+        ~2x on the MLP (ops/int8_matmul.py). Opt-in, off the bit-parity
+        path. Also valid INSIDE a train step while the ViT is frozen
+        (``model.int8_vit: True`` in a train config): _loss_fn stop-grads
+        the ViT params so autodiff never touches the forward-only kernels.
+        Call AFTER loading float checkpoints."""
         import dataclasses
 
         from mr_blip_tpu.models.quantize import quantize_vit_params

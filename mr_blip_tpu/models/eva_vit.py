@@ -196,10 +196,13 @@ class ViTBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         if cfg.int8_matmul:
-            # 2D token flow; drop_path sampling is per-sample and the int8
-            # path is inference-only, so stochastic depth must be inactive.
+            # 2D token flow. The int8 ViT may run inside a train step when
+            # frozen (grads are stop-gradient-blocked at the params —
+            # BLIP2_MR._loss_fn), but stochastic depth has no int8 path:
+            # drop_path requires the float ViT.
             assert deterministic or self.drop_path == 0.0, (
-                "int8_matmul is an inference mode; train with float params"
+                "int8_matmul has no drop_path; train an unfrozen ViT with "
+                "float params"
             )
             # pre-norms fold into the int8 kernels' quant step (the
             # standalone LN pass is a full HBM round-trip of x per call);

@@ -34,6 +34,10 @@ class WordTokenizer:
     """
 
     pad_token_id, bos_token_id, eos_token_id, unk_token_id = 0, 1, 2, 3
+    # Hash buckets collide by construction: text metrics computed through
+    # this tokenizer are pipeline smoke values, not comparable numbers.
+    # Tasks surface this via ``tokenizer_fallback`` in their metric dicts.
+    is_fallback = True
 
     def __init__(self, vocab_size: int = 992):
         self.vocab_size = vocab_size
@@ -82,6 +86,13 @@ def _zoo_tokenizer(vocab_size: int):
     tok = BertWordPieceTokenizer.from_env()
     if tok is not None and tok.vocab_size <= vocab_size:
         return tok
+    import logging
+
+    logging.warning(
+        "no tokenizer asset (MRBLIP_BERT_VOCAB unset or vocab too large): "
+        "using the hash-bucket WordTokenizer — text metrics will be smoke "
+        "values only, and task metric dicts will carry tokenizer_fallback"
+    )
     return WordTokenizer(vocab_size=vocab_size)
 
 def _stack_images(samples):

@@ -18,6 +18,17 @@ from mr_blip_tpu.metrics.caption_metrics import cider_d, corpus_bleu
 from mr_blip_tpu.tasks.base_task import BaseTask
 
 
+def _tokenizer_is_fallback(model) -> bool:
+    """True when the model's text side runs on the offline hash-bucket
+    WordTokenizer (collisions by construction): text metrics computed
+    through it are pipeline smoke values, and the metric dicts say so."""
+    for attr in ("tokenizer", "_word_tok"):
+        tok = getattr(model, attr, None)
+        if tok is not None:
+            return bool(getattr(tok, "is_fallback", False))
+    return False
+
+
 @registry.register_task("captioning")
 class CaptionTask(BaseTask):
     def __init__(self, num_beams=3, max_len=30, min_len=5, evaluate=False):
@@ -38,6 +49,7 @@ class CaptionTask(BaseTask):
         )
 
     def valid_step(self, model, samples):
+        self._tokenizer_fallback = _tokenizer_is_fallback(model)
         try:
             out = model.generate(
                 samples, max_length=self.max_len, num_beams=self.num_beams,
@@ -75,6 +87,9 @@ class CaptionTask(BaseTask):
             "total": len(results),
         }
         metrics["agg_metrics"] = metrics["CIDEr"] + metrics["Bleu_4"]
+        if getattr(self, "_tokenizer_fallback", False):
+            # hash-bucket offline tokenizer: scores are smoke values only
+            metrics["tokenizer_fallback"] = True
         logging.info(metrics)
         return metrics
 

@@ -33,6 +33,9 @@ class RetrievalTask(BaseTask):
         ``compute_sim_matrix(data_loader, k_test)`` returning either one
         (N_img, N_txt) matrix or an (i2t, t2i) pair of reranked matrices
         (the ITM-rerank protocol)."""
+        from mr_blip_tpu.tasks.captioning import _tokenizer_is_fallback
+
+        self._tokenizer_fallback = _tokenizer_is_fallback(model)
         sims = model.compute_sim_matrix(data_loader, k_test=self.k_test)
         i2t_gt = getattr(data_loader.dataset, "i2t_gt", None) if hasattr(
             data_loader, "dataset"
@@ -53,5 +56,8 @@ class RetrievalTask(BaseTask):
             score_matrix_t2i=val_result.get("sims_t2i"),
         )
         metrics["agg_metrics"] = metrics["r_mean"]
+        if getattr(self, "_tokenizer_fallback", False):
+            # hash-bucket offline tokenizer: scores are smoke values only
+            metrics["tokenizer_fallback"] = True
         logging.info(metrics)
         return metrics

@@ -42,7 +42,12 @@ def _valid_fraction(results):
     )
 
 
-def test_overfit_improves_r1(tmp_path):
+@pytest.mark.parametrize("int8_vit", [False, True],
+                         ids=["bf16_vit", "int8_frozen_vit"])
+def test_overfit_improves_r1(tmp_path, int8_vit):
+    """int8_frozen_vit: the same convergence proof through the W8A8
+    quantized frozen ViT (model.int8_vit in a train config) — evidence the
+    +20% int8-ViT train mode still trains the task, not just the loss."""
     import mr_blip_tpu  # noqa: F401
     from mr_blip_tpu import tasks
     from mr_blip_tpu.datasets.synthetic import make_mr_annotations
@@ -52,7 +57,7 @@ def test_overfit_improves_r1(tmp_path):
                         n_video_frames=8, fps=4.0, height=48, width=64)
     cfg = Config(
         cfg_path="configs/projects/train/tiny_synthetic.yaml",
-        options=[
+        options=(["model.int8_vit=True"] if int8_vit else []) + [
             f"datasets.qvh.build_info.annotations.train.storage={data}/train.json",
             # overfit check: validate on the training clips
             f"datasets.qvh.build_info.annotations.val.storage={data}/train.json",

@@ -225,3 +225,55 @@ class TestBlip2MRQuantizeViT:
         model.quantize_vit()
         with pytest.raises(AssertionError):
             model.quantize_vit()
+
+
+class TestInt8VitTrain:
+    """Frozen int8 ViT inside a real train step (model.int8_vit in a train
+    config): _loss_fn stop-grads the ViT params so autodiff never touches
+    the forward-only Pallas kernels; the optimizer's freeze branch handles
+    the int8 leaves (float0 -> integer-zero rewrite in make_train_step)."""
+
+    def test_train_step_through_quantized_vit(self):
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+        from mr_blip_tpu.runners.train_state import (
+            TrainState, make_optimizer, make_train_step,
+        )
+
+        model = BLIP2_MR(
+            img_size=28, vit_model="tiny", t5_model="tiny", task="lora",
+            num_beams=2, max_new_tokens=6, compute_dtype="float32",
+        )
+        model.quantize_vit()
+        rng = np.random.default_rng(0)
+        b, t = 2, 2
+        samples = {
+            "video": rng.standard_normal((b, t, 28, 28, 3)).astype(np.float32),
+            "timestamps": np.stack([np.linspace(0.0, 10.0, t)] * b),
+            "duration": np.full((b,), 10.0),
+            "query_id": [f"q{i}" for i in range(b)],
+            "video_prompt_end": ["<extra_id_0>"] * b,
+            "query_prompt": ["Query: something\n"] * b,
+            "task_prompt": ["Find it.\nRelevant windows: "] * b,
+            "relevant_windows": ["[[1, 2]]"] * b,
+        }
+        batch = model.prepare_mr_batch(samples)
+        batch.pop("video_prompt")
+        tx = make_optimizer(weight_decay=0.05,
+                            trainable_mask=model.trainable_mask())
+        state = TrainState.create(model.params, tx)
+        step = make_train_step(model._loss_fn, donate=False)
+        vit_before = jax.tree.map(
+            np.asarray, state.params["visual_encoder"])
+        qf_before = np.asarray(jax.tree.leaves(
+            state.params["qformer"])[0])
+        state, loss = step(state, batch, 1e-2, jax.random.PRNGKey(0))
+        state, loss = step(state, batch, 1e-2, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        # int8 ViT leaves (incl. int8 kernels) bitwise untouched
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+            vit_before, state.params["visual_encoder"],
+        )
+        # trainable Q-Former actually moved
+        qf_after = np.asarray(jax.tree.leaves(state.params["qformer"])[0])
+        assert not np.array_equal(qf_before, qf_after)

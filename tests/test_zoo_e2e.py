@@ -66,6 +66,9 @@ class TestCaptionE2E:
         metrics = task.after_evaluation(results, "val", 0)
         for key in ("Bleu_4", "CIDEr", "agg_metrics"):
             assert key in metrics and np.isfinite(metrics[key])
+        # offline hash-bucket tokenizer: the metric dict must say so
+        # (VERDICT r2 weak #6 — smoke scores flagged as such)
+        assert metrics["tokenizer_fallback"] is True
 
     def test_generate_shapes(self):
         model = registry.get_model_class("blip_caption")(model_size="tiny")
