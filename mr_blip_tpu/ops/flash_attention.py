@@ -26,36 +26,60 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool):
+def _pad_axis(x, axis, mult, value=0.0):
+    """Zero-(or value-)pad ``x`` along ``axis`` up to a multiple of ``mult``.
+
+    The kernels in this file require block-divisible sequence lengths:
+    in-kernel ``pl.ds`` slices do NOT clamp at the array edge on TPU
+    hardware (they read tile-padding garbage — measured as
+    nondeterministic NaNs at the T5 2049-token shape), and Mosaic rejects
+    non-8/128-aligned dynamic starts, so boundary handling CANNOT live
+    inside the kernel. Every wrapper pads instead; padded keys are masked
+    via kv_mask (or an explicit tail mask) and padded query rows are
+    neutralized with +inf logsumexp before being sliced away.
+    """
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                      causal: bool, kv_valid: int):
     """One (batch*head, q-block) program: stream K/V blocks, online softmax.
 
     Matmuls keep the input dtype (bf16 on the fast MXU path) with fp32
     accumulation via preferred_element_type; only the softmax statistics
     run in fp32.
+
+    ``kv_valid``: the real (unpadded) key count — the wrapper pads K/V up
+    to a block multiple (see _pad_axis: in-kernel pl.ds cannot handle the
+    boundary on hardware) and the tail keys are masked here.
     """
     q = q_ref[0]  # (block_q, d), input dtype
     block_q, d = q.shape
     kv_len = k_ref.shape[1]
+    assert kv_len % block_k == 0, "wrapper must pad kv to a block multiple"
     q_scaled = q * jnp.asarray(d ** -0.5, q.dtype)
 
-    num_k_blocks = pl.cdiv(kv_len, block_k)
+    num_k_blocks = kv_len // block_k
     q_block_idx = pl.program_id(1)
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        start = i * block_k
+        k = k_ref[0, pl.ds(start, block_k), :]
+        v = v_ref[0, pl.ds(start, block_k), :]
         logits = jnp.dot(q_scaled, k.T,
                          preferred_element_type=jnp.float32)  # (bq, bk) fp32
-        # pl.ds clamps the last partial block's start (when kv_len is not a
-        # block multiple), re-reading rows already covered by the previous
-        # block — mask the re-read prefix out of this block's softmax.
-        start = jnp.minimum(i * block_k, kv_len - block_k)
         k_pos = start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
-        if kv_len % block_k:
-            logits = jnp.where(k_pos >= i * block_k, logits, -jnp.inf)
+        if kv_valid != kv_len:
+            logits = jnp.where(k_pos < kv_valid, logits, -jnp.inf)
         if causal:
             q_pos = q_block_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -96,12 +120,19 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool)
 def _flash_fwd(q_bhnd, k_bhnd, v_bhnd, causal, block_q, block_k):
     """q/k/v: (BH, N, D) -> (BH, N, D)."""
     bh, n, d = q_bhnd.shape
-    kv_len = k_bhnd.shape[1]
+    kv_valid = k_bhnd.shape[1]
     block_q = min(block_q, n)
-    block_k = min(block_k, kv_len)
+    block_k = min(block_k, kv_valid)
+    # pad K/V to a block multiple (tail keys masked in-kernel); q-side
+    # partial blocks ride the grid BlockSpec boundary machinery, which IS
+    # well-defined (unlike in-kernel pl.ds — see _pad_axis)
+    k_bhnd = _pad_axis(k_bhnd, 1, block_k)
+    v_bhnd = _pad_axis(v_bhnd, 1, block_k)
+    kv_len = k_bhnd.shape[1]
 
     grid = (bh, pl.cdiv(n, block_q))
-    kernel = functools.partial(_flash_fwd_kernel, block_k=block_k, causal=causal)
+    kernel = functools.partial(_flash_fwd_kernel, block_k=block_k,
+                               causal=causal, kv_valid=kv_valid)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -173,17 +204,22 @@ def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        # Explicit start clamp: pl.ds does NOT clamp on hardware (OOB
+        # slices read tile-pad garbage — see _flash_fwd_kernel).
+        start = (jnp.minimum(i * block_k, kv_len - block_k)
+                 if kv_len % block_k else i * block_k)
+        k = k_ref[0, 0, pl.ds(start, block_k), :]
+        v = v_ref[0, 0, pl.ds(start, block_k), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
         # 2-D load: Mosaic rejects 1-D vector intermediates
-        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0  # (1, bk)
+        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0  # (1, bk)
         if kv_len % block_k:
-            # pl.ds clamps the last partial block's start; mask the re-read
-            # prefix so those K rows are not double-counted. Full-2D iota:
-            # Mosaic can't sublane-broadcast a (1, bk) intermediate.
-            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+            # the clamped block re-reads rows already covered by the
+            # previous block; mask that prefix so those K rows are not
+            # double-counted. Full-2D iota: Mosaic can't sublane-broadcast
+            # a (1, bk) intermediate.
+            k_pos = start + (
                 jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             )
             valid = valid & (k_pos >= i * block_k)
@@ -209,8 +245,80 @@ def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k, bias_grad):
+def _flash_bias_kernel_mh(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
+                          *, block_k: int, block_h: int):
+    """Head-blocked bias variant: one (head-block, q-block, batch) program
+    runs ``block_h`` independent online-softmax chains. The per-head
+    chains share no data, so Mosaic overlaps head h's VPU softmax with
+    head h+1's MXU logits matmul — the same MXU<->VPU pipelining trick as
+    the packed ViT kernel (flash_attention_qkv_packed), which is what the
+    D=64 single-K-tile matmuls need to stop serializing against the
+    softmax (measured numbers in docs/performance.md).
+    """
+    kv_len = k_ref.shape[2]
+    d = q_ref.shape[3]
+    scale = jnp.asarray(d ** -0.5, jnp.float32)
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    q_scaled = [
+        (q_ref[0, hh].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        for hh in range(block_h)
+    ]
+
+    def body(i, carry):
+        # explicit start clamp: pl.ds does NOT clamp on hardware
+        start = (jnp.minimum(i * block_k, kv_len - block_k)
+                 if kv_len % block_k else i * block_k)
+        valid_base = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
+        new = []
+        for hh in range(block_h):
+            acc, m_prev, l_prev = carry[hh]
+            k = k_ref[0, hh, pl.ds(start, block_k), :]
+            v = v_ref[0, hh, pl.ds(start, block_k), :]
+            logits = jnp.dot(q_scaled[hh], k.T,
+                             preferred_element_type=jnp.float32)
+            logits += bias_ref[0, hh, :, pl.ds(start, block_k)].astype(
+                jnp.float32
+            )
+            valid = valid_base
+            if kv_len % block_k:
+                k_pos = start + (
+                    jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                )
+                valid = valid & (k_pos >= i * block_k)
+            logits = jnp.where(valid, logits, -jnp.inf)
+
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            p = jnp.exp(logits - m_safe)
+            p = jnp.where(jnp.isfinite(logits), p, 0.0)
+            correction = jnp.exp(
+                jnp.where(jnp.isfinite(m_prev), m_prev - m_safe, -jnp.inf)
+            )
+            correction = jnp.where(jnp.isfinite(m_prev), correction, 0.0)
+            l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * correction + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            new.append((acc, m_new, l_new))
+        return tuple(new)
+
+    block_q = q_ref.shape[2]
+    init = tuple(
+        (jnp.zeros((block_q, d), jnp.float32),
+         jnp.full((block_q, 1), -jnp.inf, jnp.float32),
+         jnp.zeros((block_q, 1), jnp.float32))
+        for _ in range(block_h)
+    )
+    final = jax.lax.fori_loop(0, num_k_blocks, body, init)
+    for hh in range(block_h):
+        acc, _m, l = final[hh]
+        o_ref[0, hh] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k,
+                          bias_grad, block_h=1):
     """q/k/v: (B, N|M, H, D); bias: (1, H, N, M); kv_mask: (B, M) int8.
 
     Grid order is (head, q-block, batch) with batch innermost: the bias
@@ -218,32 +326,59 @@ def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k, bias_grad):
     resident in VMEM and the O(N*M) bias is fetched once per (h, q-block)
     instead of once per (b, h, q-block) — bias HBM traffic is the largest
     per-tile term (bq*M bytes vs m*d for K/V).
+
+    ``block_h`` > 1 runs that many heads per program (independent chains
+    Mosaic can pipeline across the MXU/VPU — see _flash_bias_kernel_mh);
+    it must divide H and the bias block VMEM grows block_h-fold.
     """
     b, n, h, d = q.shape
+    block_q = min(block_q, n)
+    block_k = min(block_k, k.shape[1])
+    # pad the key side to a block multiple; padded keys carry kv_mask=0
+    # so the kernels -inf them out (in-kernel pl.ds cannot handle the
+    # boundary on hardware — see _pad_axis)
+    k = _pad_axis(k, 1, block_k)
+    v = _pad_axis(v, 1, block_k)
+    bias = _pad_axis(bias, 3, block_k)
+    kv_mask = _pad_axis(kv_mask, 1, block_k)
     m = k.shape[1]
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    block_q = min(block_q, n)
-    block_k = min(block_k, m)
-    grid = (h, pl.cdiv(n, block_q), b)
-    kernel = functools.partial(_flash_bias_kernel, block_k=block_k)
+    if h % block_h:
+        block_h = 1
+    # VMEM budget: the double-buffered bias block (block_h, bq, m) is the
+    # dominant tile; shrink the q-block until the working set fits the
+    # 16 MB VMEM (bias x2 buffers + K/V x2 + q/out + fp32 accumulators).
+    while block_h > 1 and block_q > 128 and (
+        2 * block_h * block_q * m * 2 + 4 * block_h * m * d * 2
+        + 4 * block_h * block_q * d * 6
+    ) > 12 * 2 ** 20:
+        block_q //= 2
+    grid = (h // block_h, pl.cdiv(n, block_q), b)
+    if block_h > 1:
+        kernel = functools.partial(_flash_bias_kernel_mh, block_k=block_k,
+                                   block_h=block_h)
+    else:
+        kernel = functools.partial(_flash_bias_kernel, block_k=block_k)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, block_h, block_q, d),
+                         lambda hi, qi, bi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, block_h, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, block_h, m, d), lambda hi, qi, bi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, m), lambda hi, qi, bi: (0, hi, qi, 0),
+            pl.BlockSpec((1, block_h, block_q, m),
+                         lambda hi, qi, bi: (0, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, m), lambda hi, qi, bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
+        out_specs=pl.BlockSpec((1, block_h, block_q, d),
                                lambda hi, qi, bi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
@@ -267,16 +402,21 @@ def _flash_bias_stats_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
+        # slices read tile-pad garbage — see _flash_fwd_kernel)
+        start = (jnp.minimum(i * block_k, kv_len - block_k)
+                 if kv_len % block_k else i * block_k)
+        k = k_ref[0, 0, pl.ds(start, block_k), :]
+        v = v_ref[0, 0, pl.ds(start, block_k), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
         if kv_len % block_k:
-            # pl.ds clamps the last partial block's start; mask the re-read
-            # prefix so those K rows are not double-counted. Full-2D iota:
-            # Mosaic can't sublane-broadcast a (1, bk) intermediate.
-            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+            # the clamped block re-reads rows already covered by the
+            # previous block; mask that prefix so those K rows are not
+            # double-counted. Full-2D iota: Mosaic can't sublane-broadcast
+            # a (1, bk) intermediate.
+            k_pos = start + (
                 jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             )
             valid = valid & (k_pos >= i * block_k)
@@ -354,16 +494,21 @@ def _flash_bias_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
     num_k_blocks = pl.cdiv(kv_len, block_k)
 
     def body(i, dq_acc):
-        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
+        # slices read tile-pad garbage — see _flash_fwd_kernel)
+        start = (jnp.minimum(i * block_k, kv_len - block_k)
+                 if kv_len % block_k else i * block_k)
+        k = k_ref[0, 0, pl.ds(start, block_k), :]
+        v = v_ref[0, 0, pl.ds(start, block_k), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
         if kv_len % block_k:
-            # pl.ds clamps the last partial block's start; mask the re-read
-            # prefix so those K rows are not double-counted. Full-2D iota:
-            # Mosaic can't sublane-broadcast a (1, bk) intermediate.
-            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+            # the clamped block re-reads rows already covered by the
+            # previous block; mask that prefix so those K rows are not
+            # double-counted. Full-2D iota: Mosaic can't sublane-broadcast
+            # a (1, bk) intermediate.
+            k_pos = start + (
                 jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             )
             valid = valid & (k_pos >= i * block_k)
@@ -406,25 +551,27 @@ def _flash_bias_bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
         dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
     def body(i, dq_acc):
-        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
+        # slices read/write tile-pad garbage — see _flash_fwd_kernel)
+        start = (jnp.minimum(i * block_k, kv_len - block_k)
+                 if kv_len % block_k else i * block_k)
+        k = k_ref[0, 0, pl.ds(start, block_k), :]
+        v = v_ref[0, 0, pl.ds(start, block_k), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
         if kv_len % block_k:
-            # pl.ds clamps the last partial block's start; zero the re-read
-            # prefix — its ds contribution was accumulated by the previous
-            # block already (dbias uses += so zeros are safe).
-            k_pos = jnp.minimum(i * block_k, kv_len - block_k) + (
+            # zero the re-read prefix of the clamped block — its ds
+            # contribution was accumulated by the previous block already
+            # (dbias uses += so zeros are safe).
+            k_pos = start + (
                 jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             )
             valid = valid & (k_pos >= i * block_k)
         p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        sl = pl.ds(jnp.minimum(i * block_k, kv_len - block_k), block_k) \
-            if kv_len % block_k else pl.ds(i * block_k, block_k)
-        dbias_ref[0, 0, :, sl] += ds.astype(dbias_ref.dtype)
+        dbias_ref[0, 0, :, pl.ds(start, block_k)] += ds.astype(dbias_ref.dtype)
         return dq_acc + jnp.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
@@ -448,17 +595,21 @@ def _flash_bias_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, :, pl.ds(i * block_q, block_q)].T    # (bq, 1)
-        delta = delta_ref[0, 0, :, pl.ds(i * block_q, block_q)].T
+        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
+        # slices read tile-pad garbage — see _flash_fwd_kernel)
+        start = (jnp.minimum(i * block_q, n - block_q)
+                 if n % block_q else i * block_q)
+        q = q_ref[0, 0, pl.ds(start, block_q), :]
+        do = do_ref[0, 0, pl.ds(start, block_q), :]
+        lse = lse_ref[0, 0, :, pl.ds(start, block_q)].T    # (bq, 1)
+        delta = delta_ref[0, 0, :, pl.ds(start, block_q)].T
         q_scaled = q * scale.astype(q.dtype)
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        logits += bias_ref[0, 0, pl.ds(start, block_q), :].astype(jnp.float32)
         row_ok = valid
         if n % block_q:
             # mask Q rows re-read by the clamped last partial block
-            q_pos = jnp.minimum(i * block_q, n - block_q) + (
+            q_pos = start + (
                 jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
             )
             row_ok = row_ok & (q_pos >= i * block_q)
@@ -479,20 +630,29 @@ def _flash_bias_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k, bias_grad):
+def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k, bias_grad,
+                        block_h=1):
+    # block_h only shapes the no-grad forward; the stats/backward kernels
+    # keep their single-head grids.
     b, n, h, d = q.shape
-    m = k.shape[1]
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
     bq = min(block_q, n)
-    bk = min(block_k, m)
-    out_t, lse = _flash_bias_fwd_stats(qt, kt, vt, bias, kv_mask[:, None, :], bq, bk)
+    bk = min(block_k, k.shape[1])
+    # key side padded to a block multiple; padded keys carry kv_mask=0
+    # (see _pad_axis). Residuals keep the UNPADDED tensors.
+    kp = _pad_axis(k, 1, bk)
+    vp = _pad_axis(v, 1, bk)
+    biasp = _pad_axis(bias, 3, bk)
+    kvmp = _pad_axis(kv_mask, 1, bk)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = kp.transpose(0, 2, 1, 3)
+    vt = vp.transpose(0, 2, 1, 3)
+    out_t, lse = _flash_bias_fwd_stats(qt, kt, vt, biasp, kvmp[:, None, :],
+                                       bq, bk)
     out = out_t.transpose(0, 2, 1, 3)
     return out, (q, k, v, bias, kv_mask, out, lse)
 
 
-def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, residuals, g):
+def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, block_h, residuals, g):
     """Pallas two-pass backward: dq pass + dk/dv pass with recomputed p.
 
     When ``bias_grad`` the dq pass additionally accumulates
@@ -504,24 +664,39 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, residuals, g):
     optimizer anyway and the O(H*N*M) fp32 buffer is pure waste.
     """
     q, k, v, bias, kv_mask, out, lse = residuals
-    b, n, h, d = q.shape
-    m = k.shape[1]
-    bq = min(block_q, n)
-    bk = min(block_k, m)
-    if bias_grad and bq * m * 4 > 4 * 2 ** 20:
+    b, n_real, h, d = q.shape
+    m_real = k.shape[1]
+    bq = min(block_q, n_real)
+    bk = min(block_k, m_real)
+    if bias_grad and bq * m_real * 4 > 4 * 2 ** 20:
         # dbias fp32 output block (bq, m) rides VMEM next to the bias block;
         # shrink the q-block to keep the working set under the VMEM budget.
         bq = max(128, bq // 2)
 
-    qt = q.transpose(0, 2, 1, 3)
+    # Pad BOTH sides to block multiples (in-kernel pl.ds cannot handle
+    # boundaries on hardware — see _pad_axis): padded keys carry
+    # kv_mask=0; padded query rows carry lse=+big so the recomputed
+    # p = exp(logits - lse) underflows to exactly 0, zeroing their ds.
+    k = _pad_axis(k, 1, bk)
+    v = _pad_axis(v, 1, bk)
+    bias = _pad_axis(_pad_axis(bias, 3, bk), 2, bq)
+    kvm_p = _pad_axis(kv_mask, 1, bk)
+    qp = _pad_axis(q, 1, bq)
+    gp = _pad_axis(g, 1, bq)
+    outp = _pad_axis(out, 1, bq)
+    lse = _pad_axis(lse, 3, bq, value=1e30)  # (B, H, 1, N)
+    n = qp.shape[1]
+    m = k.shape[1]
+
+    qt = qp.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    got = g.transpose(0, 2, 1, 3)
+    got = gp.transpose(0, 2, 1, 3)
     # delta = rowsum(dO * O) per (b, h, n) — cheap elementwise in XLA.
     delta = jnp.einsum(
-        "bnhd,bnhd->bhn", g.astype(jnp.float32), out.astype(jnp.float32)
+        "bnhd,bnhd->bhn", gp.astype(jnp.float32), outp.astype(jnp.float32)
     )[:, :, None, :]  # (B, H, 1, N): lane-major rows for the kernels
-    kvm = kv_mask[:, None, :]
+    kvm = kvm_p[:, None, :]
 
     dq_in_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
@@ -558,7 +733,7 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, residuals, g):
                 jax.ShapeDtypeStruct((1, h, n, m), jnp.float32),
             ),
         )(qt, kt, vt, bias, kvm, got, lse, delta)
-        dbias = dbias.astype(bias.dtype)
+        dbias = dbias[:, :, :n_real, :m_real].astype(bias.dtype)
     else:
         dq_t = pl.pallas_call(
             functools.partial(_flash_bias_bwd_dq_kernel, block_k=bk),
@@ -567,7 +742,7 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, residuals, g):
             out_specs=dq_out_spec,
             out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         )(qt, kt, vt, bias, kvm, got, lse, delta)
-        dbias = jnp.zeros_like(bias)
+        dbias = jnp.zeros((1, h, n_real, m_real), bias.dtype)
 
     dk_t, dv_t = pl.pallas_call(
         functools.partial(_flash_bias_bwd_dkv_kernel, block_q=bq),
@@ -602,9 +777,9 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, residuals, g):
         ),
     )(qt, kt, vt, bias, kvm, got, lse, delta)
 
-    dq = dq_t.transpose(0, 2, 1, 3)
-    dk = dk_t.transpose(0, 2, 1, 3)
-    dv = dv_t.transpose(0, 2, 1, 3)
+    dq = dq_t.transpose(0, 2, 1, 3)[:, :n_real]
+    dk = dk_t.transpose(0, 2, 1, 3)[:, :m_real]
+    dv = dv_t.transpose(0, 2, 1, 3)[:, :m_real]
     return dq, dk, dv, dbias, None
 
 
@@ -613,7 +788,7 @@ _flash_attention_bias.defvjp(_flash_bias_vjp_fwd, _flash_bias_vjp_bwd)
 
 def flash_attention_bias(q, k, v, bias, kv_mask=None,
                          block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-                         bias_grad=False):
+                         bias_grad=False, block_h=1):
     """Flash attention with an additive (1, H, N, M) bias and an optional
     (B, M) K-side validity mask — the T5-encoder shape (rel-pos bias +
     padding mask).
@@ -630,7 +805,8 @@ def flash_attention_bias(q, k, v, bias, kv_mask=None,
     if kv_mask is None:
         kv_mask = jnp.ones((b, m), jnp.int8)
     return _flash_attention_bias(
-        q, k, v, bias, kv_mask.astype(jnp.int8), block_q, block_k, bool(bias_grad)
+        q, k, v, bias, kv_mask.astype(jnp.int8), block_q, block_k,
+        bool(bias_grad), int(block_h)
     )
 
 
@@ -706,14 +882,15 @@ def _flash_relpos_stats_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
     def make_body(mode):
         def body(i, carry):
             acc, m_prev, l_prev = carry
-            k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-            v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-            # pl.ds clamps the last partial block's start — the bias tile
-            # must use the CLAMPED key positions so columns line up with
-            # the rows actually loaded.
+            # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
+            # slices read tile-pad garbage — see _flash_fwd_kernel); the
+            # bias tile uses the same clamped key positions so columns
+            # line up with the rows actually loaded.
             k_start = (jnp.minimum(i * block_k, kv_len - block_k)
                        if kv_len % block_k else i * block_k)
+            k = k_ref[0, 0, pl.ds(k_start, block_k), :]
+            v = v_ref[0, 0, pl.ds(k_start, block_k), :]
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
             if mode == "near":
                 logits += _relpos_bias_tile(
                     tab_ref, head, q_start, k_start, logits.shape,
@@ -723,7 +900,7 @@ def _flash_relpos_stats_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
                 logits += far_past
             else:
                 logits += far_future
-            valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+            valid = kvmask_ref[0, :, pl.ds(k_start, block_k)] != 0
             if kv_len % block_k:
                 # mask the re-read prefix so those K rows are not
                 # double-counted.
@@ -864,11 +1041,12 @@ def _flash_relpos_bwd_dq_dtab_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
     def make_body(mode):
         def body(i, carry):
             dq_acc, dtab_acc = carry
-            k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-            v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+            # explicit start clamp: pl.ds does NOT clamp on hardware
             k_start = (jnp.minimum(i * block_k, kv_len - block_k)
                        if kv_len % block_k else i * block_k)
+            k = k_ref[0, 0, pl.ds(k_start, block_k), :]
+            v = v_ref[0, 0, pl.ds(k_start, block_k), :]
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
             bucket = None
             if mode == "near":
                 bucket = _relpos_bucket_tile(
@@ -882,7 +1060,7 @@ def _flash_relpos_bwd_dq_dtab_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
                 logits += far_past
             else:
                 logits += far_future
-            valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+            valid = kvmask_ref[0, :, pl.ds(k_start, block_k)] != 0
             if kv_len % block_k:
                 k_pos = k_start + (
                     jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -947,11 +1125,12 @@ def _flash_relpos_bwd_dq_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
 
     def make_body(mode):
         def body(i, dq_acc):
-            k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-            v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+            # explicit start clamp: pl.ds does NOT clamp on hardware
             k_start = (jnp.minimum(i * block_k, kv_len - block_k)
                        if kv_len % block_k else i * block_k)
+            k = k_ref[0, 0, pl.ds(k_start, block_k), :]
+            v = v_ref[0, 0, pl.ds(k_start, block_k), :]
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
             if mode == "near":
                 logits += _relpos_bias_tile(
                     tab_ref, head, q_start, k_start, logits.shape,
@@ -961,7 +1140,7 @@ def _flash_relpos_bwd_dq_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
                 logits += far_past
             else:
                 logits += far_future
-            valid = kvmask_ref[0, :, pl.ds(i * block_k, block_k)] != 0
+            valid = kvmask_ref[0, :, pl.ds(k_start, block_k)] != 0
             if kv_len % block_k:
                 k_pos = k_start + (
                     jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -1007,14 +1186,15 @@ def _flash_relpos_bwd_dkv_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
     def make_body(mode):
         def body(i, carry):
             dk_acc, dv_acc = carry
-            q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
-            do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
-            lse = lse_ref[0, 0, :, pl.ds(i * block_q, block_q)].T
-            delta = delta_ref[0, 0, :, pl.ds(i * block_q, block_q)].T
-            q_scaled = q * scale.astype(q.dtype)
-            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
+            # explicit start clamp: pl.ds does NOT clamp on hardware
             q_blk_start = (jnp.minimum(i * block_q, n - block_q)
                            if n % block_q else i * block_q)
+            q = q_ref[0, 0, pl.ds(q_blk_start, block_q), :]
+            do = do_ref[0, 0, pl.ds(q_blk_start, block_q), :]
+            lse = lse_ref[0, 0, :, pl.ds(q_blk_start, block_q)].T
+            delta = delta_ref[0, 0, :, pl.ds(q_blk_start, block_q)].T
+            q_scaled = q * scale.astype(q.dtype)
+            logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
             if mode == "near":
                 logits += _relpos_bias_tile(
                     tab_ref, head, q_blk_start, k_start, logits.shape,
@@ -1056,13 +1236,18 @@ def _flash_relpos_bwd_dkv_kernel(q_ref, k_ref, v_ref, tab_ref, kvmask_ref,
 def _flash_attention_relpos(q, k, v, table, kv_mask, num_buckets,
                             max_distance, block_q, block_k, table_grad):
     b, n, h, d = q.shape
-    m = k.shape[1]
+    bk = min(block_k, k.shape[1])
+    # key side padded to a block multiple; padded keys carry kv_mask=0
+    # (in-kernel pl.ds cannot handle boundaries on hardware — _pad_axis)
+    kp = _pad_axis(k, 1, bk)
+    vp = _pad_axis(v, 1, bk)
+    kvmp = _pad_axis(kv_mask, 1, bk)
     qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    kt = kp.transpose(0, 2, 1, 3)
+    vt = vp.transpose(0, 2, 1, 3)
     out, _ = _flash_relpos_fwd_stats(
-        qt, kt, vt, table, kv_mask[:, None, :],
-        min(block_q, n), min(block_k, m), num_buckets, max_distance,
+        qt, kt, vt, table, kvmp[:, None, :],
+        min(block_q, n), bk, num_buckets, max_distance,
     )
     return out.transpose(0, 2, 1, 3)
 
@@ -1070,13 +1255,16 @@ def _flash_attention_relpos(q, k, v, table, kv_mask, num_buckets,
 def _flash_relpos_vjp_fwd(q, k, v, table, kv_mask, num_buckets, max_distance,
                           block_q, block_k, table_grad):
     b, n, h, d = q.shape
-    m = k.shape[1]
+    bk = min(block_k, k.shape[1])
+    kp = _pad_axis(k, 1, bk)
+    vp = _pad_axis(v, 1, bk)
+    kvmp = _pad_axis(kv_mask, 1, bk)
     qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    kt = kp.transpose(0, 2, 1, 3)
+    vt = vp.transpose(0, 2, 1, 3)
     out_t, lse = _flash_relpos_fwd_stats(
-        qt, kt, vt, table, kv_mask[:, None, :],
-        min(block_q, n), min(block_k, m), num_buckets, max_distance,
+        qt, kt, vt, table, kvmp[:, None, :],
+        min(block_q, n), bk, num_buckets, max_distance,
     )
     out = out_t.transpose(0, 2, 1, 3)
     return out, (q, k, v, table, kv_mask, out, lse)
@@ -1093,19 +1281,32 @@ def _flash_relpos_vjp_bwd(num_buckets, max_distance, block_q, block_k,
     reference's LoRA training the embedding is frozen
     (blip2_mr.py:183-237)."""
     q, k, v, table, kv_mask, out, lse = residuals
-    b, n, h, d = q.shape
-    m = k.shape[1]
-    bq = min(block_q, n)
-    bk = min(block_k, m)
+    b, n_real, h, d = q.shape
+    m_real = k.shape[1]
+    bq = min(block_q, n_real)
+    bk = min(block_k, m_real)
 
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    got = g.transpose(0, 2, 1, 3)
+    # pad both sides to block multiples (see _flash_bias_vjp_bwd): padded
+    # keys carry kv_mask=0, padded query rows carry lse=+big so their
+    # recomputed p underflows to 0.
+    kp = _pad_axis(k, 1, bk)
+    vp = _pad_axis(v, 1, bk)
+    kvm_p = _pad_axis(kv_mask, 1, bk)
+    qp = _pad_axis(q, 1, bq)
+    gp = _pad_axis(g, 1, bq)
+    outp = _pad_axis(out, 1, bq)
+    lse = _pad_axis(lse, 3, bq, value=1e30)
+    n = qp.shape[1]
+    m = kp.shape[1]
+
+    qt = qp.transpose(0, 2, 1, 3)
+    kt = kp.transpose(0, 2, 1, 3)
+    vt = vp.transpose(0, 2, 1, 3)
+    got = gp.transpose(0, 2, 1, 3)
     delta = jnp.einsum(
-        "bnhd,bnhd->bhn", g.astype(jnp.float32), out.astype(jnp.float32)
+        "bnhd,bnhd->bhn", gp.astype(jnp.float32), outp.astype(jnp.float32)
     )[:, :, None, :]
-    kvm = kv_mask[:, None, :]
+    kvm = kvm_p[:, None, :]
 
     dq_in_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
@@ -1189,9 +1390,9 @@ def _flash_relpos_vjp_bwd(num_buckets, max_distance, block_q, block_k,
         ),
     )(qt, kt, vt, table, kvm, got, lse, delta)
 
-    dq = dq_t.transpose(0, 2, 1, 3)
-    dk = dk_t.transpose(0, 2, 1, 3)
-    dv = dv_t.transpose(0, 2, 1, 3)
+    dq = dq_t.transpose(0, 2, 1, 3)[:, :n_real]
+    dk = dk_t.transpose(0, 2, 1, 3)[:, :m_real]
+    dv = dv_t.transpose(0, 2, 1, 3)[:, :m_real]
     return dq, dk, dv, dtable, None
 
 
