@@ -137,8 +137,16 @@ def dot_product_attention(q, k, v, bias=None, mask=None, bias_grad=False,
                 kv_mask = jnp.broadcast_to(
                     mask[:, 0, 0, :], (q.shape[0], k.shape[1])
                 )
+            # block_h=2: two heads per program give Mosaic independent
+            # chains to overlap the VPU softmax with the next head's MXU
+            # matmul — 4.50 vs 4.86 ms/layer at the 2049-token T5-XL
+            # shape, bitwise-identical output (scripts/probe_flash_bias.py;
+            # the wrapper VMEM heuristic shrinks the q-block to fit, and
+            # block_h falls back to 1 when it doesn't divide H). The
+            # gradient path keeps its single-head 512-block stats/backward
+            # kernels either way — block_h shapes only the no-grad fwd.
             return flash_attention_bias(q, k, v, bias, kv_mask,
-                                        bias_grad=bias_grad)
+                                        bias_grad=bias_grad, block_h=2)
     if backend == "flash":
         from mr_blip_tpu.ops.flash_attention import flash_attention
 
