@@ -18,11 +18,30 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
+import hashlib
+import platform
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeat suite runs skip XLA recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/mrblip_jax_cache")
+# Keyed by a host fingerprint: XLA:CPU AOT executables encode the compile
+# machine's CPU features, and loading one compiled on a different host
+# warns "could lead to execution errors such as SIGILL" — and has produced
+# silently wrong numerics (a convergence test failed once under a stale
+# cache written by a previous session's different VM type).
+def _host_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    raw = platform.machine() + platform.processor() + flags
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/mrblip_jax_cache_{_host_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pathlib
