@@ -189,40 +189,35 @@ _flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
-                       *, block_k: int):
+                       *, block_k: int, tail: int = 0):
     """Bias+mask variant, one (batch, head, q-block) program.
 
     bias_ref: (1, 1, block_q, M) additive logits bias (head-sliced);
     kvmask_ref: (1, 1, M) int8 K-side validity (batch-sliced; the leading
     singleton keeps the TPU block-shape rules happy).
+
+    ``tail``: static 128-aligned remainder of the key length. The wrapper
+    pads keys only to a LANE multiple (128); the loop covers the
+    ``block_k``-sized full blocks and one final ``tail``-sized block with a
+    static start — so at the T5-encoder 2049-token shape the kernel touches
+    2176 keys instead of a full-block-padded 2560 (~15% less MXU+VPU work;
+    in-kernel ``pl.ds`` never overhangs, which it cannot do on hardware —
+    see _pad_axis).
     """
     q = q_ref[0, 0]  # (block_q, d)
     block_q, d = q.shape
     kv_len = k_ref.shape[2]
     q_scaled = q * jnp.asarray(d ** -0.5, q.dtype)
-    num_k_blocks = pl.cdiv(kv_len, block_k)
+    num_full = (kv_len - tail) // block_k
 
-    def body(i, carry):
+    def process(start, bk, carry):
         acc, m_prev, l_prev = carry
-        # Explicit start clamp: pl.ds does NOT clamp on hardware (OOB
-        # slices read tile-pad garbage — see _flash_fwd_kernel).
-        start = (jnp.minimum(i * block_k, kv_len - block_k)
-                 if kv_len % block_k else i * block_k)
-        k = k_ref[0, 0, pl.ds(start, block_k), :]
-        v = v_ref[0, 0, pl.ds(start, block_k), :]
+        k = k_ref[0, 0, pl.ds(start, bk), :]
+        v = v_ref[0, 0, pl.ds(start, bk), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
+        logits += bias_ref[0, 0, :, pl.ds(start, bk)].astype(jnp.float32)
         # 2-D load: Mosaic rejects 1-D vector intermediates
-        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0  # (1, bk)
-        if kv_len % block_k:
-            # the clamped block re-reads rows already covered by the
-            # previous block; mask that prefix so those K rows are not
-            # double-counted. Full-2D iota: Mosaic can't sublane-broadcast
-            # a (1, bk) intermediate.
-            k_pos = start + (
-                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            )
-            valid = valid & (k_pos >= i * block_k)
+        valid = kvmask_ref[0, :, pl.ds(start, bk)] != 0  # (1, bk)
         logits = jnp.where(valid, logits, -jnp.inf)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -241,12 +236,18 @@ def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    carry = jax.lax.fori_loop(
+        0, num_full, lambda i, c: process(i * block_k, block_k, c),
+        (acc0, m0, l0),
+    )
+    if tail:
+        carry = process(num_full * block_k, tail, carry)
+    acc, m, l = carry
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_bias_kernel_mh(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
-                          *, block_k: int, block_h: int):
+                          *, block_k: int, block_h: int, tail: int = 0):
     """Head-blocked bias variant: one (head-block, q-block, batch) program
     runs ``block_h`` independent online-softmax chains. The per-head
     chains share no data, so Mosaic overlaps head h's VPU softmax with
@@ -254,37 +255,31 @@ def _flash_bias_kernel_mh(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
     the packed ViT kernel (flash_attention_qkv_packed), which is what the
     D=64 single-K-tile matmuls need to stop serializing against the
     softmax (measured numbers in docs/performance.md).
+
+    ``tail``: static 128-aligned key-length remainder processed as one
+    final static-start block (see _flash_bias_kernel).
     """
     kv_len = k_ref.shape[2]
     d = q_ref.shape[3]
     scale = jnp.asarray(d ** -0.5, jnp.float32)
-    num_k_blocks = pl.cdiv(kv_len, block_k)
+    num_full = (kv_len - tail) // block_k
     q_scaled = [
         (q_ref[0, hh].astype(jnp.float32) * scale).astype(q_ref.dtype)
         for hh in range(block_h)
     ]
 
-    def body(i, carry):
-        # explicit start clamp: pl.ds does NOT clamp on hardware
-        start = (jnp.minimum(i * block_k, kv_len - block_k)
-                 if kv_len % block_k else i * block_k)
-        valid_base = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
+    def process(start, bk, carry):
+        valid = kvmask_ref[0, :, pl.ds(start, bk)] != 0
         new = []
         for hh in range(block_h):
             acc, m_prev, l_prev = carry[hh]
-            k = k_ref[0, hh, pl.ds(start, block_k), :]
-            v = v_ref[0, hh, pl.ds(start, block_k), :]
+            k = k_ref[0, hh, pl.ds(start, bk), :]
+            v = v_ref[0, hh, pl.ds(start, bk), :]
             logits = jnp.dot(q_scaled[hh], k.T,
                              preferred_element_type=jnp.float32)
-            logits += bias_ref[0, hh, :, pl.ds(start, block_k)].astype(
+            logits += bias_ref[0, hh, :, pl.ds(start, bk)].astype(
                 jnp.float32
             )
-            valid = valid_base
-            if kv_len % block_k:
-                k_pos = start + (
-                    jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-                )
-                valid = valid & (k_pos >= i * block_k)
             logits = jnp.where(valid, logits, -jnp.inf)
 
             m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -310,9 +305,13 @@ def _flash_bias_kernel_mh(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
          jnp.zeros((block_q, 1), jnp.float32))
         for _ in range(block_h)
     )
-    final = jax.lax.fori_loop(0, num_k_blocks, body, init)
+    carry = jax.lax.fori_loop(
+        0, num_full, lambda i, c: process(i * block_k, block_k, c), init
+    )
+    if tail:
+        carry = process(num_full * block_k, tail, carry)
     for hh in range(block_h):
-        acc, _m, l = final[hh]
+        acc, _m, l = carry[hh]
         o_ref[0, hh] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -333,15 +332,20 @@ def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k,
     """
     b, n, h, d = q.shape
     block_q = min(block_q, n)
-    block_k = min(block_k, k.shape[1])
-    # pad the key side to a block multiple; padded keys carry kv_mask=0
-    # so the kernels -inf them out (in-kernel pl.ds cannot handle the
-    # boundary on hardware — see _pad_axis)
-    k = _pad_axis(k, 1, block_k)
-    v = _pad_axis(v, 1, block_k)
-    bias = _pad_axis(bias, 3, block_k)
-    kv_mask = _pad_axis(kv_mask, 1, block_k)
+    # Pad the key side only to a LANE multiple (128); padded keys carry
+    # kv_mask=0 so the kernels -inf them out. The kernels process
+    # ``m // block_k`` full blocks plus one static ``tail`` block of the
+    # 128-aligned remainder — full-block padding (2049 -> 2560 at the T5
+    # encoder shape) measured ~15% extra MXU+VPU work vs the tail block
+    # (2049 -> 2176). In-kernel pl.ds never overhangs (it cannot on
+    # hardware — see _pad_axis).
+    k = _pad_axis(k, 1, 128)
+    v = _pad_axis(v, 1, 128)
+    bias = _pad_axis(bias, 3, 128)
+    kv_mask = _pad_axis(kv_mask, 1, 128)
     m = k.shape[1]
+    block_k = min(block_k, m)
+    tail = m % block_k
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -358,9 +362,10 @@ def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k,
     grid = (h // block_h, pl.cdiv(n, block_q), b)
     if block_h > 1:
         kernel = functools.partial(_flash_bias_kernel_mh, block_k=block_k,
-                                   block_h=block_h)
+                                   block_h=block_h, tail=tail)
     else:
-        kernel = functools.partial(_flash_bias_kernel, block_k=block_k)
+        kernel = functools.partial(_flash_bias_kernel, block_k=block_k,
+                                   tail=tail)
     out = pl.pallas_call(
         kernel,
         grid=grid,
