@@ -238,9 +238,15 @@ class T5Attention(nn.Module):
                 q = q.reshape(b_enc, beams * n, cfg.num_heads, cfg.d_kv)
                 if mask is not None and mask.shape[0] == b:
                     mask = mask.reshape((b_enc, beams) + mask.shape[1:])[:, 0]
+                # T5 applies no 1/sqrt(d) scale: pre-multiply q by sqrt(d)
+                # to cancel the scale inside dot_product_attention — same
+                # as the main path below (this early-return branch used to
+                # skip it, silently shrinking cross-attention logits 8x
+                # during beam decode; caught by the dedup-vs-expanded
+                # equivalence test, tests/test_generation.py).
                 out = dot_product_attention(
-                    q, k, v, bias=position_bias, mask=mask,
-                    bias_grad=cfg.lora_rank == 0,
+                    q * (cfg.d_kv ** 0.5), k, v, bias=position_bias,
+                    mask=mask, bias_grad=cfg.lora_rank == 0,
                 )
                 out = out.reshape(b, n, inner)
                 return dense("o")(out, deterministic=deterministic)

@@ -160,3 +160,42 @@ class TestBeamSearch:
 
         seqs, scores = run(cache)
         assert seqs.shape == (2, max_len)
+
+
+class TestBeamFoldedCrossCache:
+    """The flagship generate builds the cross-attention K/V cache at
+    ENCODER batch rows and folds beams into the query length at attention
+    time (t5.py T5Attention, ``b_enc != b`` branch). That branch must be
+    numerically identical to the naive beam-expanded cache — it used to
+    skip the sqrt(d_kv) pre-scale that cancels dot_product_attention's
+    internal 1/sqrt(d), silently running T5 cross-attention at 1/8 logit
+    scale during beam decode (invisible to the HF-parity test, which
+    pre-expands the encoder outputs so b_enc == b)."""
+
+    def test_dedup_matches_expanded(self):
+        beams = 3
+        cfg, model, params, inputs_embeds = _build(decode_cache_len=4, batch=2)
+        rng = np.random.default_rng(1)
+        enc = model.apply(params, inputs_embeds, method="encode")
+        enc_mask = jnp.ones(enc.shape[:2], jnp.int32)
+        tokens = jnp.array(rng.integers(0, cfg.vocab_size, (2 * beams, 1)))
+
+        def step_logits(enc_states, mask):
+            dummy = jnp.zeros((2 * beams, 1), jnp.int32)
+            _, vars0 = model.apply(
+                params, dummy, enc_states, encoder_mask=mask, decode=True,
+                decode_position=jnp.int32(0), method="decode",
+                mutable=["cache"],
+            )
+            logits, _ = model.apply(
+                {**params, "cache": vars0["cache"]}, tokens, enc_states,
+                encoder_mask=mask, decode=True, decode_position=jnp.int32(0),
+                method="decode", mutable=["cache"],
+            )
+            return np.asarray(logits)
+
+        deduped = step_logits(enc, enc_mask)
+        expanded = step_logits(
+            jnp.repeat(enc, beams, axis=0), jnp.repeat(enc_mask, beams, axis=0)
+        )
+        np.testing.assert_allclose(deduped, expanded, atol=1e-4)
