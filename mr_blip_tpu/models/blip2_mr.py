@@ -883,6 +883,11 @@ class BLIP2_MR(BaseModel):
         Inference-only (decode is weight-bandwidth-bound; see
         models/quantize.py). Call AFTER loading float checkpoints and BEFORE
         the first generate (the jitted decode closures trace the module).
+
+        Also enables the int8 cross-attention K/V cache
+        (``T5Config.int8_cross_cache``): the cache read is the decode
+        step's other big HBM term (1.6 GB/step bf16 at the flagship
+        shape) and is quantized at prefill with per-channel scales.
         """
         import dataclasses
 
@@ -891,7 +896,8 @@ class BLIP2_MR(BaseModel):
         assert self.params is not None, "load/init params before quantizing"
         assert not self.t5_config.int8_decode, "already quantized"
         self.int8_decode = True
-        self.t5_config = dataclasses.replace(self.t5_config, int8_decode=True)
+        self.t5_config = dataclasses.replace(
+            self.t5_config, int8_decode=True, int8_cross_cache=True)
         self.module = Blip2MRModule(
             vit_config=self.vit_config,
             qformer_config=self.qformer_config,

@@ -59,6 +59,16 @@ class T5Config:
     # bandwidth-bound). Convert float params with
     # models/quantize.py::quantize_t5_decoder_params.
     int8_decode: bool = False
+    # Store the decode-time cross-attention K/V cache int8 with per-channel
+    # scales (computed once at prefill). The cache read is the decode
+    # step's largest HBM term after the weights (24 layers x 2 x
+    # (B, 2049, 2048) bf16 = 1.6 GB PER STEP at the flagship shape) — int8
+    # halves it. The K scale folds into q before QK^T and the V scale
+    # applies after PV (both commute with the contraction), so the int8
+    # tensors feed the dots directly. Set alongside int8_decode by
+    # BLIP2_MR.quantize_for_decode(); no weight conversion needed (the
+    # quantization happens at cache build inside the first decode_step).
+    int8_cross_cache: bool = False
     # W8A8 int8 ENCODER (inference-only): every encoder-block projection and
     # the gated FFN run on fused Pallas int8 MXU kernels with in-kernel
     # per-token activation quantization (ops/int8_matmul.py); LoRA deltas
@@ -215,10 +225,16 @@ class T5Attention(nn.Module):
             # the cache variable is created (init_cache pass), reused after.
             # Stored at the ENCODER batch size — beams share them (queries
             # are folded into the length axis at attention time).
+            quant = cfg.int8_cross_cache
             already_cached = self.has_variable("cache", "cached_key")
             if already_cached:
                 k_flat = self.variable("cache", "cached_key", None).value
                 v_flat = self.variable("cache", "cached_value", None).value
+                if quant:
+                    k_scale = self.variable(
+                        "cache", "cached_key_scale", None).value
+                    v_scale = self.variable(
+                        "cache", "cached_value_scale", None).value
             else:
                 b_enc = kv_states.shape[0]
                 k_flat = dense("k")(kv_states, deterministic=deterministic).reshape(
@@ -227,27 +243,71 @@ class T5Attention(nn.Module):
                 v_flat = dense("v")(kv_states, deterministic=deterministic).reshape(
                     b_enc, -1, inner
                 )
+                if quant:
+                    # Per-(batch, channel) symmetric int8 over the length
+                    # axis; the scales ride the cache next to the tensors.
+                    def _q8(t):
+                        tf = t.astype(jnp.float32)
+                        s = jnp.maximum(
+                            jnp.max(jnp.abs(tf), axis=1, keepdims=True), 1e-6
+                        ) / 127.0
+                        qv = jnp.clip(jnp.round(tf / s), -127, 127)
+                        return qv.astype(jnp.int8), s
+                    k_flat, k_scale = _q8(k_flat)
+                    v_flat, v_scale = _q8(v_flat)
+                    self.variable("cache", "cached_key_scale",
+                                  lambda: k_scale)
+                    self.variable("cache", "cached_value_scale",
+                                  lambda: v_scale)
                 self.variable("cache", "cached_key", lambda: k_flat)
                 self.variable("cache", "cached_value", lambda: v_flat)
             b_enc, m = k_flat.shape[0], k_flat.shape[1]
             k = k_flat.reshape(b_enc, m, cfg.num_heads, cfg.d_kv)
             v = v_flat.reshape(b_enc, m, cfg.num_heads, cfg.d_kv)
-            if b_enc != b:
-                # q rows are beam-expanded: fold beams into the query length.
+            if b_enc != b or quant:
+                # q rows may be beam-expanded: fold beams into the query
+                # length (beams == 1 degenerates to plain attention).
                 beams = b // b_enc
                 q = q.reshape(b_enc, beams * n, cfg.num_heads, cfg.d_kv)
                 if mask is not None and mask.shape[0] == b:
                     mask = mask.reshape((b_enc, beams) + mask.shape[1:])[:, 0]
-                # T5 applies no 1/sqrt(d) scale: pre-multiply q by sqrt(d)
-                # to cancel the scale inside dot_product_attention — same
-                # as the main path below (this early-return branch used to
-                # skip it, silently shrinking cross-attention logits 8x
-                # during beam decode; caught by the dedup-vs-expanded
-                # equivalence test, tests/test_generation.py).
-                out = dot_product_attention(
-                    q * (cfg.d_kv ** 0.5), k, v, bias=position_bias,
-                    mask=mask, bias_grad=cfg.lora_rank == 0,
-                )
+                if quant:
+                    # int8 K/V feed the dots directly (XLA fuses the
+                    # int8->bf16 convert into the dot's operand read, so
+                    # HBM traffic stays int8). T5 applies no 1/sqrt(d)
+                    # scale, so none here; the per-channel K scale folds
+                    # into q (it is constant over the contraction's m
+                    # axis) and the V scale applies after PV.
+                    qk = (q.astype(jnp.float32)
+                          * k_scale.reshape(b_enc, 1, cfg.num_heads,
+                                            cfg.d_kv)).astype(q.dtype)
+                    logits = jnp.einsum(
+                        "bnhd,bmhd->bhnm", qk, k.astype(qk.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if mask is not None:
+                        logits = jnp.where(
+                            mask, logits, jnp.finfo(jnp.float32).min)
+                    p = jax.nn.softmax(logits, axis=-1)
+                    ctx = jnp.einsum(
+                        "bhnm,bmhd->bnhd", p.astype(qk.dtype),
+                        v.astype(qk.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out = (ctx * v_scale.reshape(
+                        b_enc, 1, cfg.num_heads, cfg.d_kv)).astype(q.dtype)
+                else:
+                    # T5 applies no 1/sqrt(d) scale: pre-multiply q by
+                    # sqrt(d) to cancel the scale inside
+                    # dot_product_attention — same as the main path below
+                    # (this early-return branch used to skip it, silently
+                    # shrinking cross-attention logits 8x during beam
+                    # decode; caught by the dedup-vs-expanded equivalence
+                    # test, tests/test_generation.py).
+                    out = dot_product_attention(
+                        q * (cfg.d_kv ** 0.5), k, v, bias=position_bias,
+                        mask=mask, bias_grad=cfg.lora_rank == 0,
+                    )
                 out = out.reshape(b, n, inner)
                 return dense("o")(out, deterministic=deterministic)
         else:

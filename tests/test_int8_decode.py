@@ -124,3 +124,95 @@ class TestBlip2MRInt8Wiring:
         out = model.generate(samples)
         assert set(out.keys()) == set(float_out.keys())
         assert len(out["prediction"]) == len(float_out["prediction"])
+
+
+class TestInt8CrossCache:
+    """``T5Config.int8_cross_cache``: the decode-time cross-attention K/V
+    cache stored int8 with per-channel scales (the cache read is the decode
+    step's largest HBM term after the weights — 1.6 GB/step bf16 at the
+    flagship shape). The K scale folds into q, the V scale applies after
+    PV; both beam-deduped (b_enc != b) and plain (beams == 1) shapes ride
+    the quantized branch."""
+
+    def _logits(self, cfg, params, embeds, mask, tokens, beams):
+        import dataclasses as _dc  # noqa: F401 (kept local for clarity)
+        model = T5ForConditionalGeneration(
+            cfg, compute_dtype=jnp.float32, decode_cache_len=4
+        )
+        B = embeds.shape[0]
+        enc = model.apply({"params": params}, embeds, mask, method="encode")
+        _, vars0 = model.apply(
+            {"params": params}, jnp.zeros((B * beams, 1), jnp.int32), enc,
+            encoder_mask=mask, decode=True, decode_position=jnp.int32(0),
+            method="decode", mutable=["cache"],
+        )
+        logits, _ = model.apply(
+            {"params": params, "cache": vars0["cache"]}, tokens, enc,
+            encoder_mask=mask, decode=True, decode_position=jnp.int32(0),
+            method="decode", mutable=["cache"],
+        )
+        return np.asarray(logits)
+
+    @staticmethod
+    def _setup(beams):
+        import dataclasses
+
+        cfg = t5_tiny_config(vocab_size=64)
+        qcfg = dataclasses.replace(cfg, int8_cross_cache=True)
+        rng = np.random.default_rng(7)
+        B, M = 2, 6
+        model = T5ForConditionalGeneration(
+            cfg, compute_dtype=jnp.float32, decode_cache_len=4
+        )
+        embeds = jnp.asarray(rng.standard_normal((B, M, cfg.d_model)),
+                             jnp.float32)
+        mask = jnp.ones((B, M), jnp.int32)
+        params = model.init(
+            jax.random.PRNGKey(0), embeds, jnp.zeros((B, 2), jnp.int32)
+        )["params"]
+        params = jax.tree.map(
+            lambda a: jnp.asarray(
+                rng.standard_normal(a.shape) * 0.05, a.dtype),
+            params,
+        )
+        tokens = jnp.asarray(rng.integers(0, 64, (B * beams, 1)), jnp.int32)
+        return cfg, qcfg, params, embeds, mask, tokens
+
+    def test_close_to_float_beamed(self):
+        cfg, qcfg, params, embeds, mask, tokens = self._setup(beams=3)
+        lf = self._logits(cfg, params, embeds, mask, tokens, 3)
+        lq = self._logits(qcfg, params, embeds, mask, tokens, 3)
+        assert (lf.argmax(-1) == lq.argmax(-1)).mean() > 0.9
+        cos = (lf * lq).sum() / (np.linalg.norm(lf) * np.linalg.norm(lq))
+        assert cos > 0.999, cos
+
+    def test_close_to_float_unbeamed(self):
+        cfg, qcfg, params, embeds, mask, tokens = self._setup(beams=1)
+        lf = self._logits(cfg, params, embeds, mask, tokens, 1)
+        lq = self._logits(qcfg, params, embeds, mask, tokens, 1)
+        cos = (lf * lq).sum() / (np.linalg.norm(lf) * np.linalg.norm(lq))
+        assert cos > 0.999, cos
+
+    def test_cache_dtypes(self):
+        import dataclasses
+
+        cfg, qcfg, params, embeds, mask, tokens = self._setup(beams=3)
+        model = T5ForConditionalGeneration(
+            qcfg, compute_dtype=jnp.float32, decode_cache_len=4
+        )
+        enc = model.apply({"params": params}, embeds, mask, method="encode")
+        _, vars0 = model.apply(
+            {"params": params}, jnp.zeros((6, 1), jnp.int32), enc,
+            encoder_mask=mask, decode=True, decode_position=jnp.int32(0),
+            method="decode", mutable=["cache"],
+        )
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(vars0["cache"])
+        cross_kv = [v for k, v in flat.items()
+                    if "cross_attention" in k and k[-1] in
+                    ("cached_key", "cached_value")]
+        assert cross_kv and all(v.dtype == jnp.int8 for v in cross_kv)
+        scales = [v for k, v in flat.items()
+                  if "cross_attention" in k and k[-1].endswith("_scale")]
+        assert scales and all(v.dtype == jnp.float32 for v in scales)
