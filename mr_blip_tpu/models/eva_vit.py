@@ -109,7 +109,7 @@ class ViTAttention(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, bn=None, norm=None, residual=None):
+    def __call__(self, x, bn=None, norm=None, residual=None, n_valid=None):
         cfg = self.config
         if cfg.int8_matmul:
             b, n = bn
@@ -165,11 +165,15 @@ class ViTAttention(nn.Module):
             # so those relayout copies cost more than the attention math).
             from mr_blip_tpu.ops.flash_attention import flash_attention_qkv_packed
 
-            out = flash_attention_qkv_packed(qkv, cfg.num_heads)
+            out = flash_attention_qkv_packed(qkv, cfg.num_heads,
+                                             n_valid=n_valid)
         else:
             qkv = qkv.reshape(b, n, 3, cfg.num_heads, head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            out = dot_product_attention(q, k, v)
+            mask = None
+            if n_valid is not None and n_valid != n:
+                mask = (jnp.arange(n) < n_valid)[None, None, None, :]
+            out = dot_product_attention(q, k, v, mask=mask)
             out = out.reshape(b, n, cfg.embed_dim)
         if cfg.int8_matmul:
             from mr_blip_tpu.ops.int8_matmul import w8a8_linear
@@ -191,6 +195,7 @@ class ViTBlock(nn.Module):
     drop_path: float = 0.0
 
     bn: tuple | None = None  # (B, N) when int8 mode runs on 2D tokens
+    n_valid: int | None = None  # real token count when N is sublane-padded
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -213,7 +218,8 @@ class ViTBlock(nn.Module):
             # a standalone x + y pass is 2 extra HBM round-trips per block
             s1, b1 = LNParamsScope(cfg.embed_dim, name="norm1")()
             x = ViTAttention(cfg, self.compute_dtype, name="attn")(
-                x, bn=self.bn, norm=("ln", s1, b1, 1e-6), residual=x
+                x, bn=self.bn, norm=("ln", s1, b1, 1e-6), residual=x,
+                n_valid=self.n_valid,
             )
             s2, b2 = LNParamsScope(cfg.embed_dim, name="norm2")()
             x = Int8Mlp(cfg.mlp_hidden_dim, name="mlp")(
@@ -280,9 +286,21 @@ class EvaViT(nn.Module):
         if cfg.use_checkpoint:
             block_cls = nn.remat(ViTBlock, static_argnums=(2,))
         n_tok = x.shape[1]
+        n_pad = n_tok
         if cfg.int8_matmul:
+            # Pad the token axis to a sublane multiple (257 -> 264): the
+            # TPU tiled (B, N, C) layout pads N to 8 anyway, so at N=264
+            # every (B*N, C) <-> (B, N, C) reshape around the kernels is a
+            # free bitcast instead of a relayout COPY (profiled at 109
+            # ms/forward — ~20% of the int8 ViT stage — at N=257). Pad
+            # tokens are masked out of attention (n_valid) and their rows
+            # carry garbage that never mixes into real tokens (attention
+            # is the only cross-token op); they are sliced off below.
+            n_pad = -(-n_tok // 8) * 8
+            if n_pad != n_tok:
+                x = jnp.pad(x, ((0, 0), (0, n_pad - n_tok), (0, 0)))
             # one flatten for the whole stack (see ViTAttention docstring)
-            x = x.reshape(b * n_tok, cfg.embed_dim)
+            x = x.reshape(b * n_pad, cfg.embed_dim)
         for i in range(cfg.depth):
             rate = (
                 cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
@@ -290,9 +308,12 @@ class EvaViT(nn.Module):
             )
             x = block_cls(
                 cfg, self.compute_dtype, rate,
-                bn=(b, n_tok) if cfg.int8_matmul else None,
+                bn=(b, n_pad) if cfg.int8_matmul else None,
+                n_valid=n_tok if cfg.int8_matmul else None,
                 name=f"blocks_{i}",
             )(x, deterministic)
         if cfg.int8_matmul:
-            x = x.reshape(b, n_tok, cfg.embed_dim)
+            x = x.reshape(b, n_pad, cfg.embed_dim)
+            if n_pad != n_tok:
+                x = x[:, :n_tok]
         return x

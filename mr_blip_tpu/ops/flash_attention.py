@@ -1432,7 +1432,8 @@ def flash_attention_relpos(q, k, v, table, kv_mask=None, num_buckets=32,
     )
 
 
-def _qkv_packed_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int):
+def _qkv_packed_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int,
+                       n_valid: int = 0):
     """Self-attention straight off the packed (rows, 3*H*D) QKV projection.
 
     One program per image: q/k/v and every head are sliced in VMEM, so the
@@ -1444,22 +1445,37 @@ def _qkv_packed_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int):
     (measured 21% faster than the interleaved per-head loop at the ViT-g
     shape; the per-head serial MXU<->VPU ping-pong was the bottleneck,
     not tile alignment).
+
+    ``n_valid`` > 0 masks key columns >= n_valid (-inf before softmax):
+    the int8 ViT pads the token axis to a sublane multiple (257 -> 264)
+    so the 2D<->3D reshapes around this kernel are free bitcasts, and the
+    pad tokens must not receive attention weight.
     """
     blk = qkv_ref[0]
+    n = blk.shape[0]
     hd = num_heads * head_dim
     scale = jnp.asarray(head_dim ** -0.5, blk.dtype)
+    key_pad = None
+    if n_valid and n_valid < n:
+        key_pad = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) >= n_valid
+        )
     logits = []
     for h in range(num_heads):
         q = blk[:, h * head_dim:(h + 1) * head_dim] * scale
         k = blk[:, hd + h * head_dim:hd + (h + 1) * head_dim]
-        logits.append(jax.lax.dot_general(
+        l = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
+        )
+        if key_pad is not None:
+            l = jnp.where(key_pad, -jnp.inf, l)
+        logits.append(l)
     probs = []
     for h in range(num_heads):
         m = jnp.max(logits[h], axis=-1, keepdims=True)
         p = jnp.exp(logits[h] - m)
+        p = jnp.where(jnp.isfinite(logits[h]), p, 0.0)
         probs.append((p / jnp.sum(p, axis=-1, keepdims=True)).astype(blk.dtype))
     for h in range(num_heads):
         v = blk[:, 2 * hd + h * head_dim:2 * hd + (h + 1) * head_dim]
@@ -1468,11 +1484,12 @@ def _qkv_packed_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int):
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _flash_qkv_packed(qkv, num_heads, head_dim):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _flash_qkv_packed(qkv, num_heads, head_dim, n_valid=0):
     b, n, three_hd = qkv.shape
     kernel = functools.partial(
-        _qkv_packed_kernel, num_heads=num_heads, head_dim=head_dim
+        _qkv_packed_kernel, num_heads=num_heads, head_dim=head_dim,
+        n_valid=n_valid,
     )
     hd = three_hd // 3
     return pl.pallas_call(
@@ -1493,31 +1510,47 @@ def _flash_qkv_packed(qkv, num_heads, head_dim):
     )(qkv)
 
 
-def _qkv_packed_reference(qkv, num_heads, head_dim):
+def _qkv_packed_reference(qkv, num_heads, head_dim, n_valid=0):
     hd = num_heads * head_dim
     q, k, v = qkv[..., :hd], qkv[..., hd:2 * hd], qkv[..., 2 * hd:]
+    if n_valid and n_valid < qkv.shape[1]:
+        from mr_blip_tpu.ops.attention import xla_attention
+
+        b, n, _ = q.shape
+        mask = (jnp.arange(n) < n_valid)[None, None, None, :]
+        out = xla_attention(
+            q.reshape(b, n, num_heads, head_dim),
+            k.reshape(b, n, num_heads, head_dim),
+            v.reshape(b, n, num_heads, head_dim),
+            mask=mask,
+        )
+        return out.reshape(b, n, hd)
     return _mha_reference(q, k, v, num_heads, head_dim)
 
 
-def _qkv_vjp_fwd(qkv, num_heads, head_dim):
-    return _flash_qkv_packed(qkv, num_heads, head_dim), qkv
+def _qkv_vjp_fwd(qkv, num_heads, head_dim, n_valid=0):
+    return _flash_qkv_packed(qkv, num_heads, head_dim, n_valid), qkv
 
 
-def _qkv_vjp_bwd(num_heads, head_dim, qkv, g):
-    _, vjp = jax.vjp(lambda q: _qkv_packed_reference(q, num_heads, head_dim), qkv)
+def _qkv_vjp_bwd(num_heads, head_dim, n_valid, qkv, g):
+    _, vjp = jax.vjp(
+        lambda q: _qkv_packed_reference(q, num_heads, head_dim, n_valid), qkv
+    )
     return vjp(g)
 
 
 _flash_qkv_packed.defvjp(_qkv_vjp_fwd, _qkv_vjp_bwd)
 
 
-def flash_attention_qkv_packed(qkv, num_heads: int):
+def flash_attention_qkv_packed(qkv, num_heads: int, n_valid: int = 0):
     """Self-attention over the packed (B, N, 3*H*D) QKV tensor; the whole
     sequence must fit VMEM (N * 3HD * itemsize ≲ 4 MB — e.g. ViT's 257
-    tokens at d=1408)."""
+    tokens at d=1408). ``n_valid`` > 0 masks key columns >= n_valid (the
+    int8 ViT pads N to a sublane multiple for free reshapes)."""
     b, n, three_hd = qkv.shape
     assert three_hd % (3 * num_heads) == 0
-    return _flash_qkv_packed(qkv, num_heads, three_hd // (3 * num_heads))
+    return _flash_qkv_packed(qkv, num_heads, three_hd // (3 * num_heads),
+                             int(n_valid or 0))
 
 
 def _mha_reference(q, k, v, num_heads, head_dim):

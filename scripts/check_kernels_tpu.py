@@ -132,6 +132,21 @@ def main():
         ).reshape(bt, n, hd)
         check("flash_attention_qkv_packed ViT-g shape", got, want, 0.02)
 
+        # sublane-padded tokens (the int8 ViT's free-bitcast layout):
+        # pad rows carry large garbage; n_valid must mask them as keys
+        # so the real-token outputs match the unpadded run exactly
+        np_pad = 264
+        qkv_p = jnp.concatenate([
+            qkv,
+            jnp.asarray(
+                rng.standard_normal((bt, np_pad - n, 3 * hd)) * 7.0,
+                jnp.bfloat16,
+            ),
+        ], axis=1)
+        got_p = flash_attention_qkv_packed(qkv_p, heads, n_valid=n)
+        check("flash_attention_qkv_packed padded N=264 n_valid=257",
+              got_p[:, :n], want, 0.02)
+
     # ----------------------------------------------------------- relpos
     if filt in "relpos" or not filt:
         from mr_blip_tpu.ops.flash_attention import flash_attention_relpos
