@@ -31,6 +31,24 @@ from mr_blip_tpu.models.t5 import (
 )
 
 
+def _pad_seq_to_sublane(inputs_embeds, attn, mult: int = 8):
+    """Right-pad the assembled encoder sequence to a sublane multiple.
+
+    The padded positions carry ``attn == 0`` so they are -inf'd out of
+    encoder self-attention and masked from decoder cross-attention —
+    semantically inert. The win: at an 8-multiple length the TPU tiled
+    (B, L, D) layout has no row padding, so the int8 encoder's
+    2D <-> 3D token reshapes are free bitcasts instead of relayout
+    copies (profiled ~26 ms/batch at L=2049), and batches bucket onto
+    fewer distinct compile shapes.
+    """
+    pad = (-inputs_embeds.shape[1]) % mult
+    if pad:
+        inputs_embeds = jnp.pad(inputs_embeds, ((0, 0), (0, pad), (0, 0)))
+        attn = jnp.pad(attn, ((0, 0), (0, pad)))
+    return inputs_embeds, attn
+
+
 class Blip2MRModule(nn.Module):
     vit_config: ViTConfig
     qformer_config: QFormerConfig
@@ -132,7 +150,7 @@ class Blip2MRModule(nn.Module):
         text_embs = embed(text_ids).astype(inter.dtype)
         inputs_embeds = jnp.concatenate([inter, end_embs, text_embs], axis=1)
         attn = jnp.concatenate([int_mask, end_mask, text_mask], axis=1)
-        return inputs_embeds, attn
+        return _pad_seq_to_sublane(inputs_embeds, attn)
 
     def assemble_encoder_input_noninterleaved(
         self,
@@ -155,7 +173,7 @@ class Blip2MRModule(nn.Module):
             [vid_embs, frames_for_t5, end_embs, text_embs], axis=1
         )
         attn = jnp.concatenate([vid_mask, frames_mask, end_mask, text_mask], axis=1)
-        return inputs_embeds, attn
+        return _pad_seq_to_sublane(inputs_embeds, attn)
 
     def qa_encoder_input(self, frames_for_t5, text_ids, text_mask):
         """Answerer layout (videoQA_answer, blip2_mr.py:1274-1278):
@@ -165,7 +183,7 @@ class Blip2MRModule(nn.Module):
         frames_mask = jnp.ones(frames_for_t5.shape[:2], jnp.int32)
         inputs_embeds = jnp.concatenate([frames_for_t5, text_embs], axis=1)
         attn = jnp.concatenate([frames_mask, text_mask], axis=1)
-        return inputs_embeds, attn
+        return _pad_seq_to_sublane(inputs_embeds, attn)
 
     def encode(self, inputs_embeds, attn_mask, deterministic=True):
         return self.t5.encode(inputs_embeds, mask=attn_mask, deterministic=deterministic)
