@@ -488,7 +488,7 @@ class BLIP2_MR(BaseModel):
         start = self.t5_config.decoder_start_token_id
 
         @functools.partial(jax.jit, static_argnames=("batch_size",))
-        def generate_fn(params, batch, batch_size: int):
+        def generate_fn(params, batch, batch_size: int, enc_bias=None):
             def encode(mod):
                 frames_for_t5 = mod.encode_frames(batch["frames"])
                 if interleaved:
@@ -503,7 +503,7 @@ class BLIP2_MR(BaseModel):
                         batch["end_ids"], batch["end_mask"], batch["text_ids"],
                         batch["text_mask"],
                     )
-                return mod.encode(embeds, attn), attn
+                return mod.encode(embeds, attn, position_bias=enc_bias), attn
 
             enc, attn = module.apply({"params": params}, method=encode)
             # Cross-attention K/V stay at batch rows (beam-deduplicated in
@@ -573,6 +573,52 @@ class BLIP2_MR(BaseModel):
             self.__dict__.pop(attr, None)
         return self
 
+    def _encoder_bias_for(self, batch):
+        """Per-length cached (1, H, L, L) encoder rel-pos bias.
+
+        The in-graph ``table[buckets]`` gather lowers to a ~24 ms
+        while-loop on TPU per encode yet is input-independent, so it is
+        materialized once per sequence length outside the step graph
+        (models/t5.py::materialize_encoder_relpos_bias) and fed through
+        ``encode(position_bias=...)``. Returns None when the length cannot
+        be derived host-side or under ``relpos_in_kernel`` (the O(N) long-
+        context path computes the bias in-kernel). The cache keys on the
+        table array identity so param reloads invalidate it; entries are
+        bounded (bf16 bias is ~O(L^2 * H) — 270 MB at L=2056).
+        """
+        cfg = self.t5_config
+        if cfg.relpos_in_kernel:
+            return None
+        try:
+            if self.interleave_data and "only_frames" not in self.task:
+                L = (batch["int_mask"].shape[1] + batch["end_ids"].shape[1]
+                     + batch["text_ids"].shape[1])
+            else:
+                tpf = 1 if self.frame_token_aggregation == "mean" else 32
+                L = (batch["vid_ids"].shape[1]
+                     + batch["frames"].shape[1] * tpf
+                     + batch["end_ids"].shape[1]
+                     + batch["text_ids"].shape[1])
+        except KeyError:
+            return None
+        L = -(-L // 8) * 8  # assemble right-pads to a sublane multiple
+        table = self.params["t5"]["encoder"]["rel_bias"]["rel_embedding"]
+        cache = self.__dict__.setdefault("_enc_bias_cache", {})
+        if cache.get("_table") is not table:
+            cache.clear()
+            cache["_table"] = table
+        if L not in cache:
+            from mr_blip_tpu.models.t5 import materialize_encoder_relpos_bias
+
+            if len([k for k in cache if k != "_table"]) >= 3:
+                cache.pop(next(k for k in cache if k != "_table"))
+            cache[L] = jax.jit(
+                materialize_encoder_relpos_bias,
+                static_argnums=(1, 2, 3),
+            )(table, L, cfg.relative_attention_num_buckets,
+              cfg.relative_attention_max_distance).astype(self.compute_dtype)
+        return cache[L]
+
     def generate_dispatch(self, samples) -> Dict[str, Any]:
         """Host prep + asynchronous device dispatch; pair with
         ``generate_collect``.
@@ -585,6 +631,7 @@ class BLIP2_MR(BaseModel):
         batch = self.prepare_mr_batch(samples, need_targets=False)
         batch.pop("video_prompt")
         b_real = batch["frames"].shape[0]
+        enc_bias = self._encoder_bias_for(batch)
         if self.mesh is not None:
             from mr_blip_tpu.parallel.mesh import (
                 pad_batch_to_multiple, shard_batch,
@@ -595,10 +642,12 @@ class BLIP2_MR(BaseModel):
             batch = shard_batch(batch, self.mesh)
             with jax.set_mesh(self.mesh):
                 seqs, scores = self._jit_generate(
-                    self.params, batch, batch["frames"].shape[0]
+                    self.params, batch, batch["frames"].shape[0],
+                    enc_bias,
                 )
         else:
-            seqs, scores = self._jit_generate(self.params, batch, b_real)
+            seqs, scores = self._jit_generate(self.params, batch, b_real,
+                                              enc_bias)
         return {"seqs": seqs, "scores": scores, "samples": samples,
                 "b_real": b_real}
 

@@ -185,8 +185,11 @@ class Blip2MRModule(nn.Module):
         attn = jnp.concatenate([frames_mask, text_mask], axis=1)
         return _pad_seq_to_sublane(inputs_embeds, attn)
 
-    def encode(self, inputs_embeds, attn_mask, deterministic=True):
-        return self.t5.encode(inputs_embeds, mask=attn_mask, deterministic=deterministic)
+    def encode(self, inputs_embeds, attn_mask, deterministic=True,
+               position_bias=None):
+        return self.t5.encode(inputs_embeds, mask=attn_mask,
+                              deterministic=deterministic,
+                              position_bias=position_bias)
 
     def loss_from_encoder_input(
         self, inputs_embeds, attn_mask, target_ids, target_mask, deterministic=True

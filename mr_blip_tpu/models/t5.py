@@ -143,6 +143,26 @@ class T5RelativeBias(nn.Module):
         return self.table.T
 
 
+def materialize_encoder_relpos_bias(table, length, num_buckets=32,
+                                    max_distance=128):
+    """(1, H, N, N) bidirectional bias from the raw (num_buckets, H)
+    ``rel_embedding`` param — bit-identical to T5RelativeBias.__call__.
+
+    For per-length caching OUTSIDE the step graph: the in-graph
+    ``table[buckets]`` gather lowers to a ~24 ms while-loop on TPU per
+    encode, yet depends only on (length, table) — constant at inference
+    (and under LoRA, where the table is frozen). BLIP2_MR caches the
+    result per length and feeds it through ``encode(position_bias=...)``.
+    """
+    positions = jnp.arange(length)
+    rel = positions[None, :] - positions[:, None]
+    buckets = relative_position_bucket(
+        rel, bidirectional=True, num_buckets=num_buckets,
+        max_distance=max_distance,
+    )
+    return table[buckets].transpose(2, 0, 1)[None]
+
+
 class T5Attention(nn.Module):
     """Multi-head attention without scaling (T5 folds the scale into init)."""
 
@@ -511,12 +531,22 @@ class T5Encoder(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, inputs_embeds, mask=None, deterministic=True):
+    def __call__(self, inputs_embeds, mask=None, deterministic=True,
+                 position_bias=None):
         cfg = self.config
         n = inputs_embeds.shape[1]
         positions = jnp.arange(n)
         rel_mod = T5RelativeBias(cfg, bidirectional=True, name="rel_bias")
-        if cfg.relpos_in_kernel:
+        if position_bias is not None:
+            # Precomputed (1, H, N, N) bias passed in: the table gather is
+            # a ~24 ms/batch while-loop on TPU and is input-independent, so
+            # inference paths cache it per length (BLIP2_MR._relpos_bias).
+            # The module's own rel_bias param still exists (rel_mod above)
+            # so the param tree is identical either way.
+            assert position_bias.shape[-1] == n, (position_bias.shape, n)
+            relpos_table = None
+            position_bias = position_bias.astype(self.compute_dtype)
+        elif cfg.relpos_in_kernel:
             # O(N)-memory path: the bias never materializes; the flash
             # kernel computes it from the table (XLA fallback materializes).
             position_bias = None
@@ -645,8 +675,12 @@ class T5ForConditionalGeneration(nn.Module):
     def embed_tokens(self, input_ids):
         return self.shared(input_ids)
 
-    def encode(self, inputs_embeds, mask=None, deterministic=True):
-        return self.encoder(inputs_embeds, mask=mask, deterministic=deterministic)
+    def encode(self, inputs_embeds, mask=None, deterministic=True,
+               position_bias=None):
+        return self.encoder(inputs_embeds, mask=mask,
+                            deterministic=deterministic,
+                            position_bias=position_bias)
+
 
     def decode(
         self,
