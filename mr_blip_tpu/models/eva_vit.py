@@ -18,6 +18,7 @@ import dataclasses
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mr_blip_tpu.models.layers import Dense, DropPath, LayerNormFP32, Mlp
@@ -134,11 +135,33 @@ class ViTAttention(nn.Module):
             qkv_bias = None
 
         if cfg.int8_matmul:
-            from mr_blip_tpu.ops.int8_matmul import w8a8_linear
+            from mr_blip_tpu.ops.int8_matmul import (
+                w8a8_attn_block,
+                w8a8_linear,
+            )
 
             wq, sw, _ = _QDenseParams(
                 3 * cfg.embed_dim, c, use_bias=False, name="qkv"
             )()
+            wqp, swp, pbias = _QDenseParams(cfg.embed_dim, cfg.embed_dim,
+                                            name="proj")()
+            if (
+                jax.default_backend() == "tpu"
+                and norm is not None and norm[0] == "ln"
+                and residual is not None
+                and c == cfg.embed_dim
+                and n * 3 * cfg.embed_dim * 2 <= 4 * 1024 * 1024
+            ):
+                # Fully fused block: LN -> int8 qkv -> attention -> int8
+                # proj -> +residual in one Pallas program per image pair —
+                # the qkv/attention intermediates never touch HBM
+                # (ops/int8_matmul.py::w8a8_attn_block).
+                out3 = w8a8_attn_block(
+                    x.reshape(b, n, c), wq, sw, qkv_bias, wqp, swp, pbias,
+                    norm=norm, num_heads=cfg.num_heads,
+                    n_valid=0 if n_valid is None else n_valid,
+                )
+                return out3.reshape(b * n, cfg.embed_dim)
             qkv = w8a8_linear(x, wq, sw, qkv_bias, norm=norm).reshape(
                 b, n, 3 * cfg.embed_dim
             )
@@ -151,8 +174,6 @@ class ViTAttention(nn.Module):
             )(x)
             if qkv_bias is not None:
                 qkv = qkv + qkv_bias.astype(qkv.dtype)
-
-        import jax
 
         if (
             jax.default_backend() == "tpu"
@@ -176,14 +197,10 @@ class ViTAttention(nn.Module):
             out = dot_product_attention(q, k, v, mask=mask)
             out = out.reshape(b, n, cfg.embed_dim)
         if cfg.int8_matmul:
-            from mr_blip_tpu.ops.int8_matmul import w8a8_linear
-
-            wq, sw, pb = _QDenseParams(cfg.embed_dim, cfg.embed_dim,
-                                       name="proj")()
             if residual is not None:
                 residual = residual.reshape(b * n, cfg.embed_dim)
             return w8a8_linear(
-                out.reshape(b * n, cfg.embed_dim), wq, sw, pb,
+                out.reshape(b * n, cfg.embed_dim), wqp, swp, pbias,
                 residual=residual,
             )  # stays 2D (B*N, C)
         return Dense(cfg.embed_dim, compute_dtype=self.compute_dtype, name="proj")(out)

@@ -497,3 +497,183 @@ def w8a8_mlp_gated(x, w0q, s0, w1q, s1, woq, so, *, norm=None,
         y = (y.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
             jnp.bfloat16)
     return y
+
+
+# ------------------------------------------------- fused ViT attention block
+
+
+def _attn_block_kernel(x_ref, wqkv_ref, sqkv_ref, qb_ref, wp_ref, sp_ref,
+                       pb_ref, ls_ref, lb_ref, o_ref, attn_ref,
+                       *, num_heads: int, eps: float, n_valid: int,
+                       head_group: int, img_group: int):
+    """``img_group`` images per program: LN -> per-token quant -> int8
+    qkv -> phase-batched attention -> per-token quant -> int8 proj ->
+    +residual, all resident in VMEM.
+
+    The qkv projection output, the attention intermediate, and the proj
+    input never leave VMEM — the separate-kernel chain writes + rereads
+    them in HBM (~1.4 GB of intermediate traffic per EVA-g layer at 240
+    frames). Weights ride constant-index BlockSpecs so Pallas fetches
+    them once per launch, not per image.
+
+    Structure is three phases — all images' qkv dots, then attention,
+    then all proj dots — and attention itself is ``head_group``-phased
+    (QK^T for the group back-to-back, then softmaxes, then PV): grouping
+    the MXU work gives Mosaic independent chains so one image/head's VPU
+    softmax overlaps the next one's matmul (the trick from
+    flash_attention._qkv_packed_kernel; img_group=2 measured 5.33 vs
+    5.55 ms/layer single-image and 5.77 for the separate chain).
+    ``n_valid`` masks pad key columns (the sublane-padded token axis).
+    """
+    n, c = x_ref.shape[1], x_ref.shape[2]
+    hd = c // num_heads
+    scale = jnp.asarray(hd ** -0.5, jnp.bfloat16)
+    key_pad = None
+    if n_valid and n_valid < n:
+        key_pad = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) >= n_valid
+        )
+
+    qkvs, xfs = [], []
+    for g in range(img_group):
+        xf = x_ref[g].astype(jnp.float32)
+        normed = _norm_rows(xf, "ln", ls_ref[:], lb_ref[:], eps)
+        xq, xs = _quant_rows(normed)
+        acc = jnp.dot(xq, wqkv_ref[:], preferred_element_type=jnp.int32)
+        qkv = acc.astype(jnp.float32) * (xs * sqkv_ref[:]) + qb_ref[:]
+        qkvs.append(qkv.astype(jnp.bfloat16))  # (N, 3C)
+        xfs.append(xf)
+
+    for g in range(img_group):
+        qkv = qkvs[g]
+        for g0 in range(0, num_heads, head_group):
+            heads = range(g0, min(g0 + head_group, num_heads))
+            logits = []
+            for h in heads:
+                q = qkv[:, h * hd:(h + 1) * hd] * scale
+                k = qkv[:, c + h * hd:c + (h + 1) * hd]
+                l = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if key_pad is not None:
+                    l = jnp.where(key_pad, -jnp.inf, l)
+                logits.append(l)
+            probs = []
+            for l in logits:
+                m = jnp.max(l, axis=-1, keepdims=True)
+                p = jnp.exp(l - m)
+                p = jnp.where(jnp.isfinite(l), p, 0.0)
+                probs.append(
+                    (p / jnp.sum(p, axis=-1, keepdims=True)).astype(
+                        jnp.bfloat16)
+                )
+            for i, h in enumerate(heads):
+                v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+                attn_ref[g, :, h * hd:(h + 1) * hd] = jnp.dot(
+                    probs[i], v, preferred_element_type=jnp.float32
+                ).astype(attn_ref.dtype)
+
+    for g in range(img_group):
+        aq, a_s = _quant_rows(attn_ref[g].astype(jnp.float32))
+        acc2 = jnp.dot(aq, wp_ref[:], preferred_element_type=jnp.int32)
+        y = acc2.astype(jnp.float32) * (a_s * sp_ref[:]) + pb_ref[:]
+        y = y + xfs[g]  # residual: the pre-norm input, already in VMEM
+        o_ref[g] = y.astype(o_ref.dtype)
+
+
+def _attn_block_ref(x, wqkv, sqkv, qkv_bias, wproj, sproj, proj_bias,
+                    ls, lb, eps, num_heads, n_valid):
+    """jnp reference with the exact same quantization math (off-TPU path
+    and the differential target for the on-chip checker)."""
+    b, n, c = x.shape
+    hd = c // num_heads
+    xf = x.astype(jnp.float32)
+    normed = _norm_rows(xf, "ln", ls, lb, eps)
+    xq, xs = _quant_rows(normed)
+    qkv = (
+        jnp.einsum("bnc,cd->bnd", xq.astype(jnp.float32),
+                   wqkv.astype(jnp.float32))
+        * (xs * sqkv.reshape(1, 1, -1)) + qkv_bias.reshape(1, 1, -1)
+    )
+    q = qkv[..., :c].reshape(b, n, num_heads, hd) * (hd ** -0.5)
+    k = qkv[..., c:2 * c].reshape(b, n, num_heads, hd)
+    v = qkv[..., 2 * c:].reshape(b, n, num_heads, hd)
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q.astype(jnp.bfloat16).astype(jnp.float32),
+        k.astype(jnp.bfloat16).astype(jnp.float32))
+    if n_valid and n_valid < n:
+        logits = jnp.where(jnp.arange(n)[None, None, None, :] >= n_valid,
+                           -jnp.inf, logits)
+    p = jax.nn.softmax(logits, axis=-1)
+    a = jnp.einsum("bhnm,bmhd->bnhd", p.astype(jnp.bfloat16).astype(
+        jnp.float32), v.astype(jnp.bfloat16).astype(jnp.float32))
+    a = a.reshape(b, n, c).astype(jnp.bfloat16)
+    aq, a_s = _quant_rows(a.astype(jnp.float32))
+    y = (
+        jnp.einsum("bnc,cd->bnd", aq.astype(jnp.float32),
+                   wproj.astype(jnp.float32))
+        * (a_s * sproj.reshape(1, 1, -1)) + proj_bias.reshape(1, 1, -1)
+    )
+    return (y + xf).astype(jnp.bfloat16)
+
+
+def w8a8_attn_block(x, wqkv, sqkv, qkv_bias, wproj, sproj, proj_bias, *,
+                    norm, num_heads, n_valid=0, head_group=8,
+                    img_group=2, interpret=False):
+    """Fused int8 ViT attention block over (B, N, C) tokens:
+    ``out = x + bias + W8A8_proj(attn(W8A8_qkv(LN(x)) + qkv_bias))``.
+
+    The whole per-image working set must sit in VMEM (EVA-g's 264-token
+    1408-wide shape at img_group=2 uses ~40 MB with both weight
+    matrices). Falls back to the jnp reference off-TPU.
+    """
+    b, n, c = x.shape
+    kind, ls, lb, eps = norm
+    assert kind == "ln"
+    if b % img_group:
+        img_group = 1
+    ls2 = ls.reshape(1, c).astype(jnp.float32)
+    lb2 = lb.reshape(1, c).astype(jnp.float32)
+    qb = (qkv_bias if qkv_bias is not None
+          else jnp.zeros((3 * c,), jnp.float32)).reshape(1, 3 * c).astype(
+              jnp.float32)
+    pb = (proj_bias if proj_bias is not None
+          else jnp.zeros((c,), jnp.float32)).reshape(1, c).astype(jnp.float32)
+    if not (jax.default_backend() == "tpu" or interpret):
+        return _attn_block_ref(x, wqkv, sqkv, qb, wproj, sproj, pb,
+                               ls2, lb2, eps, num_heads, n_valid)
+    kernel = functools.partial(
+        _attn_block_kernel, num_heads=num_heads, eps=float(eps),
+        n_valid=int(n_valid or 0), head_group=head_group,
+        img_group=img_group,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // img_group,),
+        in_specs=[
+            pl.BlockSpec((img_group, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((img_group, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((img_group, n, c), jnp.bfloat16)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * (3 * c + c) + 4 * b * n * n * c,
+            bytes_accessed=2 * b * n * c * 2 + b * (3 * c * c + c * c),
+            transcendentals=b * n * n * num_heads,
+        ),
+        interpret=interpret,
+    )(x, wqkv, sqkv.reshape(1, 3 * c).astype(jnp.float32), qb,
+      wproj, sproj.reshape(1, c).astype(jnp.float32), pb, ls2, lb2)

@@ -147,6 +147,39 @@ def main():
         check("flash_attention_qkv_packed padded N=264 n_valid=257",
               got_p[:, :n], want, 0.02)
 
+    # ------------------------------------------- fused int8 attention block
+    if filt in "attn_block" or not filt:
+        from mr_blip_tpu.ops.int8_matmul import (
+            _attn_block_ref,
+            w8a8_attn_block,
+        )
+
+        bt, np_pad, nv, c, heads = 6, 264, 257, 1408, 16
+        x = jnp.asarray(rng.standard_normal((bt, np_pad, c)) * 0.5,
+                        jnp.bfloat16)
+
+        def mk_w(kk, nn_):
+            w = rng.standard_normal((kk, nn_)) * 0.02
+            s = np.abs(w).max(axis=0) / 127.0
+            q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+            return jnp.asarray(q), jnp.asarray(s, jnp.float32)
+
+        wqkv, sqkv = mk_w(c, 3 * c)
+        wp, sp = mk_w(c, c)
+        qb = jnp.asarray(rng.standard_normal(3 * c) * 0.05, jnp.float32)
+        pb = jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32)
+        ls = jnp.asarray(rng.standard_normal(c) * 0.05 + 1.0, jnp.float32)
+        lb = jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32)
+        got = w8a8_attn_block(
+            x, wqkv, sqkv, qb, wp, sp, pb, norm=("ln", ls, lb, 1e-6),
+            num_heads=heads, n_valid=nv,
+        )
+        want = _attn_block_ref(
+            x, wqkv, sqkv, qb.reshape(1, -1), wp, sp, pb.reshape(1, -1),
+            ls.reshape(1, c), lb.reshape(1, c), 1e-6, heads, nv,
+        )
+        check("w8a8_attn_block EVA-g shape padded n_valid", got, want, 0.05)
+
     # ----------------------------------------------------------- relpos
     if filt in "relpos" or not filt:
         from mr_blip_tpu.ops.flash_attention import flash_attention_relpos
