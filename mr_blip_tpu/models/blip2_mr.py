@@ -988,7 +988,12 @@ class BLIP2_MR(BaseModel):
 
         assert self.params is not None, "load/init params before quantizing"
         assert not self.vit_config.int8_matmul, "already quantized"
-        self.vit_config = dataclasses.replace(self.vit_config, int8_matmul=True)
+        # keep_padded_tokens: hand the sublane-padded (.., 264, C) tokens
+        # straight to the Q-Former (which masks them in cross-attention)
+        # instead of slicing back to 257 — the slice and the Q-Former-side
+        # 257-row relayouts both disappear (encode_frames builds the mask).
+        self.vit_config = dataclasses.replace(
+            self.vit_config, int8_matmul=True, keep_padded_tokens=True)
         self.module = Blip2MRModule(
             vit_config=self.vit_config,
             qformer_config=self.qformer_config,

@@ -115,7 +115,20 @@ class Blip2MRModule(nn.Module):
         if self.freeze_vit:
             image_embeds = jax.lax.stop_gradient(image_embeds)
         image_embeds = self.ln_vision(image_embeds)
-        q = self.qformer(image_embeds, deterministic=deterministic)  # (B*T, nq, h)
+        # int8 ViT with keep_padded_tokens: the token axis arrives
+        # sublane-padded (257 -> 264); mask the pad tokens out of the
+        # Q-Former cross-attention instead of paying a slice + re-layout.
+        n_real = self.vit_config.num_patches + 1
+        frame_mask = None
+        if image_embeds.shape[1] > n_real:
+            frame_mask = (
+                jnp.arange(image_embeds.shape[1]) < n_real
+            )[None, :].astype(jnp.int32)
+            frame_mask = jnp.broadcast_to(
+                frame_mask, (image_embeds.shape[0], image_embeds.shape[1])
+            )
+        q = self.qformer(image_embeds, encoder_mask=frame_mask,
+                         deterministic=deterministic)  # (B*T, nq, h)
         q = self.t5_proj(q)
         if self.frame_token_aggregation == "mean":
             q = q.mean(axis=1, keepdims=True)

@@ -44,6 +44,12 @@ class ViTConfig:
     use_checkpoint: bool = False
     # perf opt-in: tanh-GELU instead of exact erf (breaks bit-parity)
     fast_gelu: bool = False
+    # Return the sublane-padded (B, 264, C) token tensor instead of
+    # slicing back to 257: consumers that can mask the pad tokens (the
+    # Q-Former cross-attention) avoid both the slice copy here and their
+    # own 257-row relayouts (6 x 0.84 ms of reshape copies profiled in the
+    # Q-Former cross K/V path). int8_matmul mode only.
+    keep_padded_tokens: bool = False
     # perf opt-in: W8A8 int8 MXU matmuls (qkv/proj/fc1/fc2) with per-token
     # activation quantization — ~2x the bf16 MLP throughput on v5e
     # (ops/int8_matmul.py). Params use the quantized layout; convert float
@@ -331,6 +337,6 @@ class EvaViT(nn.Module):
             )(x, deterministic)
         if cfg.int8_matmul:
             x = x.reshape(b, n_pad, cfg.embed_dim)
-            if n_pad != n_tok:
+            if n_pad != n_tok and not cfg.keep_padded_tokens:
                 x = x[:, :n_tok]
         return x
