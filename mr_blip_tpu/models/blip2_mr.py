@@ -466,6 +466,7 @@ class BLIP2_MR(BaseModel):
                 loss, logits = mod.loss_from_encoder_input(
                     embeds, attn, batch["target_ids"], batch["target_mask"],
                     deterministic=deterministic,
+                    position_bias=batch.get("enc_bias"),
                 )
                 return loss, logits
 
@@ -599,10 +600,10 @@ class BLIP2_MR(BaseModel):
                      + batch["frames"].shape[1] * tpf
                      + batch["end_ids"].shape[1]
                      + batch["text_ids"].shape[1])
-        except KeyError:
+            table = self.params["t5"]["encoder"]["rel_bias"]["rel_embedding"]
+        except (KeyError, TypeError):
             return None
         L = -(-L // 8) * 8  # assemble right-pads to a sublane multiple
-        table = self.params["t5"]["encoder"]["rel_bias"]["rel_embedding"]
         cache = self.__dict__.setdefault("_enc_bias_cache", {})
         if cache.get("_table") is not table:
             cache.clear()
@@ -618,6 +619,26 @@ class BLIP2_MR(BaseModel):
             )(table, L, cfg.relative_attention_num_buckets,
               cfg.relative_attention_max_distance).astype(self.compute_dtype)
         return cache[L]
+
+    def attach_train_bias(self, batch):
+        """Attach the per-length cached encoder bias to a TRAIN batch
+        (``batch["enc_bias"]``) — sound under LoRA (the rel-pos table is
+        frozen, reference blip2_mr.py:183-237 trains lora_a/lora_b only),
+        a no-op otherwise.
+
+        NOT wired into the default train loop: on the bench chip the
+        cached-bias step measured SLOWER (0.697 vs 0.650 s/step) despite
+        removing the ~24 ms in-graph gather — the extra ~270 MB resident
+        bias buffer degrades the near-capacity training allocation (the
+        same leftover-buffer sensitivity bench.py documents for the
+        inference phase). Kept as an opt-in for memory-rich topologies;
+        the generate/eval path caching (measured win) is always on."""
+        if not self.use_lora:
+            return batch
+        bias = self._encoder_bias_for(batch)
+        if bias is not None:
+            batch["enc_bias"] = bias
+        return batch
 
     def generate_dispatch(self, samples) -> Dict[str, Any]:
         """Host prep + asynchronous device dispatch; pair with

@@ -205,7 +205,8 @@ class Blip2MRModule(nn.Module):
                               position_bias=position_bias)
 
     def loss_from_encoder_input(
-        self, inputs_embeds, attn_mask, target_ids, target_mask, deterministic=True
+        self, inputs_embeds, attn_mask, target_ids, target_mask,
+        deterministic=True, position_bias=None,
     ):
         """Teacher-forced span LM loss (forward_mr, blip2_mr.py:523-544)."""
         labels = jnp.where(
@@ -216,7 +217,9 @@ class Blip2MRModule(nn.Module):
             decoder_start_token_id=self.t5_config.decoder_start_token_id,
             pad_token_id=self.t5_config.pad_token_id,
         )
-        enc = self.t5.encode(inputs_embeds, mask=attn_mask, deterministic=deterministic)
+        enc = self.t5.encode(inputs_embeds, mask=attn_mask,
+                             deterministic=deterministic,
+                             position_bias=position_bias)
         logits = self.t5.decode(
             decoder_input_ids, enc,
             decoder_mask=target_mask, encoder_mask=attn_mask,

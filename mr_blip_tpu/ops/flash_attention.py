@@ -397,34 +397,24 @@ def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k,
 
 
 def _flash_bias_stats_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
-                             o_ref, lse_ref, *, block_k: int):
-    """Forward that additionally writes the row logsumexp (for backward)."""
+                             o_ref, lse_ref, *, block_k: int, tail: int = 0):
+    """Forward that additionally writes the row logsumexp (for backward).
+
+    ``tail``: static 128-aligned key remainder processed as one final
+    static-start block (see _flash_bias_kernel) — keys pad to a lane
+    multiple only, not a full block_k multiple."""
     q = q_ref[0, 0]
     block_q, d = q.shape
     kv_len = k_ref.shape[2]
     q_scaled = q * jnp.asarray(d ** -0.5, q.dtype)
-    num_k_blocks = pl.cdiv(kv_len, block_k)
 
-    def body(i, carry):
+    def process(start, bk, carry):
         acc, m_prev, l_prev = carry
-        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
-        # slices read tile-pad garbage — see _flash_fwd_kernel)
-        start = (jnp.minimum(i * block_k, kv_len - block_k)
-                 if kv_len % block_k else i * block_k)
-        k = k_ref[0, 0, pl.ds(start, block_k), :]
-        v = v_ref[0, 0, pl.ds(start, block_k), :]
+        k = k_ref[0, 0, pl.ds(start, bk), :]
+        v = v_ref[0, 0, pl.ds(start, bk), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
-        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
-        if kv_len % block_k:
-            # the clamped block re-reads rows already covered by the
-            # previous block; mask that prefix so those K rows are not
-            # double-counted. Full-2D iota: Mosaic can't sublane-broadcast
-            # a (1, bk) intermediate.
-            k_pos = start + (
-                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            )
-            valid = valid & (k_pos >= i * block_k)
+        logits += bias_ref[0, 0, :, pl.ds(start, bk)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(start, bk)] != 0
         logits = jnp.where(valid, logits, -jnp.inf)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -443,18 +433,27 @@ def _flash_bias_stats_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    num_full = (kv_len - tail) // block_k
+    carry = jax.lax.fori_loop(
+        0, num_full, lambda i, c: process(i * block_k, block_k, c),
+        (acc0, m0, l0),
+    )
+    if tail:
+        carry = process(num_full * block_k, tail, carry)
+    acc, m, l = carry
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     lse_ref[0, 0] = (m_safe + jnp.log(jnp.maximum(l, 1e-30))).T  # (1, bq)
 
 
-def _flash_bias_fwd_stats(qt, kt, vt, bias, kvmask, block_q, block_k):
+def _flash_bias_fwd_stats(qt, kt, vt, bias, kvmask, block_q, block_k,
+                          tail=0):
     """qt/kt/vt: (B, H, N|M, D). Returns (out (B,H,N,D), lse (B,H,N))."""
     b, h, n, d = qt.shape
     m = kt.shape[2]
     grid = (h, pl.cdiv(n, block_q), b)  # batch innermost: bias tile reused
-    kernel = functools.partial(_flash_bias_stats_kernel, block_k=block_k)
+    kernel = functools.partial(_flash_bias_stats_kernel, block_k=block_k,
+                               tail=tail)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -485,9 +484,10 @@ def _flash_bias_fwd_stats(qt, kt, vt, bias, kvmask, block_q, block_k):
 
 def _flash_bias_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
                               do_ref, lse_ref, delta_ref, dq_ref,
-                              *, block_k: int):
+                              *, block_k: int, tail: int = 0):
     """dq for one (b, h, q-block): stream K/V, recompute p from the saved
-    logsumexp, ds = p * (dO v^T - delta), dq = ds k * scale."""
+    logsumexp, ds = p * (dO v^T - delta), dq = ds k * scale. ``tail``:
+    static 128-aligned key remainder (see _flash_bias_kernel)."""
     q = q_ref[0, 0]
     block_q, d = q.shape
     kv_len = k_ref.shape[2]
@@ -496,27 +496,13 @@ def _flash_bias_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
     do = do_ref[0, 0]
     lse = lse_ref[0, 0].T                  # (bq, 1) fp32
     delta = delta_ref[0, 0].T              # (bq, 1) fp32
-    num_k_blocks = pl.cdiv(kv_len, block_k)
 
-    def body(i, dq_acc):
-        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
-        # slices read tile-pad garbage — see _flash_fwd_kernel)
-        start = (jnp.minimum(i * block_k, kv_len - block_k)
-                 if kv_len % block_k else i * block_k)
-        k = k_ref[0, 0, pl.ds(start, block_k), :]
-        v = v_ref[0, 0, pl.ds(start, block_k), :]
+    def process(start, bk, dq_acc):
+        k = k_ref[0, 0, pl.ds(start, bk), :]
+        v = v_ref[0, 0, pl.ds(start, bk), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
-        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
-        if kv_len % block_k:
-            # the clamped block re-reads rows already covered by the
-            # previous block; mask that prefix so those K rows are not
-            # double-counted. Full-2D iota: Mosaic can't sublane-broadcast
-            # a (1, bk) intermediate.
-            k_pos = start + (
-                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            )
-            valid = valid & (k_pos >= i * block_k)
+        logits += bias_ref[0, 0, :, pl.ds(start, bk)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(start, bk)] != 0
         p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -524,15 +510,20 @@ def _flash_bias_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
+    num_full = (kv_len - tail) // block_k
     dq = jax.lax.fori_loop(
-        0, num_k_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+        0, num_full, lambda i, a: process(i * block_k, block_k, a),
+        jnp.zeros((block_q, d), jnp.float32),
     )
+    if tail:
+        dq = process(num_full * block_k, tail, dq)
     dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _flash_bias_bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
                                     do_ref, lse_ref, delta_ref,
-                                    dq_ref, dbias_ref, *, block_k: int):
+                                    dq_ref, dbias_ref, *, block_k: int,
+                                    tail: int = 0):
     """dq + dbias for one (h, q-block, b) program.
 
     dbias[h, i, j] = sum_b ds[b, h, i, j]; with batch innermost in the grid
@@ -548,77 +539,60 @@ def _flash_bias_bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
     do = do_ref[0, 0]
     lse = lse_ref[0, 0].T                  # (bq, 1) fp32
     delta = delta_ref[0, 0].T              # (bq, 1) fp32
-    num_k_blocks = pl.cdiv(kv_len, block_k)
     bi = pl.program_id(2)
 
     @pl.when(bi == 0)
     def _():
         dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
-    def body(i, dq_acc):
-        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
-        # slices read/write tile-pad garbage — see _flash_fwd_kernel)
-        start = (jnp.minimum(i * block_k, kv_len - block_k)
-                 if kv_len % block_k else i * block_k)
-        k = k_ref[0, 0, pl.ds(start, block_k), :]
-        v = v_ref[0, 0, pl.ds(start, block_k), :]
+    def process(start, bk, dq_acc):
+        k = k_ref[0, 0, pl.ds(start, bk), :]
+        v = v_ref[0, 0, pl.ds(start, bk), :]
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, :, pl.ds(start, block_k)].astype(jnp.float32)
-        valid = kvmask_ref[0, :, pl.ds(start, block_k)] != 0
-        if kv_len % block_k:
-            # zero the re-read prefix of the clamped block — its ds
-            # contribution was accumulated by the previous block already
-            # (dbias uses += so zeros are safe).
-            k_pos = start + (
-                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            )
-            valid = valid & (k_pos >= i * block_k)
+        logits += bias_ref[0, 0, :, pl.ds(start, bk)].astype(jnp.float32)
+        valid = kvmask_ref[0, :, pl.ds(start, bk)] != 0
         p = jnp.where(valid, jnp.exp(logits - lse), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dbias_ref[0, 0, :, pl.ds(start, block_k)] += ds.astype(dbias_ref.dtype)
+        dbias_ref[0, 0, :, pl.ds(start, bk)] += ds.astype(dbias_ref.dtype)
         return dq_acc + jnp.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
+    num_full = (kv_len - tail) // block_k
     dq = jax.lax.fori_loop(
-        0, num_k_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+        0, num_full, lambda i, a: process(i * block_k, block_k, a),
+        jnp.zeros((block_q, d), jnp.float32),
     )
+    if tail:
+        dq = process(num_full * block_k, tail, dq)
     dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _flash_bias_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
                                do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                               *, block_q: int):
-    """dk/dv for one (b, h, k-block): stream Q blocks, recompute p^T."""
+                               *, block_q: int, q_tail: int = 0):
+    """dk/dv for one (b, h, k-block): stream Q blocks, recompute p^T.
+
+    ``q_tail``: static 128-aligned Q-length remainder processed as one
+    final static-start block (queries pad to a lane multiple only; padded
+    q rows carry lse=+1e30 so their p underflows to exactly 0)."""
     k = k_ref[0, 0]
     block_k, d = k.shape
     n = q_ref.shape[2]
     scale = jnp.asarray(d ** -0.5, jnp.float32)
     valid = kvmask_ref[0, :, :] != 0       # (1, bk)
-    num_q_blocks = pl.cdiv(n, block_q)
 
-    def body(i, carry):
+    def process(start, bq, carry):
         dk_acc, dv_acc = carry
-        # explicit start clamp: pl.ds does NOT clamp on hardware (OOB
-        # slices read tile-pad garbage — see _flash_fwd_kernel)
-        start = (jnp.minimum(i * block_q, n - block_q)
-                 if n % block_q else i * block_q)
-        q = q_ref[0, 0, pl.ds(start, block_q), :]
-        do = do_ref[0, 0, pl.ds(start, block_q), :]
-        lse = lse_ref[0, 0, :, pl.ds(start, block_q)].T    # (bq, 1)
-        delta = delta_ref[0, 0, :, pl.ds(start, block_q)].T
+        q = q_ref[0, 0, pl.ds(start, bq), :]
+        do = do_ref[0, 0, pl.ds(start, bq), :]
+        lse = lse_ref[0, 0, :, pl.ds(start, bq)].T    # (bq, 1)
+        delta = delta_ref[0, 0, :, pl.ds(start, bq)].T
         q_scaled = q * scale.astype(q.dtype)
         logits = jnp.dot(q_scaled, k.T, preferred_element_type=jnp.float32)
-        logits += bias_ref[0, 0, pl.ds(start, block_q), :].astype(jnp.float32)
-        row_ok = valid
-        if n % block_q:
-            # mask Q rows re-read by the clamped last partial block
-            q_pos = start + (
-                jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-            )
-            row_ok = row_ok & (q_pos >= i * block_q)
-        p = jnp.where(row_ok, jnp.exp(logits - lse), 0.0)  # (bq, bk)
+        logits += bias_ref[0, 0, pl.ds(start, bq), :].astype(jnp.float32)
+        p = jnp.where(valid, jnp.exp(logits - lse), 0.0)  # (bq, bk)
         dv_acc = dv_acc + jnp.dot(
             p.T.astype(do.dtype), do, preferred_element_type=jnp.float32
         )
@@ -630,7 +604,13 @@ def _flash_bias_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, kvmask_ref,
         return dk_acc, dv_acc
 
     zeros = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (zeros, zeros))
+    num_full = (n - q_tail) // block_q
+    dk, dv = jax.lax.fori_loop(
+        0, num_full, lambda i, c: process(i * block_q, block_q, c),
+        (zeros, zeros),
+    )
+    if q_tail:
+        dk, dv = process(num_full * block_q, q_tail, (dk, dv))
     dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -641,18 +621,20 @@ def _flash_bias_vjp_fwd(q, k, v, bias, kv_mask, block_q, block_k, bias_grad,
     # keep their single-head grids.
     b, n, h, d = q.shape
     bq = min(block_q, n)
-    bk = min(block_k, k.shape[1])
-    # key side padded to a block multiple; padded keys carry kv_mask=0
-    # (see _pad_axis). Residuals keep the UNPADDED tensors.
-    kp = _pad_axis(k, 1, bk)
-    vp = _pad_axis(v, 1, bk)
-    biasp = _pad_axis(bias, 3, bk)
-    kvmp = _pad_axis(kv_mask, 1, bk)
+    # key side padded to a LANE multiple (128) only; the kernel runs full
+    # block_k blocks plus one static tail block (see _flash_bias_kernel).
+    # Padded keys carry kv_mask=0. Residuals keep the UNPADDED tensors.
+    kp = _pad_axis(k, 1, 128)
+    vp = _pad_axis(v, 1, 128)
+    biasp = _pad_axis(bias, 3, 128)
+    kvmp = _pad_axis(kv_mask, 1, 128)
+    bk = min(block_k, kp.shape[1])
+    tail = kp.shape[1] % bk
     qt = q.transpose(0, 2, 1, 3)
     kt = kp.transpose(0, 2, 1, 3)
     vt = vp.transpose(0, 2, 1, 3)
     out_t, lse = _flash_bias_fwd_stats(qt, kt, vt, biasp, kvmp[:, None, :],
-                                       bq, bk)
+                                       bq, bk, tail)
     out = out_t.transpose(0, 2, 1, 3)
     return out, (q, k, v, bias, kv_mask, out, lse)
 
@@ -672,26 +654,30 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, block_h, residuals, g):
     b, n_real, h, d = q.shape
     m_real = k.shape[1]
     bq = min(block_q, n_real)
-    bk = min(block_k, m_real)
     if bias_grad and bq * m_real * 4 > 4 * 2 ** 20:
         # dbias fp32 output block (bq, m) rides VMEM next to the bias block;
         # shrink the q-block to keep the working set under the VMEM budget.
         bq = max(128, bq // 2)
 
-    # Pad BOTH sides to block multiples (in-kernel pl.ds cannot handle
-    # boundaries on hardware — see _pad_axis): padded keys carry
-    # kv_mask=0; padded query rows carry lse=+big so the recomputed
-    # p = exp(logits - lse) underflows to exactly 0, zeroing their ds.
-    k = _pad_axis(k, 1, bk)
-    v = _pad_axis(v, 1, bk)
-    bias = _pad_axis(_pad_axis(bias, 3, bk), 2, bq)
-    kvm_p = _pad_axis(kv_mask, 1, bk)
-    qp = _pad_axis(q, 1, bq)
-    gp = _pad_axis(g, 1, bq)
-    outp = _pad_axis(out, 1, bq)
-    lse = _pad_axis(lse, 3, bq, value=1e30)  # (B, H, 1, N)
+    # Pad BOTH sides to LANE multiples (128) — the kernels run full
+    # blocks plus one static tail block each way (see _flash_bias_kernel).
+    # Padded keys carry kv_mask=0; padded query rows carry lse=+big so
+    # the recomputed p = exp(logits - lse) underflows to exactly 0,
+    # zeroing their ds.
+    k = _pad_axis(k, 1, 128)
+    v = _pad_axis(v, 1, 128)
+    bias = _pad_axis(_pad_axis(bias, 3, 128), 2, 128)
+    kvm_p = _pad_axis(kv_mask, 1, 128)
+    qp = _pad_axis(q, 1, 128)
+    gp = _pad_axis(g, 1, 128)
+    outp = _pad_axis(out, 1, 128)
+    lse = _pad_axis(lse, 3, 128, value=1e30)  # (B, H, 1, N)
     n = qp.shape[1]
     m = k.shape[1]
+    bk = min(block_k, m)
+    bq = min(bq, n)
+    kv_tail = m % bk
+    q_tail = n % bq
 
     qt = qp.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -725,7 +711,8 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, block_h, residuals, g):
                                memory_space=pltpu.VMEM)
     if bias_grad:
         dq_t, dbias = pl.pallas_call(
-            functools.partial(_flash_bias_bwd_dq_dbias_kernel, block_k=bk),
+            functools.partial(_flash_bias_bwd_dq_dbias_kernel, block_k=bk,
+                              tail=kv_tail),
             grid=(h, pl.cdiv(n, bq), b),
             in_specs=dq_in_specs,
             out_specs=(
@@ -741,7 +728,8 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, block_h, residuals, g):
         dbias = dbias[:, :, :n_real, :m_real].astype(bias.dtype)
     else:
         dq_t = pl.pallas_call(
-            functools.partial(_flash_bias_bwd_dq_kernel, block_k=bk),
+            functools.partial(_flash_bias_bwd_dq_kernel, block_k=bk,
+                              tail=kv_tail),
             grid=(h, pl.cdiv(n, bq), b),
             in_specs=dq_in_specs,
             out_specs=dq_out_spec,
@@ -750,7 +738,8 @@ def _flash_bias_vjp_bwd(block_q, block_k, bias_grad, block_h, residuals, g):
         dbias = jnp.zeros((1, h, n_real, m_real), bias.dtype)
 
     dk_t, dv_t = pl.pallas_call(
-        functools.partial(_flash_bias_bwd_dkv_kernel, block_q=bq),
+        functools.partial(_flash_bias_bwd_dkv_kernel, block_q=bq,
+                          q_tail=q_tail),
         grid=(h, pl.cdiv(m, bk), b),
         in_specs=[
             pl.BlockSpec((1, 1, n, d), lambda hi, ki, bi: (bi, hi, 0, 0),

@@ -52,8 +52,13 @@ class TrainCtx:
 
     def step(self, batch) -> float:
         if self.mesh is not None:
+            # the cached encoder rel-pos bias (leading dim 1) is a
+            # broadcast operand: replicated, never dp-padded/sharded
+            enc_bias = batch.pop("enc_bias", None)
             batch, _ = pad_batch_to_multiple(batch, self.mesh.shape["dp"])
             batch = shard_batch(batch, self.mesh)
+            if enc_bias is not None:
+                batch["enc_bias"] = replicate(enc_bias, self.mesh)
             with jax.set_mesh(self.mesh):
                 self.state, loss = self._step_fn(
                     self.state, batch, self._lr, self.rng
