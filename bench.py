@@ -58,8 +58,125 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _make_samples(batch, n_frames):
+    """Host-side sample dict for `batch` synthetic videos (video as numpy)."""
+    rng = np.random.default_rng(0)
+    duration = 150.0
+    return {
+        "video": rng.integers(
+            0, 256, (batch, n_frames, 224, 224, 3), dtype=np.uint8
+        ),
+        "timestamps": np.stack(
+            [np.linspace(0.0, duration, n_frames, endpoint=False)] * batch
+        ),
+        "duration": np.full((batch,), duration),
+        "query_id": [f"q{i}" for i in range(batch)],
+        "video_prompt_end": ["<extra_id_0>"] * batch,
+        "query_prompt": ["Query: a person is doing something interesting\n"] * batch,
+        "task_prompt": [
+            "Given the video and the query, find the relevant windows.\nRelevant windows: "
+        ] * batch,
+        "relevant_windows": ["[[10, 25]]"] * batch,
+    }
+
+
+def train_bench():
+    """Training throughput (flagship QVH train config: LoRA r=8 + Q-Former
+    trainable, frozen ViT, B=1 x 60 frames, teacher-forced).
+
+    Runs in its OWN process (MRBLIP_BENCH_TRAIN_ONLY=1): executables and
+    buffers left resident by the inference phase measurably degrade the
+    train step (0.647 s/step fresh vs 0.70-0.76 with the inference phase
+    resident — isolated via /tmp A/B on identical HLO), so the parent
+    spawns this as a subprocess BEFORE initializing the TPU itself.
+    """
+    t0 = time.time()
+    import jax
+
+    from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+    from mr_blip_tpu.runners.train_state import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    relpos_in_kernel = bool(os.environ.get("MRBLIP_BENCH_RELPOS_KERNEL"))
+    tr_samples = _make_samples(1, N_FRAMES)
+    tr_samples["video"] = jax.device_put(tr_samples["video"])
+    train_model = BLIP2_MR(
+        img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
+        task="lora", num_beams=5, max_new_tokens=50,
+        compute_dtype="bfloat16", init_params=False,
+        relpos_in_kernel=relpos_in_kernel,
+    )
+    train_model.params = train_model.init_params_fast(
+        jax.random.PRNGKey(0), mode="zeros"
+    )
+    # MRBLIP_BENCH_TRAIN_INT8=1: int8 frozen-ViT forward inside the
+    # train step (model.int8_vit in a train config) — the ViT fwd
+    # is the largest single slice of the bf16 step.
+    train_int8 = bool(os.environ.get("MRBLIP_BENCH_TRAIN_INT8"))
+    if train_int8:
+        train_model.quantize_vit()
+        log("train: int8 frozen-ViT forward enabled")
+    batch = train_model.prepare_mr_batch(tr_samples)
+    batch.pop("video_prompt")
+    tx = make_optimizer(
+        weight_decay=0.05, trainable_mask=train_model.trainable_mask()
+    )
+    state = TrainState.create(train_model.params, tx)
+    step = make_train_step(train_model._loss_fn, donate=True)
+    rng = jax.random.PRNGKey(0)
+    state, loss = step(state, batch, 3e-4, rng)
+    loss = float(loss)
+    log(f"train step compile+first: {time.time() - t0:.0f}s, loss={loss:.3f}")
+    n_steps = 5
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, loss = step(state, batch, 3e-4, rng)
+    loss = float(loss)  # fence
+    s_per_step = (time.time() - t0) / n_steps
+    log(f"train steady state: {s_per_step:.3f}s/step")
+    return {
+        "train_value": round(N_FRAMES / s_per_step, 2),
+        "train_unit": (
+            "train frames/sec/chip (B=1x60f, LoRA, "
+            + ("int8 frozen ViT)" if train_int8 else "bf16)")
+        ),
+    }
+
+
 def main():
     t_start = time.time()
+
+    from mr_blip_tpu.common.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        log(f"persistent compilation cache: {cache_dir}")
+
+    if os.environ.get("MRBLIP_BENCH_TRAIN_ONLY"):
+        print(json.dumps(train_bench()))
+        return
+
+    # Train measurement FIRST, in a fresh subprocess, before this process
+    # initializes the TPU (two processes cannot hold the chip at once, and
+    # a resident inference phase skews the train step — see train_bench).
+    train_row = None
+    if not os.environ.get("MRBLIP_BENCH_SKIP_TRAIN"):
+        import subprocess
+
+        try:
+            env = dict(os.environ, MRBLIP_BENCH_TRAIN_ONLY="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            sys.stderr.write(proc.stderr)
+            sys.stderr.flush()
+            train_row = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — never lose the inference row
+            log(f"train bench failed: {type(e).__name__}: {e}")
+            train_row = {"train_value": None}
+
     import jax
 
     from mr_blip_tpu.models.blip2_mr import BLIP2_MR
@@ -97,28 +214,11 @@ def main():
             "decode (default; MRBLIP_BENCH_FP=1 for float)")
     log(f"params ready in {time.time() - t_start:.0f}s")
 
-    rng = np.random.default_rng(0)
-    duration = 150.0
     # uint8 frames, pre-staged in HBM: decoded video arrives as bytes and
     # normalization is fused on device; staging isolates chip throughput
     # from this harness's host tunnel bandwidth.
-    video = jax.device_put(
-        rng.integers(0, 256, (BATCH, N_FRAMES, 224, 224, 3), dtype=np.uint8)
-    )
-    samples = {
-        "video": video,
-        "timestamps": np.stack(
-            [np.linspace(0.0, duration, N_FRAMES, endpoint=False)] * BATCH
-        ),
-        "duration": np.full((BATCH,), duration),
-        "query_id": [f"q{i}" for i in range(BATCH)],
-        "video_prompt_end": ["<extra_id_0>"] * BATCH,
-        "query_prompt": ["Query: a person is doing something interesting\n"] * BATCH,
-        "task_prompt": [
-            "Given the video and the query, find the relevant windows.\nRelevant windows: "
-        ] * BATCH,
-        "relevant_windows": ["[[10, 25]]"] * BATCH,
-    }
+    samples = _make_samples(BATCH, N_FRAMES)
+    samples["video"] = jax.device_put(samples["video"])
 
     t0 = time.time()
     out = model.generate(samples)  # compile + run
@@ -162,84 +262,11 @@ def main():
         ),
     }
 
-    # Training throughput (flagship QVH train config: LoRA r=8 + Q-Former
-    # trainable, frozen ViT, B=1 x 60 frames, teacher-forced) — second
-    # measurement in the same artifact so BENCH_r*.json regress-checks
-    # training too. The graph compile is ~12 min cold but persistently
-    # cached; guard so an inference-only result still prints on failure.
-    if not os.environ.get("MRBLIP_BENCH_SKIP_TRAIN"):
-        try:
-            import gc
-
-            from mr_blip_tpu.runners.train_state import (
-                TrainState, make_optimizer, make_train_step,
-            )
-
-            t0 = time.time()
-            # fresh FLOAT model: training runs the bf16 path (the int8
-            # modes are inference-only). Release the ENTIRE inference
-            # phase first — params, jitted executables, and device inputs:
-            # leftover executables/buffers from the int8 generate measurably
-            # degrade the subsequent train step (0.647 s/step in a fresh
-            # process vs 0.757 with the inference phase still resident —
-            # isolated via /tmp A/B on identical HLO).
-            tr_samples = {
-                k: (v[:1] if hasattr(v, "__getitem__") and not isinstance(v, float)
-                    else v)
-                for k, v in samples.items()
-            }
-            tr_samples["video"] = np.asarray(samples["video"][:1])
-            model.params = None
-            for attr in ("_loss_fn", "_jit_loss", "_jit_generate",
-                         "_jit_qa_answer", "_jit_qa_loss"):
-                model.__dict__.pop(attr, None)
-            del model, out, video, samples
-            jax.clear_caches()
-            gc.collect()
-            tr_samples["video"] = jax.device_put(tr_samples["video"])
-            train_model = BLIP2_MR(
-                img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
-                task="lora", num_beams=5, max_new_tokens=50,
-                compute_dtype="bfloat16", init_params=False,
-                relpos_in_kernel=relpos_in_kernel,
-            )
-            train_model.params = train_model.init_params_fast(
-                jax.random.PRNGKey(0), mode="zeros"
-            )
-            # MRBLIP_BENCH_TRAIN_INT8=1: int8 frozen-ViT forward inside the
-            # train step (model.int8_vit in a train config) — the ViT fwd
-            # is the largest single slice of the bf16 step.
-            train_int8 = bool(os.environ.get("MRBLIP_BENCH_TRAIN_INT8"))
-            if train_int8:
-                train_model.quantize_vit()
-                log("train: int8 frozen-ViT forward enabled")
-            batch = train_model.prepare_mr_batch(tr_samples)
-            batch.pop("video_prompt")
-            tx = make_optimizer(
-                weight_decay=0.05, trainable_mask=train_model.trainable_mask()
-            )
-            state = TrainState.create(train_model.params, tx)
-            step = make_train_step(train_model._loss_fn, donate=True)
-            rng = jax.random.PRNGKey(0)
-            state, loss = step(state, batch, 3e-4, rng)
-            loss = float(loss)
-            log(f"train step compile+first: {time.time() - t0:.0f}s, "
-                f"loss={loss:.3f}")
-            n_steps = 5
-            t0 = time.time()
-            for _ in range(n_steps):
-                state, loss = step(state, batch, 3e-4, rng)
-            loss = float(loss)  # fence
-            s_per_step = (time.time() - t0) / n_steps
-            result["train_value"] = round(N_FRAMES / s_per_step, 2)
-            result["train_unit"] = (
-                "train frames/sec/chip (B=1x60f, LoRA, "
-                + ("int8 frozen ViT)" if train_int8 else "bf16)")
-            )
-            log(f"train steady state: {s_per_step:.3f}s/step")
-        except Exception as e:  # noqa: BLE001 — never lose the inference row
-            log(f"train bench failed: {type(e).__name__}: {e}")
-            result["train_value"] = None
+    # Training throughput — measured by the fresh subprocess spawned at the
+    # top of main (before this process touched the TPU); second measurement
+    # in the same artifact so BENCH_r*.json regress-checks training too.
+    if train_row is not None:
+        result.update(train_row)
 
     print(json.dumps(result))
 

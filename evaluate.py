@@ -39,6 +39,8 @@ def parse_args():
 
 def main():
     _honor_platform_env()
+    from mr_blip_tpu.common.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # flagship graphs compile once per machine
     import mr_blip_tpu  # registers everything
     from mr_blip_tpu.common import dist as dist_utils
     from mr_blip_tpu.common.config import Config
