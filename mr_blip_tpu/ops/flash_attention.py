@@ -5,10 +5,14 @@ Replaces the O(N^2)-memory attention for long sequences (T5 encoder over
 HBM; each (q-block, k-block) tile streams through VMEM and the MXU with the
 running-max/denominator rescaling trick.
 
-Forward is a Pallas kernel; the backward pass currently recomputes with the
-XLA attention inside a ``jax.custom_vjp`` (flash is primarily used on the
-no-grad inference paths — generate/beam-search prefill — where the forward
-memory saving is what matters).  Shapes are (B, N, H, D) like
+Forward passes are Pallas kernels throughout. Backward: the bias/rel-pos
+variants used on the training path (``flash_attention_bias``,
+``flash_attention_relpos``) have full Pallas backward kernels — blockwise
+dQ/dK/dV plus dbias/dtable reductions (see ``_flash_bias_bwd_*`` below);
+only the plain no-bias variant falls back to recomputing with XLA
+attention inside its ``jax.custom_vjp`` (it is used on no-grad inference
+paths — generate/beam-search prefill — where the forward memory saving is
+what matters).  Shapes are (B, N, H, D) like
 :func:`mr_blip_tpu.ops.attention.xla_attention`.
 """
 

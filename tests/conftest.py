@@ -18,9 +18,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
-import hashlib
-import platform
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -29,16 +26,10 @@ jax.config.update("jax_platforms", "cpu")
 # machine's CPU features, and loading one compiled on a different host
 # warns "could lead to execution errors such as SIGILL" — and has produced
 # silently wrong numerics (a convergence test failed once under a stale
-# cache written by a previous session's different VM type).
-def _host_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    raw = platform.machine() + platform.processor() + flags
-    return hashlib.sha1(raw.encode()).hexdigest()[:12]
-
+# cache written by a previous session's different VM type). The keying
+# function is shared with the entry points' cache setup so the two can
+# never drift apart.
+from mr_blip_tpu.common.compile_cache import _host_fingerprint
 
 jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/mrblip_jax_cache_{_host_fingerprint()}")
