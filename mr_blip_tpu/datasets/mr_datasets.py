@@ -24,6 +24,15 @@ TASK_PROMPT = (
 )
 
 
+def _as_model_frames(frms):
+    """Preserve uint8 passthrough (normalize-on-device fast path): a uint8
+    cast to float32 here would skip the model's dtype-keyed on-device CLIP
+    normalization and feed raw 0-255 floats. Pre-normalized processor
+    output stays float32."""
+    frms = np.asarray(frms)
+    return frms if frms.dtype == np.uint8 else frms.astype(np.float32)
+
+
 def _video_path(vis_root, vname):
     vname = str(vname)
     if vname.startswith("synthetic://"):
@@ -51,7 +60,7 @@ class MomentRetrievalDataset(BaseDataset):
         )
 
         return {
-            "video": np.asarray(frms, np.float32),
+            "video": _as_model_frames(frms),
             "duration": float(ann["duration"]),
             "query_id": ann["qid"],
             "timestamps": timestamps,
@@ -94,7 +103,7 @@ class TemporalActionLocalizationDataset(BaseDataset):
         )
 
         return {
-            "video": np.asarray(frms, np.float32),
+            "video": _as_model_frames(frms),
             "duration": float(ann["duration"]),
             "query_id": ann["qid"],
             "timestamps": timestamps,
@@ -134,7 +143,7 @@ class MomentRetrievalQuestionsDataset(BaseDataset):
         )
 
         return {
-            "video": np.asarray(frms, np.float32),
+            "video": _as_model_frames(frms),
             "duration": float(ann["duration"]),
             "query_id": ann["qid"],
             "timestamps": timestamps,
@@ -200,7 +209,7 @@ class MCVideoQADataset(BaseDataset):
             )
 
         return {
-            "video": np.asarray(frms, np.float32),
+            "video": _as_model_frames(frms),
             "duration": duration,
             "question_id": qid,
             "timestamps": timestamps,

@@ -55,9 +55,16 @@ def load_model_and_preprocess(name, model_type=None, is_eval=False, **kwargs):
     video_families = ("blip2_mr", "blip2_opt_mr", "blip2_fmr", "alpro",
                       "gpt_dialogue", "timesformer")
     if any(name.startswith(f) for f in video_families):
+        # The MR family normalizes uint8 frames on device (fused into the
+        # patch conv), so its processors emit raw bytes — the fast path and
+        # the shipped-config default. Other video zoo families expect
+        # pre-normalized fp32.
+        uint8_ok = name.startswith(("blip2_mr", "blip2_opt_mr", "blip2_fmr"))
         vis_processors = {
-            "train": Blip2VideoTrainProcessor(image_size=img),
-            "eval": BlipVideoEvalProcessor(image_size=img),
+            "train": Blip2VideoTrainProcessor(
+                image_size=img, normalize=not uint8_ok),
+            "eval": BlipVideoEvalProcessor(
+                image_size=img, normalize=not uint8_ok),
         }
     else:
         from mr_blip_tpu.processors.image_processors import (

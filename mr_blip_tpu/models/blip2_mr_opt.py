@@ -60,6 +60,15 @@ class Blip2OPTModule(nn.Module):
 
     def encode_frames(self, frames, deterministic=True):
         b, t = frames.shape[0], frames.shape[1]
+        if frames.dtype == jnp.uint8:
+            # uint8 passthrough: processors emit raw bytes (host->HBM 4x
+            # smaller than fp32); CLIP normalization fuses into the patch
+            # conv here, same as Blip2MRModule.encode_frames.
+            from mr_blip_tpu.processors.video_processors import CLIP_MEAN, CLIP_STD
+
+            mean = jnp.asarray(CLIP_MEAN, self.compute_dtype) * 255.0
+            std = jnp.asarray(CLIP_STD, self.compute_dtype) * 255.0
+            frames = (frames.astype(self.compute_dtype) - mean) / std
         flat = frames.reshape((b * t,) + frames.shape[2:])
         image_embeds = self.visual_encoder(flat)
         if self.freeze_vit:

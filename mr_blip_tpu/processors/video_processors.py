@@ -141,7 +141,14 @@ class BlipVideoBaseProcessor:
     def _finish(self, frames: np.ndarray) -> np.ndarray:
         if self.do_normalize:
             return normalize_clip(frames, self.mean, self.std)
-        return frames
+        # normalize=False contract: emit uint8, ALWAYS. A float output in
+        # the 0-255 domain would skip the model's dtype-keyed on-device
+        # normalization and silently feed unnormalized inputs. The crop
+        # path interpolates in float; re-quantizing to bytes costs
+        # <0.5/255 per channel (augmentation-path only).
+        if frames.dtype == np.uint8:
+            return frames
+        return np.clip(np.round(frames), 0, 255).astype(np.uint8)
 
 
 @registry.register_processor("blip2_video_train")
@@ -194,7 +201,7 @@ class BlipVideoEvalProcessor(BlipVideoBaseProcessor):
             height=self.image_size, width=self.image_size,
             sampling="uniform", clip_proposal=clip_proposal,
         )
-        return self._finish(frames.astype(np.float32)), indices, fps
+        return self._finish(frames), indices, fps
 
     @classmethod
     def from_config(cls, cfg=None):
