@@ -137,3 +137,59 @@ def make_qa_annotations(
             json.dump(anns, f)
         paths[split] = path
     return paths
+
+
+def make_benchmark_clips(
+    out_dir: str = "/tmp/mrblip_bench_clips",
+    n_clips: int = 4,
+    seconds: int = 150,
+    fps: float = 30.0,
+    width: int = 640,
+    height: int = 360,
+    gop: int = 60,
+):
+    """Encode real (MPEG4/AVI) benchmark clips at QVH-like geometry.
+
+    Unlike the ``synthetic://`` scheme these exercise the full native
+    decode path — demux, seek-to-keyframe, decode-forward, swscale — with
+    realistic web-video keyframe spacing (``gop``). Cached across runs.
+    Returns the clip paths.
+    """
+    from mr_blip_tpu.datasets.video_reader import write_test_video
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(n_clips):
+        p = os.path.join(
+            out_dir, f"clip{i}_{seconds}s_{width}x{height}_g{gop}.avi"
+        )
+        if not os.path.exists(p):
+            write_test_video(p, w=width, h=height,
+                             n_frames=int(seconds * fps), fps=fps, gop=gop)
+        paths.append(p)
+    return paths
+
+
+def make_benchmark_annotations(clip_paths, out_path, n_queries=16, seed=0):
+    """MR eval annotations over real encoded benchmark clips."""
+    rng = random.Random(seed)
+    anns = []
+    for qid in range(n_queries):
+        clip = clip_paths[qid % len(clip_paths)]
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(clip)
+        duration = len(vr) / vr.get_avg_fps()
+        vr.close()
+        s = round(rng.uniform(0, duration * 0.6), 1)
+        e = round(min(duration, s + rng.uniform(2, duration * 0.3)), 1)
+        anns.append({
+            "qid": f"bench{qid}",
+            "video": clip,
+            "duration": duration,
+            "query": f"benchmark query {qid} about an action",
+            "relevant_windows": [[s, e]],
+        })
+    with open(out_path, "w") as f:
+        json.dump(anns, f)
+    return out_path

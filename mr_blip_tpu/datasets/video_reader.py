@@ -46,6 +46,10 @@ def _lib():
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double,
     ]
+    lib.vd_write_test_video_gop.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int,
+    ]
     lib.vpool_create.restype = ctypes.c_void_p
     lib.vpool_create.argtypes = [ctypes.c_int]
     lib.vpool_submit_batch.restype = ctypes.c_longlong
@@ -259,8 +263,12 @@ class VideoReader:
             pass
 
 
-def write_test_video(path: str, w=128, h=96, n_frames=60, fps=10.0):
-    r = _lib().vd_write_test_video(str(path).encode(), w, h, n_frames, fps)
+def write_test_video(path: str, w=128, h=96, n_frames=60, fps=10.0, gop=8):
+    """Encode a deterministic synthetic clip. ``gop`` sets keyframe spacing
+    — benchmarks pass realistic web-video GOPs (30-300) so random-access
+    seeks pay the real decode-forward cost; tests keep the cheap default."""
+    r = _lib().vd_write_test_video_gop(
+        str(path).encode(), w, h, n_frames, fps, gop)
     if r != 0:
         raise IOError(f"vd_write_test_video failed: {r}")
     return path

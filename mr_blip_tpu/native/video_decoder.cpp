@@ -402,9 +402,11 @@ void vpool_destroy(void* pool) {
 
 // Encode a deterministic synthetic clip (MPEG4/AVI, no external encoders)
 // so tests can exercise the real decode path hermetically.  Frame k has a
-// moving gradient keyed to k.
-int vd_write_test_video(const char* path, int w, int h, int n_frames,
-                        double fps) {
+// moving gradient keyed to k.  `gop` controls keyframe spacing: benchmarks
+// use realistic web-video GOPs (30-300) so random-access seeks pay the
+// real decode-forward cost; tests keep the cheap default (8).
+int vd_write_test_video_gop(const char* path, int w, int h, int n_frames,
+                            double fps, int gop) {
   const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
   if (!enc) return -1;
   AVFormatContext* fmt = nullptr;
@@ -417,7 +419,7 @@ int vd_write_test_video(const char* path, int w, int h, int n_frames,
   ctx->time_base = AVRational{1000, (int)(fps * 1000)};
   ctx->framerate = AVRational{(int)(fps * 1000), 1000};
   ctx->pix_fmt = AV_PIX_FMT_YUV420P;
-  ctx->gop_size = 8;
+  ctx->gop_size = gop > 0 ? gop : 8;
   ctx->bit_rate = 2000000;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -468,6 +470,11 @@ int vd_write_test_video(const char* path, int w, int h, int n_frames,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
+}
+
+int vd_write_test_video(const char* path, int w, int h, int n_frames,
+                        double fps) {
+  return vd_write_test_video_gop(path, w, h, n_frames, fps, 8);
 }
 
 }  // extern "C"
