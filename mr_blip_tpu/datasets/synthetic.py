@@ -193,3 +193,32 @@ def make_benchmark_annotations(clip_paths, out_path, n_queries=16, seed=0):
     with open(out_path, "w") as f:
         json.dump(anns, f)
     return out_path
+
+
+def make_benchmark_qa_annotations(clip_paths, out_path, n_queries=16, seed=0):
+    """MC-VideoQA (NExT-GQA-style) annotations over real encoded clips."""
+    rng = random.Random(seed)
+    from mr_blip_tpu.datasets.video_reader import VideoReader
+
+    anns = []
+    for qid in range(n_queries):
+        clip = clip_paths[qid % len(clip_paths)]
+        vr = VideoReader(clip)
+        duration = len(vr) / vr.get_avg_fps()
+        vr.close()
+        s = round(rng.uniform(0, duration * 0.6), 1)
+        rec = {
+            "qid": f"TC_bench{qid}",
+            "video": clip,
+            "duration": duration,
+            "question": f"what does the person do in scene {qid}?",
+            "num_option": 5,
+            "answer": rng.randint(0, 4),
+            "relevant_windows": [[s, round(s + 4.0, 1)]],
+        }
+        for j in range(5):
+            rec[f"a{j}"] = f"benchmark answer choice {j}"
+        anns.append(rec)
+    with open(out_path, "w") as f:
+        json.dump(anns, f)
+    return out_path

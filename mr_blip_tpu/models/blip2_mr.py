@@ -718,7 +718,11 @@ class BLIP2_MR(BaseModel):
         return relevant_moments, frames
 
     def extract_frames(self, samples, relevant_moments, n_frames):
-        video = np.asarray(samples["video"], np.float32)
+        # Keep uint8 passthrough intact: casting raw bytes to float32 here
+        # would skip the answerer's dtype-keyed on-device normalization.
+        video = np.asarray(samples["video"])
+        if video.dtype != np.uint8:
+            video = video.astype(np.float32)
         timestamps = np.asarray(samples["timestamps"], np.float64)
         durations = np.asarray(samples["duration"], np.float64)
         out = []
@@ -738,10 +742,12 @@ class BLIP2_MR(BaseModel):
             out.append(frames)
         return np.stack(out)
 
-    def get_relevant_frames_resampled(self, samples, relevant_moments, n_frames):
-        """Re-decode the predicted window from the source video
-        (blip2_mr.py:1167-1230): the eval processor samples ``n_frames``
-        uniformly inside [start, end] via clip_proposal seek-decode."""
+    def submit_window_redecodes(self, samples, relevant_moments, n_frames):
+        """Submit every sample's predicted-window re-decode to the native
+        decode pool (non-blocking). Returns (moments, pending) where
+        ``pending`` is consumed by :meth:`collect_window_redecodes` — the
+        C++ workers decode while the caller keeps the chip busy (e.g.
+        dispatching the next batch's localizer)."""
         from mr_blip_tpu.processors.video_processors import BlipVideoEvalProcessor
 
         durations = np.asarray(samples["duration"], np.float64)
@@ -759,13 +765,11 @@ class BLIP2_MR(BaseModel):
         else:
             moments = [list(m) for m in relevant_moments]
 
+        # uint8 passthrough: window frames go to the answerer as raw bytes
+        # (normalization fuses on device), halving the mid-inference H2D.
         processor = BlipVideoEvalProcessor(
-            image_size=self.img_size, n_frms=n_frames
+            image_size=self.img_size, n_frms=n_frames, normalize=False
         )
-        # Two-phase async decode: submit every sample's window to the native
-        # decode pool first, then collect — the C++ workers overlap the
-        # whole batch's re-decodes instead of the reference's serial
-        # per-sample loop (blip2_mr.py:1167-1230) blocking mid-inference.
         from mr_blip_tpu.datasets.sampling import sample_frame_indices
         from mr_blip_tpu.datasets.video_reader import VideoReader
 
@@ -781,12 +785,25 @@ class BLIP2_MR(BaseModel):
             )
             readers.append(vr)
             tickets.append(vr.get_batch_async(indices))
+        return moments, (readers, tickets, processor)
+
+    def collect_window_redecodes(self, pending):
+        readers, tickets, processor = pending
         frames = []
         for vr, ticket in zip(readers, tickets):
-            f = processor._finish(ticket.result().astype(np.float32))
-            frames.append(np.asarray(f, np.float32))
+            frames.append(processor._finish(ticket.result()))
             vr.close()
-        return moments, np.stack(frames)
+        return np.stack(frames)
+
+    def get_relevant_frames_resampled(self, samples, relevant_moments, n_frames):
+        """Re-decode the predicted window from the source video
+        (blip2_mr.py:1167-1230): the eval processor samples ``n_frames``
+        uniformly inside [start, end] via clip_proposal seek-decode. The
+        batch's re-decodes overlap each other in the native pool instead
+        of the reference's serial per-sample loop blocking mid-inference."""
+        moments, pending = self.submit_window_redecodes(
+            samples, relevant_moments, n_frames)
+        return moments, self.collect_window_redecodes(pending)
 
     @functools.cached_property
     def _jit_qa_answer(self):
@@ -833,7 +850,9 @@ class BLIP2_MR(BaseModel):
         (blip2_mr.py:1232-1314)."""
         qa_input = list(samples["qa_input"])
         answer = samples["qa_output"]
-        frames = np.asarray(samples["relevant_frames"], np.float32)
+        frames = np.asarray(samples["relevant_frames"])
+        if frames.dtype != np.uint8:  # keep uint8 passthrough intact
+            frames = frames.astype(np.float32)
         enc = self.tokenizer(qa_input, truncation=True, max_length=self.max_txt_len)
         params = self.answerer_params if self.answerer_params is not None else self.params
         # Vision/Q-Former come from the main params; the answerer T5 params
@@ -854,43 +873,65 @@ class BLIP2_MR(BaseModel):
             "relevant_moments_gt": samples.get("relevant_windows"),
         }
 
-    def videoQA_generate(self, samples) -> Dict[str, Any]:
+    # Three-phase split so an eval loop can overlap batch i's host window
+    # re-decode with batch i+1's device localizer (the reference's
+    # mid-model re-decode, blip2_mr.py:1167-1230, serializes host and GPU):
+    #   dispatch  — stage-1 localizer enqueued on device (non-blocking)
+    #   redecode  — localizer collected, window decodes SUBMITTED to the
+    #               native pool (non-blocking); caller may now dispatch the
+    #               next batch before...
+    #   collect   — decodes awaited, stage-2 answerer run.
+    def videoQA_dispatch(self, samples) -> Dict[str, Any]:
         samples = dict(samples)
         if "relevant_windows" not in samples:
             samples["relevant_windows"] = [[0, 0]]
         samples["query_id"] = samples["question_id"]
-
-        durations = np.asarray(samples["duration"], np.float64)
+        handle: Dict[str, Any] = {"samples": samples}
         if self.use_localizer:
-            out_mr = self.generate(samples)
-            if self.resample_frames:
-                relevant_moments, relevant_frames = self.get_relevant_frames_resampled(
-                    samples, out_mr["prediction"], self.num_frames_for_answer
-                )
-            else:
-                relevant_moments, relevant_frames = self.get_relevant_frames(
-                    samples, out_mr["prediction"], self.num_frames_for_answer
-                )
-        elif not self.use_oracle_localizer:
-            relevant_moments = [[0, float(d)] for d in durations]
-            relevant_frames = self.extract_frames(
-                samples, relevant_moments, self.num_frames_for_answer
-            )
-        else:
-            relevant_moments = [list(m[0]) for m in np.asarray(samples["relevant_windows"])]
-            if self.resample_frames:
-                relevant_moments, relevant_frames = self.get_relevant_frames_resampled(
-                    samples, relevant_moments, self.num_frames_for_answer
-                )
-            else:
-                relevant_frames = self.extract_frames(
-                    samples, relevant_moments, self.num_frames_for_answer
-                )
+            handle["loc"] = self.generate_dispatch(samples)
+        return handle
 
-        samples["relevant_frames"] = relevant_frames
+    def videoQA_redecode(self, handle) -> Dict[str, Any]:
+        samples = handle["samples"]
+        durations = np.asarray(samples["duration"], np.float64)
+        n = self.num_frames_for_answer
+        if self.use_localizer:
+            out_mr = self.generate_collect(handle.pop("loc"))
+            if self.resample_frames:
+                moments, pending = self.submit_window_redecodes(
+                    samples, out_mr["prediction"], n)
+                handle["pending"] = pending
+            else:
+                moments, handle["frames"] = self.get_relevant_frames(
+                    samples, out_mr["prediction"], n)
+        elif not self.use_oracle_localizer:
+            moments = [[0, float(d)] for d in durations]
+            handle["frames"] = self.extract_frames(samples, moments, n)
+        else:
+            moments = [list(m[0])
+                       for m in np.asarray(samples["relevant_windows"])]
+            if self.resample_frames:
+                moments, pending = self.submit_window_redecodes(
+                    samples, moments, n)
+                handle["pending"] = pending
+            else:
+                handle["frames"] = self.extract_frames(samples, moments, n)
+        handle["moments"] = moments
+        return handle
+
+    def videoQA_collect(self, handle) -> Dict[str, Any]:
+        samples = handle["samples"]
+        frames = handle.get("frames")
+        if frames is None:
+            frames = self.collect_window_redecodes(handle["pending"])
+        samples["relevant_frames"] = frames
         out_ans = self.videoQA_answer(samples)
-        out_ans["relevant_moments"] = [relevant_moments]
+        out_ans["relevant_moments"] = [handle["moments"]]
         return out_ans
+
+    def videoQA_generate(self, samples) -> Dict[str, Any]:
+        return self.videoQA_collect(self.videoQA_redecode(
+            self.videoQA_dispatch(samples)))
 
     def forward_QA(self, samples) -> Dict[str, Any]:
         """Answerer training loss (forward_QA, blip2_mr.py:309-431)."""
@@ -920,9 +961,11 @@ class BLIP2_MR(BaseModel):
         params = self.params
         if self.answerer_params is not None:
             params = {**self.params, "t5": self.answerer_params["t5"]}
+        relevant_frames = np.asarray(relevant_frames)
+        if relevant_frames.dtype != np.uint8:  # keep uint8 passthrough
+            relevant_frames = relevant_frames.astype(np.float32)
         loss = self._jit_qa_loss(
-            params,
-            np.asarray(relevant_frames, np.float32),
+            params, relevant_frames,
             enc.input_ids, enc.attention_mask,
             target.input_ids, target.attention_mask,
         )

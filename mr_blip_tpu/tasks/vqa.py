@@ -29,8 +29,10 @@ class VideoQA(BaseTask):
         self.ANS_MAPPING = ANS_MAPPING
 
     def valid_step(self, model, samples):
+        return self._rows_from_outputs(model.videoQA_generate(samples), samples)
+
+    def _rows_from_outputs(self, outputs, samples):
         results = []
-        outputs = model.videoQA_generate(samples)
         answer = outputs["answer"]
         qid = outputs["qid"]
         output_text = outputs["output_text"]
@@ -46,6 +48,36 @@ class VideoQA(BaseTask):
                     "frame_idx": f,
                 }
             )
+        return results
+
+    def evaluation(self, model, data_loader, **kwargs):
+        """One-deep pipelined two-stage eval: batch i's host window
+        re-decode (native pool) and answerer overlap batch i+1's device
+        localizer via the model's videoQA dispatch/redecode/collect split
+        (the reference serializes the mid-model re-decode against the GPU,
+        blip2_mr.py:1167-1230)."""
+        if not hasattr(model, "videoQA_dispatch"):
+            return super().evaluation(model, data_loader, **kwargs)
+        from mr_blip_tpu.common.logger import MetricLogger
+
+        metric_logger = MetricLogger(delimiter="  ")
+        results, pending = [], None
+        for i, samples in enumerate(
+            metric_logger.log_every(data_loader, 10, "Evaluation")
+        ):
+            samples = dict(samples)
+            samples.update({"iters": i})
+            handle = model.videoQA_dispatch(samples)
+            if pending is not None:
+                h = model.videoQA_redecode(pending)
+                results.extend(self._rows_from_outputs(
+                    model.videoQA_collect(h), h["samples"]))
+            pending = handle
+        if pending is not None:
+            h = model.videoQA_redecode(pending)
+            results.extend(self._rows_from_outputs(
+                model.videoQA_collect(h), h["samples"]))
+        dist_utils.barrier()
         return results
 
     def after_evaluation(self, val_result, split_name, epoch, **kwargs):
@@ -96,8 +128,10 @@ class VideoQA(BaseTask):
 @registry.register_task("videogqa")
 class VideoGQA(VideoQA):
     def valid_step(self, model, samples):
+        return self._rows_from_outputs(model.videoQA_generate(samples), samples)
+
+    def _rows_from_outputs(self, outputs, samples):
         results = []
-        outputs = model.videoQA_generate(samples)
         answer = outputs["answer"]
         qid = outputs["qid"]
         output_text = outputs["output_text"]

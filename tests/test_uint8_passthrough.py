@@ -109,6 +109,30 @@ class TestModelEquivalence:
         loss_f32 = float(model.forward(_mr_samples(fp32_video))["loss"])
         assert abs(loss_u8 - loss_f32) < 1e-3 + 1e-3 * abs(loss_f32)
 
+    def test_videoqa_two_stage_uint8_matches_fp32(self, uint8_video,
+                                                  fp32_video):
+        """Grounded-QA path: localizer -> window crop -> answerer, with
+        uint8 frames flowing through extract_frames and videoQA_answer."""
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+        model = BLIP2_MR(
+            img_size=28, vit_model="tiny", t5_model="tiny",
+            task="lora_QA_with_localizer", num_beams=2, max_new_tokens=6,
+            compute_dtype="float32", num_frames_for_answer=2,
+        )
+
+        def qa_samples(video):
+            s = _mr_samples(video)
+            s["question_id"] = s.pop("query_id")
+            s["qa_input"] = ["Question: what? Options: A b B c C d D e E f"] * 2
+            s["qa_output"] = ["Option A", "Option B"]
+            s["relevant_windows"] = np.array([[[0.0, 3.0]], [[1.0, 5.0]]])
+            return s
+
+        out_u8 = model.videoQA_generate(qa_samples(uint8_video))
+        out_f32 = model.videoQA_generate(qa_samples(fp32_video))
+        assert out_u8["output_text"] == out_f32["output_text"]
+
     def test_blip2_opt_uint8_matches_fp32(self, uint8_video, fp32_video):
         from mr_blip_tpu.models.blip2_mr_opt import BLIP2_MR_OPT
 
