@@ -319,6 +319,31 @@ def _flash_bias_kernel_mh(q_ref, k_ref, v_ref, bias_ref, kvmask_ref, o_ref,
         o_ref[0, hh] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _choose_bias_blocks(m, d, block_q, block_k, block_h):
+    """Shrink (block_q, block_h) until the bias-kernel scoped working set
+    fits VMEM. Every in/out spec is double-buffered by Mosaic, and the
+    kernel holds fp32 softmax scratch (p-matrix + accumulator). An earlier
+    version omitted the scratch terms and overflowed by 72 KB at the
+    (B4, H32, 2040, 2048) T5 encoder shape — a compile-time OOM on
+    hardware, invisible to CPU CI (tests/test_attention.py locks this)."""
+
+    def scoped_vmem(bq, bh):
+        return (
+            2 * bh * bq * m * 2              # bias, double-buffered
+            + 2 * 2 * bh * m * d * 2         # K and V, double-buffered
+            + 2 * 2 * bh * bq * d * 2        # q and out, double-buffered
+            + 2 * bh * bq * min(block_k, m) * 4  # fp32 p/exp scratch
+            + bh * bq * d * 4                # fp32 output accumulator
+        )
+
+    budget = 14 * 2 ** 20
+    while block_q > 128 and scoped_vmem(block_q, block_h) > budget:
+        block_q //= 2
+    while block_h > 1 and scoped_vmem(block_q, block_h) > budget:
+        block_h //= 2  # powers of two, so H-divisibility is preserved
+    return block_q, block_h
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k,
                           bias_grad, block_h=1):
@@ -355,14 +380,7 @@ def _flash_attention_bias(q, k, v, bias, kv_mask, block_q, block_k,
     vt = v.transpose(0, 2, 1, 3)
     if h % block_h:
         block_h = 1
-    # VMEM budget: the double-buffered bias block (block_h, bq, m) is the
-    # dominant tile; shrink the q-block until the working set fits the
-    # 16 MB VMEM (bias x2 buffers + K/V x2 + q/out + fp32 accumulators).
-    while block_h > 1 and block_q > 128 and (
-        2 * block_h * block_q * m * 2 + 4 * block_h * m * d * 2
-        + 4 * block_h * block_q * d * 6
-    ) > 12 * 2 ** 20:
-        block_q //= 2
+    block_q, block_h = _choose_bias_blocks(m, d, block_q, block_k, block_h)
     grid = (h // block_h, pl.cdiv(n, block_q), b)
     if block_h > 1:
         kernel = functools.partial(_flash_bias_kernel_mh, block_k=block_k,

@@ -93,6 +93,25 @@ def main():
                                         bh)
             check(f"flash_bias fwd block_h={bh} n={n}", got, want, 0.02)
 
+        # The (2040, 2048) loader-bucket shape: with the old VMEM
+        # accounting this was a compile-time scoped-vmem OOM at block_h=2
+        # (16.07M vs the 16M limit) — found by the round-4 loader bench,
+        # invisible to every CPU test AND to the 2049 shape above (whose
+        # padded m=2176 happened to trigger the shrink).
+        n2, m2 = 2040, 2048
+        q2 = jnp.asarray(rng.standard_normal((b, n2, h, d)), jnp.bfloat16)
+        k2 = jnp.asarray(rng.standard_normal((b, m2, h, d)), jnp.bfloat16)
+        v2 = jnp.asarray(rng.standard_normal((b, m2, h, d)), jnp.bfloat16)
+        bias2 = jnp.asarray(rng.standard_normal((1, h, n2, m2)), jnp.bfloat16)
+        kvm2 = jnp.ones((b, m2), jnp.int8)
+        want2 = softmax_ref(q2, k2, v2, bias2, kvm2)
+        for bh in (1, 2):
+            got2 = _flash_attention_bias(q2, k2, v2, bias2, kvm2, 512, 512,
+                                         False, bh)
+            check(f"flash_bias fwd block_h={bh} n={n2} m={m2}", got2, want2,
+                  0.02)
+        del q2, k2, v2, bias2, want2, got2
+
         # gradient path (stats + dq + dkv kernels) at a smaller
         # non-divisible shape so the XLA reference fits
         b, h, n, d = 2, 4, 517, 64

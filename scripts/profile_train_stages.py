@@ -1,0 +1,127 @@
+"""Train-step stage budget + MFU on the flagship QVH config (one chip).
+
+Times three jitted slices at the real training geometry (B=1 x 60 frames,
+EVA ViT-g + Q-Former + Flan-T5-XL LoRA, bf16):
+
+  encoder_fwd — frame encoder only (ViT + fp32 LN + Q-Former + proj)
+  loss_fwd    — full teacher-forced loss forward
+  train_step  — loss + grads + AdamW update (the production step)
+
+and derives the budget: ViT-side fwd, T5-side fwd (loss_fwd -
+encoder_fwd), backward+optimizer (train_step - loss_fwd), plus MFU from
+the documented FLOPs accounting (bench.py A100_TRAIN_BASELINE chain:
+ViT fwd 30.3 TFLOP + Q-Former ~1.8 + T5 fwd+bwd ~14 => ~46 TFLOP/step
+of math FLOPs on the trainable path at 60 frames).
+
+Prints ONE JSON line. MRBLIP_BENCH_TRAIN_INT8=1 profiles the int8
+frozen-ViT variant instead.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_FRAMES = int(os.environ.get("MRBLIP_BENCH_FRAMES", "60"))
+V5E_PEAK_BF16 = 197e12
+STEP_TFLOPS = 46.0  # documented accounting, see module docstring
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time(fn, *args, n=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / n
+
+
+def main():
+    from mr_blip_tpu.common.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _make_samples
+    from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+    from mr_blip_tpu.runners.train_state import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    model = BLIP2_MR(
+        img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
+        task="lora", num_beams=5, max_new_tokens=50,
+        compute_dtype="bfloat16", init_params=False,
+    )
+    model.params = model.init_params_fast(jax.random.PRNGKey(0), mode="zeros")
+    int8_vit = bool(os.environ.get("MRBLIP_BENCH_TRAIN_INT8"))
+    if int8_vit:
+        model.quantize_vit()
+        log("int8 frozen-ViT variant")
+
+    samples = _make_samples(1, N_FRAMES)
+    samples["video"] = jax.device_put(samples["video"])
+    batch = model.prepare_mr_batch(samples)
+    batch.pop("video_prompt")
+    module = model.module
+
+    @jax.jit
+    def encoder_fwd(params, frames):
+        return module.apply(
+            {"params": params},
+            method=lambda mod: mod.encode_frames(frames, deterministic=True),
+        )
+
+    @jax.jit
+    def loss_fwd(params, batch):
+        loss, _ = model._loss_fn(params, batch)
+        return loss
+
+    tx = make_optimizer(weight_decay=0.05,
+                        trainable_mask=model.trainable_mask())
+    state = TrainState.create(model.params, tx)
+    step = make_train_step(model._loss_fn, donate=False)
+
+    t_enc = _time(encoder_fwd, model.params, batch["frames"])
+    log(f"encoder fwd: {t_enc:.3f}s")
+    t_loss = _time(loss_fwd, model.params, batch)
+    log(f"loss fwd: {t_loss:.3f}s")
+
+    rng = jax.random.PRNGKey(0)
+
+    def step_fn(state, batch):
+        new_state, loss = step(state, batch, 3e-4, rng)
+        return loss  # state not threaded: donate=False, timing only
+
+    t_step = _time(step_fn, state, batch)
+    log(f"train step: {t_step:.3f}s")
+
+    mfu = STEP_TFLOPS * 1e12 / (t_step * V5E_PEAK_BF16)
+    print(json.dumps({
+        "mode": "int8_vit" if int8_vit else "bf16",
+        "n_frames": N_FRAMES,
+        "encoder_fwd_s": round(t_enc, 4),
+        "t5_fwd_s": round(t_loss - t_enc, 4),
+        "bwd_plus_optimizer_s": round(t_step - t_loss, 4),
+        "train_step_s": round(t_step, 4),
+        "train_fps_per_chip": round(N_FRAMES / t_step, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+        "flops_accounting_tflop_per_step": STEP_TFLOPS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

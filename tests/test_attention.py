@@ -532,3 +532,37 @@ class TestRectangularFlash:
         got = np.asarray(fa.flash_attention(q, k, v))
         want = np.asarray(xla_attention(q, k, v))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestBiasBlockBudget:
+    """The bias-kernel block chooser must keep the scoped VMEM working set
+    under budget — an under-accounting here is a compile-time OOM on real
+    hardware that CPU CI cannot see (hit at the T5 encoder 2040x2048
+    shape: 16.07M scoped vs the 16M limit)."""
+
+    def _scoped(self, bq, bh, m, d, bk):
+        return (2 * bh * bq * m * 2 + 2 * 2 * bh * m * d * 2
+                + 2 * 2 * bh * bq * d * 2 + 2 * bh * bq * min(bk, m) * 4
+                + bh * bq * d * 4)
+
+    def test_t5_encoder_shape_shrinks_under_budget(self):
+        from mr_blip_tpu.ops.flash_attention import _choose_bias_blocks
+
+        bq, bh = _choose_bias_blocks(m=2048, d=64, block_q=512, block_k=512,
+                                     block_h=2)
+        assert self._scoped(bq, bh, 2048, 64, 512) <= 14 * 2 ** 20
+        assert bq < 512  # the failing shape must actually shrink
+
+    def test_long_context_4k_fits(self):
+        from mr_blip_tpu.ops.flash_attention import _choose_bias_blocks
+
+        bq, bh = _choose_bias_blocks(m=4224, d=64, block_q=512, block_k=512,
+                                     block_h=2)
+        assert self._scoped(bq, bh, 4224, 64, 512) <= 14 * 2 ** 20
+
+    def test_small_shapes_keep_full_blocks(self):
+        from mr_blip_tpu.ops.flash_attention import _choose_bias_blocks
+
+        bq, bh = _choose_bias_blocks(m=512, d=64, block_q=512, block_k=512,
+                                     block_h=2)
+        assert (bq, bh) == (512, 2)
