@@ -218,6 +218,19 @@ def main():
         train_row = _sub_bench("train", MRBLIP_BENCH_TRAIN_ONLY="1")
         if train_row is None:
             train_row = {"train_value": None}
+        # Second train row: the int8 frozen-ViT speed knob (model.int8_vit
+        # in a train config; docs/performance.md). bf16 stays the parity
+        # default; the artifact carries both.
+        if not os.environ.get("MRBLIP_BENCH_TRAIN_INT8") and not \
+                os.environ.get("MRBLIP_BENCH_SKIP_TRAIN_INT8"):
+            sub = _sub_bench("train-int8", MRBLIP_BENCH_TRAIN_ONLY="1",
+                             MRBLIP_BENCH_TRAIN_INT8="1")
+            if sub is not None:
+                train_row.update({
+                    "train_int8_value": sub.get("train_value"),
+                    "train_int8_unit": sub.get("train_unit"),
+                    "train_int8_vs_baseline": sub.get("train_vs_baseline"),
+                })
 
     # bf16 parity-path row, also in its own subprocess: the honest
     # apples-to-apples comparison against the fp16 A100 estimate (the int8
@@ -324,9 +337,12 @@ def main():
         from mr_blip_tpu.processors.video_processors import BlipVideoEvalProcessor
 
         clips = make_benchmark_clips()
+        # +1 warmup batch: the loader's queries tokenize into their own
+        # encoder length bucket, so the first batch pays that bucket's
+        # compile/warmup — outside the timed window, like the staged loop.
         ann = make_benchmark_annotations(
             clips, "/tmp/mrblip_bench_clips/bench_ann.json",
-            n_queries=BATCH * n_iters,
+            n_queries=BATCH * (n_iters + 1),
         )
         ds = MomentRetrievalDataset(
             vis_processor=BlipVideoEvalProcessor(
@@ -337,10 +353,12 @@ def main():
         workers = int(os.environ.get("MRBLIP_DECODE_THREADS", "4"))
         loader = PrefetchLoader(
             DataLoader(ds, batch_size=BATCH, num_workers=workers))
+        it = iter(loader)
+        model.generate_collect(model.generate_dispatch(next(it)))  # warmup
         t0 = time.time()
         pending_b = None
         frames_done = 0
-        for lb in loader:
+        for lb in it:
             if pending_b is not None:
                 model.generate_collect(pending_b)
             pending_b = model.generate_dispatch(lb)
