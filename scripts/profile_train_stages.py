@@ -35,15 +35,22 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _time(fn, *args, n=5):
+def _fence(out):
+    """Force a host transfer — block_until_ready alone has been observed
+    returning early through the axon relay (2 ms for a 30-TFLOP fwd);
+    bench.py fences with float(loss) for the same reason."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.numpy.asarray(leaf).ravel()[0])
+
+
+def _time(fn, *args, n=5):
+    _fence(fn(*args))  # compile + warm
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     return (time.time() - t0) / n
 
 
@@ -90,23 +97,26 @@ def main():
         loss, _ = model._loss_fn(params, batch)
         return loss
 
-    tx = make_optimizer(weight_decay=0.05,
-                        trainable_mask=model.trainable_mask())
-    state = TrainState.create(model.params, tx)
-    step = make_train_step(model._loss_fn, donate=False)
-
     t_enc = _time(encoder_fwd, model.params, batch["frames"])
     log(f"encoder fwd: {t_enc:.3f}s")
     t_loss = _time(loss_fwd, model.params, batch)
     log(f"loss fwd: {t_loss:.3f}s")
 
+    # The production step, donated (same graph the bench compiles — a
+    # non-donated variant needs a second param tree and OOMs 16 GB HBM).
+    tx = make_optimizer(weight_decay=0.05,
+                        trainable_mask=model.trainable_mask())
+    state = TrainState.create(model.params, tx)
+    step = make_train_step(model._loss_fn, donate=True)
     rng = jax.random.PRNGKey(0)
-
-    def step_fn(state, batch):
-        new_state, loss = step(state, batch, 3e-4, rng)
-        return loss  # state not threaded: donate=False, timing only
-
-    t_step = _time(step_fn, state, batch)
+    state, loss = step(state, batch, 3e-4, rng)
+    _ = float(loss)
+    n = 5
+    t0 = time.time()
+    for _ in range(n):
+        state, loss = step(state, batch, 3e-4, rng)
+    _ = float(loss)
+    t_step = (time.time() - t0) / n
     log(f"train step: {t_step:.3f}s")
 
     mfu = STEP_TFLOPS * 1e12 / (t_step * V5E_PEAK_BF16)
