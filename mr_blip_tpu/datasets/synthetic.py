@@ -147,25 +147,32 @@ def make_benchmark_clips(
     width: int = 640,
     height: int = 360,
     gop: int = 60,
+    codec: str = "libx264",
 ):
-    """Encode real (MPEG4/AVI) benchmark clips at QVH-like geometry.
+    """Encode real benchmark clips at QVH-like geometry.
 
     Unlike the ``synthetic://`` scheme these exercise the full native
     decode path — demux, seek-to-keyframe, decode-forward, swscale — with
-    realistic web-video keyframe spacing (``gop``). Cached across runs.
-    Returns the clip paths.
+    realistic web-video keyframe spacing (``gop``). ``codec="libx264"``
+    encodes H.264 with B-frames (what real QVH/Charades videos are).
+    Cached across runs. Returns the clip paths.
     """
     from mr_blip_tpu.datasets.video_reader import write_test_video
 
     os.makedirs(out_dir, exist_ok=True)
+    ext = "mp4" if codec == "libx264" else "avi"
     paths = []
     for i in range(n_clips):
         p = os.path.join(
-            out_dir, f"clip{i}_{seconds}s_{width}x{height}_g{gop}.avi"
+            out_dir,
+            f"clip{i}_{seconds}s_{width}x{height}_g{gop}_{codec}.{ext}"
+            if codec != "mpeg4" else
+            f"clip{i}_{seconds}s_{width}x{height}_g{gop}.{ext}",
         )
         if not os.path.exists(p):
             write_test_video(p, w=width, h=height,
-                             n_frames=int(seconds * fps), fps=fps, gop=gop)
+                             n_frames=int(seconds * fps), fps=fps, gop=gop,
+                             codec=codec)
         paths.append(p)
     return paths
 

@@ -50,6 +50,10 @@ def _lib():
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_int,
     ]
+    lib.vd_write_test_video_codec.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_char_p,
+    ]
     lib.vpool_create.restype = ctypes.c_void_p
     lib.vpool_create.argtypes = [ctypes.c_int]
     lib.vpool_submit_batch.restype = ctypes.c_longlong
@@ -263,12 +267,16 @@ class VideoReader:
             pass
 
 
-def write_test_video(path: str, w=128, h=96, n_frames=60, fps=10.0, gop=8):
+def write_test_video(path: str, w=128, h=96, n_frames=60, fps=10.0, gop=8,
+                     codec="mpeg4"):
     """Encode a deterministic synthetic clip. ``gop`` sets keyframe spacing
     — benchmarks pass realistic web-video GOPs (30-300) so random-access
-    seeks pay the real decode-forward cost; tests keep the cheap default."""
-    r = _lib().vd_write_test_video_gop(
-        str(path).encode(), w, h, n_frames, fps, gop)
+    seeks pay the real decode-forward cost; tests keep the cheap default.
+    ``codec="libx264"`` produces H.264 with B-frames (what real
+    QVH/Charades videos are; exercises the AVDISCARD_NONREF catch-up) —
+    use an ``.mp4`` path for it."""
+    r = _lib().vd_write_test_video_codec(
+        str(path).encode(), w, h, n_frames, fps, gop, codec.encode())
     if r != 0:
         raise IOError(f"vd_write_test_video failed: {r}")
     return path

@@ -49,6 +49,9 @@ struct VideoHandle {
   int64_t nframes = 0;
   double duration = 0.0;
   int64_t cur_frame = -1;  // index of the last frame decoded
+  // Exact frame-index -> pts table (sorted), built by a demux-only scan at
+  // open. Empty => fall back to the avg-fps arithmetic mapping.
+  std::vector<int64_t> pts_map;
 };
 
 double stream_fps(AVStream* st) {
@@ -59,6 +62,12 @@ double stream_fps(AVStream* st) {
 }
 
 int64_t index_to_pts(VideoHandle* h, int64_t index) {
+  if (!h->pts_map.empty()) {
+    if (index < 0) index = 0;
+    if (index >= (int64_t)h->pts_map.size())
+      index = (int64_t)h->pts_map.size() - 1;
+    return h->pts_map[index];
+  }
   AVStream* st = h->fmt->streams[h->stream_index];
   double t = index / h->fps;  // seconds
   return (int64_t)(t / av_q2d(st->time_base) + 0.5) + (
@@ -66,10 +75,71 @@ int64_t index_to_pts(VideoHandle* h, int64_t index) {
 }
 
 int64_t pts_to_index(VideoHandle* h, int64_t pts) {
+  if (!h->pts_map.empty()) {
+    // Last map entry <= pts: exact on clean streams, and robust to the
+    // small timestamp jitter best_effort_timestamp can carry.
+    auto it = std::upper_bound(h->pts_map.begin(), h->pts_map.end(), pts);
+    if (it == h->pts_map.begin()) return 0;
+    return (int64_t)(it - h->pts_map.begin()) - 1;
+  }
   AVStream* st = h->fmt->streams[h->stream_index];
   int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
   double t = (pts - start) * av_q2d(st->time_base);
   return (int64_t)(t * h->fps + 0.5);
+}
+
+// Frame index -> presentation time (seconds) and the inverse, for the
+// window API. Exact when the pts map exists.
+double index_to_time(VideoHandle* h, int64_t index) {
+  if (!h->pts_map.empty()) {
+    AVStream* st = h->fmt->streams[h->stream_index];
+    int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+    if (index < 0) index = 0;
+    if (index >= (int64_t)h->pts_map.size())
+      index = (int64_t)h->pts_map.size() - 1;
+    return (h->pts_map[index] - start) * av_q2d(st->time_base);
+  }
+  return index / h->fps;
+}
+
+int64_t time_to_index(VideoHandle* h, double t) {
+  if (!h->pts_map.empty()) {
+    AVStream* st = h->fmt->streams[h->stream_index];
+    int64_t start = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+    return pts_to_index(h, (int64_t)(t / av_q2d(st->time_base)) + start);
+  }
+  return (int64_t)(t * h->fps);
+}
+
+// Build the exact frame-index -> pts table by demuxing (NOT decoding) the
+// stream once. decord builds the same map, and for the same reason:
+// web-sourced video (QVH is YouTube material) is often slightly VFR or
+// carries imprecise container fps metadata, and deriving frame indices as
+// round(pts * avg_fps) then mis-selects frames. Observed concretely: an
+// mp4 whose demuxer-computed avg fps was 1200/119 instead of 10 shifted
+// every decoded frame past #60 by one. Demux-only costs ~us/packet (a
+// 150 s QVH clip is ~4.5k packets); codec state is untouched.
+void build_pts_map(VideoHandle* h) {
+  AVPacket* pkt = av_packet_alloc();
+  std::vector<int64_t> pts;
+  while (av_read_frame(h->fmt, pkt) >= 0) {
+    if (pkt->stream_index == h->stream_index) {
+      int64_t p = pkt->pts == AV_NOPTS_VALUE ? pkt->dts : pkt->pts;
+      if (p != AV_NOPTS_VALUE) pts.push_back(p);
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  std::sort(pts.begin(), pts.end());
+  pts.erase(std::unique(pts.begin(), pts.end()), pts.end());
+  if (!pts.empty()) {
+    h->pts_map = std::move(pts);
+    h->nframes = (int64_t)h->pts_map.size();
+  }
+  // Rewind the demuxer for the decode phase.
+  av_seek_frame(h->fmt, h->stream_index,
+                h->pts_map.empty() ? 0 : h->pts_map.front(),
+                AVSEEK_FLAG_BACKWARD);
 }
 
 // Decode the next frame into h->frame; returns frame index or -1 on EOF.
@@ -156,6 +226,7 @@ void* vd_open(const char* path, int out_w, int out_h) {
     h->frame = av_frame_alloc();
     h->rgb = av_frame_alloc();
     h->pkt = av_packet_alloc();
+    build_pts_map(h);
   }
   return h;
 fail:
@@ -205,11 +276,25 @@ int vd_get_batch(void* handle, const long long* indices, int n,
     }
     int64_t got = h->cur_frame;
     int guard = 0;
+    // Catch-up: while still far from the target, discard non-reference
+    // frames (H.264/HEVC B-frames) without decoding them — they can never
+    // affect later frames, so this is lossless for the target. The margin
+    // covers the longest plausible consecutive-B run so a non-ref TARGET
+    // is still emitted.
+    const int64_t kSkipMargin = 16;  // > any sane hierarchical-B pyramid
     while (got < target) {
+      // Only engage once the decode position is KNOWN (got >= 0): right
+      // after a seek cur_frame is -1, and treating that sentinel as
+      // "far away" used to discard a non-ref TARGET sitting just past
+      // its keyframe (returning the next frame instead).
+      h->codec->skip_frame = (got >= 0 && target - got > kSkipMargin)
+                                 ? AVDISCARD_NONREF
+                                 : AVDISCARD_DEFAULT;
       got = decode_next(h);
       if (got < 0) break;  // EOF: keep last decoded frame
       if (++guard > 4096) break;
     }
+    h->codec->skip_frame = AVDISCARD_DEFAULT;
     if (h->cur_frame < 0) {
       // Seek produced nothing (e.g. at EOF) — restart from 0.
       if (seek_to_index(h, 0) < 0) return -3;
@@ -233,13 +318,13 @@ int vd_get_window(void* handle, double t0, double t1, int max_n,
   if (!h) return -1;
   if (t0 > t1) std::swap(t0, t1);
   size_t frame_bytes = (size_t)h->out_w * h->out_h * 3;
-  int64_t first = (int64_t)(t0 * h->fps);
+  int64_t first = time_to_index(h, t0);
   if (seek_to_index(h, first) < 0) return -2;
   int count = 0;
   while (count < max_n) {
     int64_t idx = decode_next(h);
     if (idx < 0) break;
-    double t = idx / h->fps;
+    double t = index_to_time(h, idx);
     if (t < t0) continue;
     if (t >= t1) break;
     scale_into(h, out + (size_t)count * frame_bytes);
@@ -400,17 +485,24 @@ void vpool_destroy(void* pool) {
   delete p;
 }
 
-// Encode a deterministic synthetic clip (MPEG4/AVI, no external encoders)
-// so tests can exercise the real decode path hermetically.  Frame k has a
-// moving gradient keyed to k.  `gop` controls keyframe spacing: benchmarks
-// use realistic web-video GOPs (30-300) so random-access seeks pay the
-// real decode-forward cost; tests keep the cheap default (8).
-int vd_write_test_video_gop(const char* path, int w, int h, int n_frames,
-                            double fps, int gop) {
-  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+// Encode a deterministic synthetic clip so tests/benchmarks can exercise
+// the real decode path hermetically.  Frame k has a moving gradient keyed
+// to k.  `gop` controls keyframe spacing: benchmarks use realistic
+// web-video GOPs (30-300) so random-access seeks pay the real
+// decode-forward cost; tests keep the cheap default (8).  `codec_name`
+// selects the encoder ("mpeg4" or "libx264"; H.264 with B-frames is what
+// real QVH/Charades videos are) — the container is deduced from the path
+// extension (.avi / .mp4).
+int vd_write_test_video_codec(const char* path, int w, int h, int n_frames,
+                              double fps, int gop, const char* codec_name) {
+  const AVCodec* enc =
+      codec_name && *codec_name
+          ? avcodec_find_encoder_by_name(codec_name)
+          : avcodec_find_encoder(AV_CODEC_ID_MPEG4);
   if (!enc) return -1;
   AVFormatContext* fmt = nullptr;
-  avformat_alloc_output_context2(&fmt, nullptr, "avi", path);
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) avformat_alloc_output_context2(&fmt, nullptr, "avi", path);
   if (!fmt) return -2;
   AVStream* st = avformat_new_stream(fmt, enc);
   AVCodecContext* ctx = avcodec_alloc_context3(enc);
@@ -421,11 +513,18 @@ int vd_write_test_video_gop(const char* path, int w, int h, int n_frames,
   ctx->pix_fmt = AV_PIX_FMT_YUV420P;
   ctx->gop_size = gop > 0 ? gop : 8;
   ctx->bit_rate = 2000000;
+  if (enc->id == AV_CODEC_ID_H264) {
+    // Realistic web-video structure: B-frames on (the reason the decoder
+    // has the AVDISCARD_NONREF catch-up path), fast deterministic encode.
+    ctx->max_b_frames = 3;
+    av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
+  }
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (avcodec_open2(ctx, enc, nullptr) < 0) return -3;
   avcodec_parameters_from_context(st->codecpar, ctx);
   st->time_base = ctx->time_base;
+  st->avg_frame_rate = ctx->framerate;
   if (!(fmt->oformat->flags & AVFMT_NOFILE))
     if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
   if (avformat_write_header(fmt, nullptr) < 0) return -5;
@@ -441,6 +540,11 @@ int vd_write_test_video_gop(const char* path, int w, int h, int n_frames,
     avcodec_send_frame(ctx, f);
     while (avcodec_receive_packet(ctx, pkt) == 0) {
       av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+      // Every sample carries its duration so the mp4 muxer's sample table
+      // yields the exact fps at demux time (without this the last sample
+      // gets duration 0 and the demuxer reports avg fps 1200/119 for a
+      // 10 fps clip).
+      pkt->duration = av_rescale_q(1, ctx->time_base, st->time_base);
       pkt->stream_index = st->index;
       av_interleaved_write_frame(fmt, pkt);
       av_packet_unref(pkt);
@@ -472,9 +576,14 @@ int vd_write_test_video_gop(const char* path, int w, int h, int n_frames,
   return 0;
 }
 
+int vd_write_test_video_gop(const char* path, int w, int h, int n_frames,
+                            double fps, int gop) {
+  return vd_write_test_video_codec(path, w, h, n_frames, fps, gop, "mpeg4");
+}
+
 int vd_write_test_video(const char* path, int w, int h, int n_frames,
                         double fps) {
-  return vd_write_test_video_gop(path, w, h, n_frames, fps, 8);
+  return vd_write_test_video_codec(path, w, h, n_frames, fps, 8, "mpeg4");
 }
 
 }  // extern "C"

@@ -36,6 +36,9 @@ CHIP_FPS_BF16 = 164.0
 
 N_CLIPS = int(os.environ.get("MRBLIP_DECODE_BENCH_CLIPS", "4"))
 SECONDS = int(os.environ.get("MRBLIP_DECODE_BENCH_SECONDS", "150"))
+# H.264 with B-frames is what real QVH/Charades videos are; "mpeg4" gives
+# the pre-round-4 (cheaper-to-decode) comparison point.
+CODEC = os.environ.get("MRBLIP_DECODE_BENCH_CODEC", "libx264")
 FPS = 30.0
 SRC_W, SRC_H = 640, 360
 GOP = 60
@@ -53,7 +56,7 @@ def clip_paths():
 
     return make_benchmark_clips(
         n_clips=N_CLIPS, seconds=SECONDS, fps=FPS,
-        width=SRC_W, height=SRC_H, gop=GOP,
+        width=SRC_W, height=SRC_H, gop=GOP, codec=CODEC,
     )
 
 
@@ -101,8 +104,8 @@ def main():
         "window_fps_per_core": round(window_fps, 1),
         "open_s_per_video": round(open_s, 3),
         "unit": (
-            f"frames/sec/core, {SECONDS}s {SRC_W}x{SRC_H} GOP{GOP} clip, "
-            f"{N_FRMS} uniform samples at {OUT}x{OUT}"
+            f"frames/sec/core, {SECONDS}s {SRC_W}x{SRC_H} {CODEC} GOP{GOP} "
+            f"clip, {N_FRMS} uniform samples at {OUT}x{OUT}"
         ),
         "cores_to_feed_chip_int8": round(CHIP_FPS_INT8 / decode_fps, 1),
         "cores_to_feed_chip_bf16": round(CHIP_FPS_BF16 / decode_fps, 1),

@@ -7,6 +7,9 @@ async == sync bytes, many concurrent in-flight jobs, window mode, and the
 synthetic:// immediate path.
 """
 
+import contextlib
+import io
+
 import numpy as np
 import pytest
 
@@ -23,6 +26,127 @@ def test_video(tmp_path_factory):
     except Exception as e:  # pragma: no cover
         pytest.skip(f"cannot encode test video: {e}")
     return str(path)
+
+
+@pytest.fixture(scope="module")
+def h264_video(tmp_path_factory):
+    """H.264 with B-frames + realistic GOP: what real QVH/Charades web
+    videos are. Exercises pts-reorder handling and the AVDISCARD_NONREF
+    catch-up path."""
+    try:
+        from mr_blip_tpu.datasets.video_reader import write_test_video
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"native decoder unavailable: {e}")
+    path = tmp_path_factory.mktemp("vid") / "clip.mp4"
+    try:
+        with contextlib.redirect_stderr(io.StringIO()):
+            write_test_video(str(path), w=128, h=96, n_frames=120, fps=10.0,
+                             gop=30, codec="libx264")
+    except Exception as e:  # pragma: no cover - no libx264 in ffmpeg build
+        pytest.skip(f"cannot encode h264 video: {e}")
+    return str(path)
+
+
+def _pattern_residual(frame, k, w, h):
+    """Mean |decoded luma - analytic pattern| for frame index k, with a
+    scale+offset fit absorbing the YUV limited-range conversion. ~3 for
+    the right frame (codec noise); >12 for an off-by-one (the synthetic
+    gradient shifts 16 luma levels per frame)."""
+    rgb = frame.astype(np.float64)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    pat = ((np.arange(w)[None, :] * 3 + np.arange(h)[:, None] + k * 16)
+           & 0xFF).astype(np.float64)
+    a = np.vstack([pat.ravel(), np.ones(pat.size)]).T
+    coef, *_ = np.linalg.lstsq(a, luma.ravel(), rcond=None)
+    return float(np.abs(a @ coef - luma.ravel()).mean())
+
+
+class TestFrameIdentity:
+    """Pin that get_batch([k]) returns the k-th frame's CONTENT — not just
+    that access paths agree with each other (they can all be consistently
+    wrong: a demuxer-computed avg fps of 1200/119 on a 10 fps mp4 once
+    shifted every frame past #60 by one, through every access path).
+    Guarded by the exact demux-scanned pts map (video_decoder.cpp
+    build_pts_map)."""
+
+    @pytest.mark.parametrize("k", [0, 37, 59, 60, 61, 100, 119])
+    def test_h264_random_access_identity(self, h264_video, k):
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(h264_video)
+        assert len(vr) == 120
+        frame = vr.get_batch([k])[0]
+        vr.close()
+        r_k = _pattern_residual(frame, k, 128, 96)
+        assert r_k < 8.0, f"frame {k} content residual {r_k:.1f}"
+        # ...and it is distinguishable from its neighbors (off-by-one guard).
+        for dk in (-1, 1):
+            if 0 <= k + dk < 120:
+                assert _pattern_residual(frame, k + dk, 128, 96) > 12.0
+
+    def test_h264_sequential_identity(self, h264_video):
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(h264_video)
+        seq = vr.get_batch(list(range(120)))
+        vr.close()
+        resid = [_pattern_residual(seq[k], k, 128, 96) for k in range(120)]
+        assert max(resid) < 8.0, f"max residual {max(resid):.1f} at frame {int(np.argmax(resid))}"
+
+    def test_h264_stepped_forward_identity(self, h264_video):
+        """Forward decode with the NONREF-discard catch-up engaged
+        (step > margin) must still land on the right frames."""
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(h264_video)
+        for k in [0, 25, 58, 90, 119]:
+            frame = vr.get_batch([k])[0]
+            assert _pattern_residual(frame, k, 128, 96) < 8.0, f"frame {k}"
+        vr.close()
+
+    def test_h264_random_access_matches_sequential(self, h264_video):
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(h264_video)
+        seq = vr.get_batch(list(range(120)))
+        vr.close()
+        vr2 = VideoReader(h264_video)
+        idx = [100, 3, 64, 59, 61, 119, 0]
+        ra = vr2.get_batch(idx)
+        vr2.close()
+        for i, k in enumerate(idx):
+            np.testing.assert_array_equal(ra[i], seq[k])
+
+    def test_h264_window_identity(self, h264_video):
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(h264_video)
+        w = vr.get_window(3.0, 6.0, max_n=64)
+        vr.close()
+        assert w.shape[0] == 30  # [3, 6) s at 10 fps
+        assert _pattern_residual(w[0], 30, 128, 96) < 8.0
+        assert _pattern_residual(w[-1], 59, 128, 96) < 8.0
+
+    def test_h264_async_matches_sync(self, h264_video):
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        indices = [0, 61, 61, 30, 119, 45]
+        vr1 = VideoReader(h264_video)
+        want = vr1.get_batch(indices)
+        vr1.close()
+        vr2 = VideoReader(h264_video)
+        got = vr2.get_batch_async(indices).result()
+        vr2.close()
+        np.testing.assert_array_equal(got, want)
+
+    def test_mpeg4_identity(self, test_video):
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(test_video)
+        for k in [0, 13, 39]:
+            frame = vr.get_batch([k])[0]
+            assert _pattern_residual(frame, k, 64, 48) < 8.0, f"frame {k}"
+        vr.close()
 
 
 class TestAsyncDecode:
