@@ -1,0 +1,425 @@
+"""Online serving for moment retrieval: deadline batching over the
+dispatch/collect pipeline.
+
+The reference has NO serving subsystem — its only batch-inference path is
+the offline eval loop (``evaluate.py:66-120`` -> ``runner_base.py:423``),
+which assumes a dataset on disk and a fixed DataLoader. This module is the
+TPU-native production-serving extension the north star asks for: accept
+individual (video, query) requests as they arrive, batch them for the MXU,
+and return span predictions with bounded queueing latency.
+
+TPU-first design decisions:
+
+* **Static-shape batch buckets.** Everything under ``jit`` is traced once
+  per shape, so the server never dispatches raw request-count batches —
+  requests are padded (row replication) up to the next bucket in
+  ``batch_buckets`` (default 1/2/4/``max_batch``). Waste is bounded at
+  <2x on the padded rows; the compile count is bounded at
+  ``len(batch_buckets)`` graphs, all compiled from the persistent cache
+  after the first encounter.
+* **One device thread.** All dispatch/collect runs on a single thread, in
+  order — JAX dispatch is async, so the device computes batch *i* while
+  the thread blocks tokenizing/forming batch *i+1*. ``pipeline_depth``
+  handles are kept in flight (2 is enough to hide host work; the device
+  serializes the XLA programs anyway).
+* **Deadline batching, device-aware.** A full ``max_batch`` batch
+  launches immediately; a *ragged* (sub-max, padded) batch launches only
+  when the oldest queued request has waited ``max_wait_ms`` AND the
+  device pipeline is idle. While batches are in flight, an early ragged
+  launch buys zero latency (it just queues behind the running XLA
+  program) and wastes its padded slots — so under load the server always
+  waits for full batches, and the deadline only governs the idle→busy
+  transition. Measured on one v5e chip (~0.8 s per 4x60f int8 batch):
+  this device-aware gate took open-loop Poisson occupancy from 0.64 to
+  ~1 at 80% of closed-loop capacity.
+* **Decode offload.** Requests may carry decoded frames OR a
+  ``video_path``; path requests are decoded by a thread pool through the
+  eval processor (native FFmpeg reader releases the GIL), so decode for
+  request *k* overlaps device compute for earlier batches — same overlap
+  the eval loader gets from its worker threads.
+* **H2D staging at enqueue.** Each request's frames are ``device_put``
+  asynchronously the moment the request is ready, and batches are stacked
+  ON DEVICE (``jnp.stack``) at dispatch — so the host->HBM transfer of
+  request *k* overlaps device compute of earlier batches instead of
+  serializing inside the dispatch (the serving-side analogue of
+  ``PrefetchLoader``'s H2D overlap; measured 1.8 -> 4.5 req/s on the
+  bench harness's slow host tunnel). ``stage_to_device=False`` keeps
+  frames on host for memory-constrained queues (each staged 60f request
+  holds ~9 MB of HBM while queued).
+
+Usage::
+
+    server = MomentRetrievalServer(model, vis_processor=eval_proc)
+    fut = server.submit(MRRequest(query="person opens the door",
+                                  video_path="clip.mp4", duration=150.0))
+    print(fut.result()["prediction"])    # "[[12.0, 17.5]]"
+    server.close()
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+TASK_PROMPT = (
+    "Given the video and the query, find the relevant windows.\n"
+    "Relevant windows: "
+)
+
+
+@dataclass
+class MRRequest:
+    """One moment-retrieval query against one video.
+
+    Either ``video`` (decoded ``(T, H, W, 3)`` uint8 frames + ``timestamps``
+    in seconds) or ``video_path`` (decoded server-side through the eval
+    processor; ``clip_proposal`` crops in seconds like the reference's
+    ``load_video`` (``data_utils.py:30-85``)). ``duration`` is required —
+    it feeds the prompt and span clamping exactly as the dataset path does.
+    """
+
+    query: str
+    duration: float
+    video: Optional[np.ndarray] = None
+    timestamps: Optional[np.ndarray] = None
+    video_path: Optional[str] = None
+    clip_proposal: Optional[Sequence[float]] = None
+    qid: str = ""
+    # filled by the server
+    _t_submit: float = field(default=0.0, repr=False)
+
+
+@dataclass
+class ServerStats:
+    """Point-in-time snapshot (``MomentRetrievalServer.stats()``)."""
+
+    submitted: int
+    completed: int
+    failed: int
+    queued: int
+    batches: int
+    mean_batch_occupancy: float  # real rows / padded rows, dispatched
+    throughput_rps: float  # completed / wall since first submit
+    latency_p50_s: float
+    latency_p95_s: float
+    latency_p99_s: float
+
+    def as_dict(self) -> Dict[str, Any]:
+        return self.__dict__.copy()
+
+
+def _quantile(sorted_vals: List[float], q: float) -> float:
+    if not sorted_vals:
+        return float("nan")
+    idx = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[idx]
+
+
+class MomentRetrievalServer:
+    """Batched online inference over ``model.generate_dispatch/collect``.
+
+    ``model`` is a ready ``BLIP2_MR`` (params loaded, ``set_mesh``/
+    ``quantize_for_inference`` already applied — the server is
+    mode-agnostic). ``vis_processor`` (e.g. ``BlipVideoEvalProcessor`` with
+    ``normalize=False``) is required only for ``video_path`` requests.
+    """
+
+    def __init__(
+        self,
+        model,
+        vis_processor=None,
+        max_batch: int = 4,
+        max_wait_ms: float = 15.0,
+        decode_workers: int = 2,
+        pipeline_depth: int = 2,
+        batch_buckets: Optional[Sequence[int]] = None,
+        latency_window: int = 10000,
+        stage_to_device: bool = True,
+    ):
+        self.model = model
+        self.vis_processor = vis_processor
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.stage_to_device = bool(stage_to_device)
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        if batch_buckets is None:
+            batch_buckets = sorted({1, 2, 4, self.max_batch})
+        self.batch_buckets = sorted(
+            b for b in set(batch_buckets) if b <= self.max_batch
+        )
+        if not self.batch_buckets or self.batch_buckets[-1] != self.max_batch:
+            self.batch_buckets.append(self.max_batch)
+
+        self._lock = threading.Lock()
+        self._queue: deque = deque()  # (req, future), decoded & ready
+        self._wakeup = threading.Event()
+        self._closed = False
+
+        # stats
+        self._submitted = 0
+        self._completed = 0
+        self._failed = 0
+        self._batches = 0
+        self._rows_real = 0
+        self._rows_padded = 0
+        self._t_first_submit: Optional[float] = None
+        self._latencies: deque = deque(maxlen=latency_window)
+
+        self._decode_pool = (
+            ThreadPoolExecutor(decode_workers, thread_name_prefix="mrserve-dec")
+            if decode_workers > 0 else None
+        )
+        self._device_thread = threading.Thread(
+            target=self._device_loop, name="mrserve-device", daemon=True
+        )
+        self._device_thread.start()
+
+    # ------------------------------------------------------------- public
+    def submit(self, req: MRRequest) -> Future:
+        """Enqueue one request; the future resolves to the per-request
+        result dict ``{prediction, raw_prediction, qid, duration}``."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        req._t_submit = time.monotonic()
+        with self._lock:
+            self._submitted += 1
+            if self._t_first_submit is None:
+                self._t_first_submit = req._t_submit
+        if req.video is None:
+            if req.video_path is None:
+                fut.set_exception(
+                    ValueError("request needs video frames or video_path"))
+                with self._lock:
+                    self._failed += 1
+                return fut
+            if self.vis_processor is None:
+                fut.set_exception(
+                    RuntimeError("video_path request but no vis_processor"))
+                with self._lock:
+                    self._failed += 1
+                return fut
+            if self._decode_pool is None:
+                self._decode_and_enqueue(req, fut)
+            else:
+                self._decode_pool.submit(self._decode_and_enqueue, req, fut)
+        else:
+            self._enqueue(req, fut)
+        return fut
+
+    def stats(self) -> ServerStats:
+        with self._lock:
+            lat = sorted(self._latencies)
+            wall = (
+                time.monotonic() - self._t_first_submit
+                if self._t_first_submit else 0.0
+            )
+            return ServerStats(
+                submitted=self._submitted,
+                completed=self._completed,
+                failed=self._failed,
+                queued=len(self._queue),
+                batches=self._batches,
+                mean_batch_occupancy=(
+                    self._rows_real / self._rows_padded
+                    if self._rows_padded else float("nan")
+                ),
+                throughput_rps=self._completed / wall if wall > 0 else 0.0,
+                latency_p50_s=_quantile(lat, 0.50),
+                latency_p95_s=_quantile(lat, 0.95),
+                latency_p99_s=_quantile(lat, 0.99),
+            )
+
+    def close(self, drain: bool = True, timeout: Optional[float] = None):
+        """Stop accepting requests; by default finish everything queued."""
+        self._closed = True
+        if self._decode_pool is not None:
+            self._decode_pool.shutdown(wait=drain)
+        if not drain:
+            with self._lock:
+                while self._queue:
+                    _, fut = self._queue.popleft()
+                    fut.cancel()
+        self._wakeup.set()
+        self._device_thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------ decode
+    def _decode_and_enqueue(self, req: MRRequest, fut: Future):
+        try:
+            frames, indices, fps = self.vis_processor(
+                req.video_path, clip_proposal=req.clip_proposal
+            )
+            from mr_blip_tpu.datasets.mr_datasets import _as_model_frames
+
+            req.video = _as_model_frames(frames)
+            req.timestamps = np.asarray(
+                [round(float(i / fps), 2) for i in indices], np.float64
+            )
+        except Exception as e:  # noqa: BLE001 — fail the one request
+            with self._lock:
+                self._failed += 1
+            fut.set_exception(e)
+            return
+        self._enqueue(req, fut)
+
+    def _enqueue(self, req: MRRequest, fut: Future):
+        if req.timestamps is None:
+            t = req.video.shape[0]
+            req.timestamps = np.linspace(
+                0.0, float(req.duration), t, endpoint=False
+            )
+        if self.stage_to_device:
+            # async H2D now; the transfer overlaps earlier batches' compute.
+            # Skip arrays that are already on device — np.ascontiguousarray
+            # on a jax.Array would silently round-trip it through the host.
+            import jax
+
+            if not isinstance(req.video, jax.Array):
+                req.video = jax.device_put(np.ascontiguousarray(req.video))
+        with self._lock:
+            self._queue.append((req, fut))
+        self._wakeup.set()
+
+    # ------------------------------------------------------- device loop
+    def _bucket_for(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
+    def _maybe_form_batch(self, allow_ragged: bool):
+        """Pop a batch if the launch condition holds (caller-locked).
+
+        ``allow_ragged``: the device pipeline is idle, so a padded sub-max
+        batch may launch once the deadline expires. While the device is
+        busy, only full batches (or a drain on close) launch — ragged
+        dispatch under load wastes padded slots for no latency win.
+        """
+        n = len(self._queue)
+        if n == 0:
+            return None
+        if n >= self.max_batch or self._closed:
+            take = min(n, self.max_batch)
+            return [self._queue.popleft() for _ in range(take)]
+        if allow_ragged:
+            oldest_wait = time.monotonic() - self._queue[0][0]._t_submit
+            if oldest_wait >= self.max_wait_s:
+                return [self._queue.popleft() for _ in range(n)]
+        return None
+
+    def _form_samples(self, entries) -> Dict[str, Any]:
+        reqs = [r for r, _ in entries]
+        n_real = len(reqs)
+        bucket = self._bucket_for(n_real)
+        # pad by replicating the last row: padded rows cost compute but are
+        # sliced off before post-processing (rows are independent through
+        # encoder attention masks and per-row beam search — the same
+        # property the mesh-generate parity test locks).
+        pad = [reqs[-1]] * (bucket - n_real)
+        rows = reqs + pad
+        t_counts = {r.video.shape[0] for r in rows}
+        if len(t_counts) != 1:
+            raise ValueError(
+                f"all requests in one server must share n_frms, got {t_counts}"
+            )
+        if self.stage_to_device:
+            import jax.numpy as jnp
+
+            video = jnp.stack([r.video for r in rows])  # device-side stack
+        else:
+            video = np.stack([r.video for r in rows])
+        return {
+            "video": video,
+            "timestamps": np.stack(
+                [np.asarray(r.timestamps, np.float64) for r in rows]
+            ),
+            "duration": np.asarray([float(r.duration) for r in rows]),
+            "query_id": [r.qid for r in rows],
+            "video_prompt_end": ["<extra_id_0>"] * len(rows),
+            "query_prompt": ["Query: " + r.query + "\n" for r in rows],
+            "task_prompt": [TASK_PROMPT] * len(rows),
+        }
+
+    def _collect(self, inflight_entry):
+        entries, handle, n_real, n_padded = inflight_entry
+        try:
+            out = self.model.generate_collect(handle)
+        except Exception as e:  # noqa: BLE001 — fail the whole batch
+            with self._lock:
+                self._failed += len(entries)
+            for _req, fut in entries:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        now = time.monotonic()
+        lats = []
+        for i, (req, fut) in enumerate(entries):
+            res = {
+                "prediction": out["prediction"][i],
+                "raw_prediction": out["raw_prediction"][i],
+                "qid": req.qid,
+                "duration": float(req.duration),
+            }
+            lats.append(now - req._t_submit)
+            fut.set_result(res)
+        with self._lock:
+            self._completed += len(entries)
+            self._latencies.extend(lats)
+
+    def _device_loop(self):
+        inflight: deque = deque()
+        while True:
+            batch_entries = None
+            with self._lock:
+                batch_entries = self._maybe_form_batch(
+                    allow_ragged=not inflight
+                )
+            if batch_entries is not None:
+                n_real = len(batch_entries)
+                try:
+                    samples = self._form_samples(batch_entries)
+                    handle = self.model.generate_dispatch(samples)
+                except Exception as e:  # noqa: BLE001
+                    with self._lock:
+                        self._failed += n_real
+                    for _req, fut in batch_entries:
+                        fut.set_exception(e)
+                    continue
+                with self._lock:
+                    self._batches += 1
+                    self._rows_real += n_real
+                    self._rows_padded += samples["video"].shape[0]
+                inflight.append(
+                    (batch_entries, handle, n_real, samples["video"].shape[0])
+                )
+                if len(inflight) < self.pipeline_depth:
+                    continue  # keep the pipeline full before blocking
+            if inflight:
+                self._collect(inflight.popleft())
+                continue
+            # idle: nothing in flight, no launchable batch
+            with self._lock:
+                empty = not self._queue
+                if empty and self._closed:
+                    return
+                wait = (
+                    None if empty else max(
+                        1e-3,
+                        self.max_wait_s
+                        - (time.monotonic() - self._queue[0][0]._t_submit),
+                    )
+                )
+            self._wakeup.wait(timeout=wait if wait is not None else 0.05)
+            self._wakeup.clear()

@@ -1,0 +1,230 @@
+"""Online serving layer (mr_blip_tpu/serving): batching, padding, decode
+offload, and stats.
+
+The reference has no serving path (its only batch inference is the offline
+eval loop, evaluate.py:66-120); the server is the TPU-native production
+extension, so its contract is defined against our own generate(): results
+for every request must be row-identical to a direct ``model.generate`` on
+the same sample rows, regardless of how the server batched, padded, or
+reordered the work.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from mr_blip_tpu.serving import MomentRetrievalServer, MRRequest
+
+TASK_PROMPT = (
+    "Given the video and the query, find the relevant windows.\n"
+    "Relevant windows: "
+)
+
+
+def _model():
+    from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+    return BLIP2_MR(
+        img_size=28, vit_model="tiny", t5_model="tiny", task="lora",
+        num_beams=2, max_new_tokens=8, compute_dtype="float32",
+    )
+
+
+def _frames(t=2, img=28, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (t, img, img, 3), dtype=np.uint8)
+
+
+def _request(i, duration=30.0):
+    return MRRequest(
+        query=f"action {i}", duration=duration, video=_frames(seed=i),
+        qid=f"q{i}",
+    )
+
+
+def _expected(model, reqs):
+    """Direct model.generate on the same rows (uniform timestamps, like the
+    server synthesizes when none are given)."""
+    b = len(reqs)
+    samples = {
+        "video": np.stack([r.video for r in reqs]),
+        "timestamps": np.stack([
+            np.linspace(0.0, r.duration, r.video.shape[0], endpoint=False)
+            for r in reqs
+        ]),
+        "duration": np.asarray([r.duration for r in reqs]),
+        "query_id": [r.qid for r in reqs],
+        "video_prompt_end": ["<extra_id_0>"] * b,
+        "query_prompt": ["Query: " + r.query + "\n" for r in reqs],
+        "task_prompt": [TASK_PROMPT] * b,
+    }
+    return model.generate(samples)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return _model()
+
+
+class TestServerEquivalence:
+    def test_full_batch_matches_generate(self, model):
+        reqs = [_request(i) for i in range(4)]
+        want = _expected(model, reqs)
+        with MomentRetrievalServer(model, max_batch=4, max_wait_ms=5) as srv:
+            futs = [srv.submit(r) for r in reqs]
+            got = [f.result(timeout=120) for f in futs]
+        for i, g in enumerate(got):
+            assert g["raw_prediction"] == want["raw_prediction"][i]
+            assert g["prediction"] == want["prediction"][i]
+            assert g["qid"] == f"q{i}"
+
+    def test_padded_partial_batch_matches_generate(self, model):
+        # 3 requests, buckets (1,2,4): server pads to 4 by row replication;
+        # padded rows must not perturb the real rows' predictions.
+        reqs = [_request(i, duration=25.0) for i in range(3)]
+        want = _expected(model, reqs)
+        srv = MomentRetrievalServer(model, max_batch=4, max_wait_ms=1)
+        try:
+            futs = [srv.submit(r) for r in reqs]
+            got = [f.result(timeout=120) for f in futs]
+        finally:
+            srv.close()
+        for i, g in enumerate(got):
+            assert g["raw_prediction"] == want["raw_prediction"][i]
+        st = srv.stats()
+        assert st.completed == 3
+        assert st.batches >= 1
+        # occupancy accounts padding: 3 real rows over >=4 padded
+        assert st.mean_batch_occupancy <= 0.75 + 1e-9
+
+    def test_many_requests_ragged_tail(self, model):
+        # 6 requests with max_batch 4 -> at least two dispatches, one ragged;
+        # every request still matches its own single-row generate.
+        reqs = [_request(10 + i) for i in range(6)]
+        want = _expected(model, reqs)
+        with MomentRetrievalServer(model, max_batch=4, max_wait_ms=5) as srv:
+            futs = [srv.submit(r) for r in reqs]
+            got = [f.result(timeout=240) for f in futs]
+        for i, g in enumerate(got):
+            assert g["raw_prediction"] == want["raw_prediction"][i]
+
+
+class TestServerBehavior:
+    def test_single_request_deadline(self, model):
+        with MomentRetrievalServer(model, max_batch=4, max_wait_ms=10) as srv:
+            fut = srv.submit(_request(0))
+            out = fut.result(timeout=120)
+        assert isinstance(out["prediction"], (list, str))
+
+    def test_video_path_decode(self, model, tmp_path):
+        from mr_blip_tpu.datasets.video_reader import write_test_video
+        from mr_blip_tpu.processors.video_processors import (
+            BlipVideoEvalProcessor,
+        )
+
+        path = str(tmp_path / "clip.mp4")
+        write_test_video(path, w=48, h=48, n_frames=20, fps=10.0)
+        proc = BlipVideoEvalProcessor(image_size=28, n_frms=2, normalize=False)
+        with MomentRetrievalServer(
+            model, vis_processor=proc, max_batch=2, max_wait_ms=5,
+            decode_workers=1,
+        ) as srv:
+            fut = srv.submit(
+                MRRequest(query="anything", duration=2.0, video_path=path)
+            )
+            out = fut.result(timeout=120)
+        assert "prediction" in out
+
+        # decoded path must equal the dataset-style manual flow
+        frames, indices, fps = proc(path, clip_proposal=None)
+        from mr_blip_tpu.datasets.mr_datasets import _as_model_frames
+
+        req = MRRequest(
+            query="anything", duration=2.0,
+            video=_as_model_frames(frames),
+            timestamps=np.asarray(
+                [round(float(i / fps), 2) for i in indices]),
+        )
+        want = _expected_with_ts(model, [req])
+        assert out["raw_prediction"] == want["raw_prediction"][0]
+
+    def test_bad_request_fails_future(self, model):
+        with MomentRetrievalServer(model, max_batch=2, max_wait_ms=5) as srv:
+            fut = srv.submit(MRRequest(query="x", duration=1.0))  # no video
+            with pytest.raises(ValueError):
+                fut.result(timeout=10)
+            ok = srv.submit(_request(3))
+            assert "prediction" in ok.result(timeout=120)
+        st = srv.stats()
+        assert st.failed == 1 and st.completed == 1
+
+    def test_close_drains(self, model):
+        srv = MomentRetrievalServer(model, max_batch=4, max_wait_ms=5000)
+        futs = [srv.submit(_request(i)) for i in range(2)]
+        # max_wait is huge; close() must trigger the launch and drain
+        t0 = time.time()
+        srv.close(drain=True)
+        assert all(f.done() for f in futs)
+        assert time.time() - t0 < 4000
+        for f in futs:
+            assert "prediction" in f.result()
+
+    def test_stats_latency_quantiles(self, model):
+        with MomentRetrievalServer(model, max_batch=2, max_wait_ms=5) as srv:
+            futs = [srv.submit(_request(i)) for i in range(4)]
+            for f in futs:
+                f.result(timeout=240)
+            st = srv.stats()
+        assert st.submitted == 4 and st.completed == 4
+        assert st.latency_p50_s <= st.latency_p95_s <= st.latency_p99_s
+        assert st.throughput_rps > 0
+
+
+class TestServerMesh:
+    """The server is mode-agnostic: a ``set_mesh`` (dp-sharded) model must
+    serve row-identical results — full batches, and ragged batches whose
+    bucket padding composes with the mesh-divisibility padding inside
+    generate (cf. tests/test_mesh_generate.py)."""
+
+    @pytest.mark.skipif(
+        __import__("jax").device_count() < 8, reason="needs 8 virtual devices"
+    )
+    def test_dp_mesh_serving_matches_single_device(self):
+        from mr_blip_tpu.parallel.mesh import make_mesh
+
+        base_model = _model()
+        reqs = [_request(i) for i in range(8)]
+        want = _expected(base_model, reqs)
+
+        mesh_model = _model()
+        mesh_model.set_mesh(make_mesh(dp=8, tp=1))
+        with MomentRetrievalServer(
+            mesh_model, max_batch=8, max_wait_ms=5
+        ) as srv:
+            futs = [srv.submit(r) for r in reqs]
+            got = [f.result(timeout=240) for f in futs]
+            # ragged tail through the same server: bucket-pad (3 -> 4)
+            # then mesh-pad (4 -> 8) inside generate
+            futs2 = [srv.submit(_request(i)) for i in range(3)]
+            got2 = [f.result(timeout=240) for f in futs2]
+        for i, g in enumerate(got):
+            assert g["raw_prediction"] == want["raw_prediction"][i]
+            assert g["prediction"] == want["prediction"][i]
+        for i, g in enumerate(got2):
+            assert g["raw_prediction"] == want["raw_prediction"][i]
+
+
+def _expected_with_ts(model, reqs):
+    b = len(reqs)
+    samples = {
+        "video": np.stack([r.video for r in reqs]),
+        "timestamps": np.stack(
+            [np.asarray(r.timestamps, np.float64) for r in reqs]),
+        "duration": np.asarray([r.duration for r in reqs]),
+        "query_id": [r.qid for r in reqs],
+        "video_prompt_end": ["<extra_id_0>"] * b,
+        "query_prompt": ["Query: " + r.query + "\n" for r in reqs],
+        "task_prompt": [TASK_PROMPT] * b,
+    }
+    return model.generate(samples)
