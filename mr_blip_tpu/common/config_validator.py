@@ -94,6 +94,6 @@ def create_runner_config_validator() -> ConfigValidator:
         v.add_argument(key, type=bool)
     v.add_argument("tal_classes_path", type=str,
                    help="TAL class table (ANet_classes.txt)")
-    for key in ("k_test", "log_samples_every_n"):
+    for key in ("k_test", "log_samples_every_n", "preempt_sync_every"):
         v.add_argument(key, type=int)
     return v

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from mr_blip_tpu.common import dist as dist_utils
+from mr_blip_tpu.common.preempt import TrainingPreempted
 from mr_blip_tpu.common.registry import registry
 from mr_blip_tpu.datasets.base_dataset import ConcatDataset
 from mr_blip_tpu.datasets.loader import DataLoader, IterLoader, MultiIterLoader, PrefetchLoader
@@ -277,7 +278,14 @@ class RunnerBase:
         for cur_epoch in range(self.start_epoch, self.max_epoch):
             if not self.evaluate_only:
                 logging.info("Start training epoch %d", cur_epoch)
-                train_stats = self.train_epoch(cur_epoch)
+                try:
+                    train_stats = self.train_epoch(cur_epoch)
+                except TrainingPreempted as e:
+                    # state is whole-step consistent (the guard fires only
+                    # at step boundaries); save for resume and re-raise for
+                    # the entry point to exit within the grace window
+                    self.save_preemption_checkpoint(cur_epoch)
+                    raise e
                 self.log_stats(split_name="train", stats=train_stats)
 
             if len(self.valid_splits) > 0 and not self.evaluate_only:
@@ -399,20 +407,42 @@ class RunnerBase:
         logging.info("Saving checkpoint at epoch %s to %s.", cur_epoch, path)
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(save_obj))
-        # full state for resume: params + optimizer moments + step counter,
-        # matching the reference's model+optimizer+scaler+epoch resume
-        # (reference runner_base.py:622-644) — dropping Adam state silently
-        # re-runs warmup on a resumed schedule.
+        self._write_resume_state(cur_epoch)
+
+    def _write_resume_state(self, cur_epoch, epoch_complete=True):
+        """Full state for resume: params + optimizer moments + step counter,
+        matching the reference's model+optimizer+scaler+epoch resume
+        (reference runner_base.py:622-644) — dropping Adam state silently
+        re-runs warmup on a resumed schedule. ``epoch_complete=False``
+        (preemption mid-epoch) makes resume re-run ``cur_epoch`` instead of
+        starting at ``cur_epoch + 1``."""
+        from flax import serialization
+
         resume_path = os.path.join(self.output_dir, "resume_state.msgpack")
         state = self.train_ctx.state
         resume_obj = {
-            "params": serialization.to_state_dict(params),
+            "params": serialization.to_state_dict(state.params),
             "opt_state": serialization.to_state_dict(state.opt_state),
             "step": int(state.step),
             "epoch": cur_epoch,
+            "epoch_complete": epoch_complete,
         }
         with open(resume_path, "wb") as f:
             f.write(serialization.msgpack_serialize(resume_obj))
+        return resume_path
+
+    def save_preemption_checkpoint(self, cur_epoch):
+        """Resume state at the preemption step boundary (rank 0), then
+        drain async orbax writes so nothing is lost to the grace window."""
+        path = None
+        if dist_utils.is_main_process():
+            path = self._write_resume_state(cur_epoch, epoch_complete=False)
+            logging.warning(
+                "preemption checkpoint written to %s (resume with "
+                "run.resume_ckpt_path to re-run epoch %d)", path, cur_epoch,
+            )
+        self.finalize_checkpoints()
+        return path
 
     def _save_checkpoint_orbax(self, cur_epoch, is_best=False):
         """Orbax checkpoint (sharded arrays supported). With
@@ -519,7 +549,10 @@ class RunnerBase:
                 opt_state=restored_opt,
                 step=jax.numpy.asarray(int(obj.get("step", 0)), jax.numpy.int32),
             )
-        self.start_epoch = int(obj.get("epoch", -1)) + 1
+        # epoch_complete=False (preemption mid-epoch): re-run that epoch
+        self.start_epoch = int(obj.get("epoch", -1)) + int(
+            bool(obj.get("epoch_complete", True))
+        )
         logging.info("Resume checkpoint loaded from %s (epoch %d)", path,
                      self.start_epoch)
 

@@ -14,6 +14,7 @@ import logging
 import os
 
 from mr_blip_tpu.common import dist as dist_utils
+from mr_blip_tpu.common import preempt
 from mr_blip_tpu.common.logger import MetricLogger, SmoothedValue
 from mr_blip_tpu.common.registry import registry
 
@@ -182,6 +183,13 @@ class BaseTask:
                     "optimizer state"
                 )
             metric_logger.update(loss=float(loss))
+
+            # Preemption (SIGTERM) check at the step boundary: optimizer
+            # state is whole-step consistent here; the runner converts the
+            # raise into a resume checkpoint (common/preempt.py).
+            guard = preempt.get_guard()
+            if guard is not None and guard.should_stop(i):
+                raise preempt.TrainingPreempted(inner_epoch, i)
             metric_logger.update(lr=float(lr))
             if tracker is not None:
                 tracker.log({"train/loss": float(loss), "train/lr": float(lr)})

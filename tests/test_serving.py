@@ -80,11 +80,14 @@ class TestServerEquivalence:
             assert g["qid"] == f"q{i}"
 
     def test_padded_partial_batch_matches_generate(self, model):
-        # 3 requests, buckets (1,2,4): server pads to 4 by row replication;
-        # padded rows must not perturb the real rows' predictions.
+        # 3 requests, single bucket [4]: every dispatch pads to 4 by row
+        # replication (whether the scheduler forms one batch of 3 or splits
+        # across deadlines); padded rows must not perturb the real rows'
+        # predictions.
         reqs = [_request(i, duration=25.0) for i in range(3)]
         want = _expected(model, reqs)
-        srv = MomentRetrievalServer(model, max_batch=4, max_wait_ms=1)
+        srv = MomentRetrievalServer(model, max_batch=4, max_wait_ms=1,
+                                    batch_buckets=[4])
         try:
             futs = [srv.submit(r) for r in reqs]
             got = [f.result(timeout=120) for f in futs]

@@ -9,6 +9,7 @@ multi-host init is driven by env vars; see
 """
 
 import argparse
+import logging
 import os
 import random
 import sys
@@ -95,7 +96,19 @@ def main():
     resume_path = cfg.run_cfg.get("resume_ckpt_path")
     if resume_path:
         runner.load_checkpoint(resume_path)
-    runner.train()
+
+    # SIGTERM (spot-VM preemption, maintenance drain) -> finish the current
+    # step, checkpoint for resume, exit 143 within the grace window
+    from mr_blip_tpu.common import preempt
+
+    preempt.install_guard(
+        sync_every=int(cfg.run_cfg.get("preempt_sync_every", 8))
+    )
+    try:
+        runner.train()
+    except preempt.TrainingPreempted as e:
+        logging.warning("%s — exiting for restart", e)
+        sys.exit(143)
     runner.finalize_checkpoints()
 
 
