@@ -128,13 +128,19 @@ def train_bench():
     )
 
     relpos_in_kernel = bool(os.environ.get("MRBLIP_BENCH_RELPOS_KERNEL"))
-    tr_samples = _make_samples(1, N_FRAMES)
+    # B=1 matches the reference QVH recipe (bs 1/GPU x accum 8);
+    # MRBLIP_BENCH_TRAIN_BATCH probes larger per-chip batches (with
+    # MRBLIP_BENCH_TRAIN_REMAT=1 when the bwd doesn't fit 16 GB raw).
+    train_b = int(os.environ.get("MRBLIP_BENCH_TRAIN_BATCH", "1"))
+    train_remat = bool(os.environ.get("MRBLIP_BENCH_TRAIN_REMAT"))
+    tr_samples = _make_samples(train_b, N_FRAMES)
     tr_samples["video"] = jax.device_put(tr_samples["video"])
     train_model = BLIP2_MR(
         img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
         task="lora", num_beams=5, max_new_tokens=50,
         compute_dtype="bfloat16", init_params=False,
         relpos_in_kernel=relpos_in_kernel,
+        use_grad_checkpoint=train_remat,
     )
     train_model.params = train_model.init_params_fast(
         jax.random.PRNGKey(0), mode="zeros"
@@ -164,11 +170,12 @@ def train_bench():
     loss = float(loss)  # fence
     s_per_step = (time.time() - t0) / n_steps
     log(f"train steady state: {s_per_step:.3f}s/step")
-    fps = N_FRAMES / s_per_step
+    fps = train_b * N_FRAMES / s_per_step
     return {
         "train_value": round(fps, 2),
         "train_unit": (
-            f"train frames/sec/chip (B=1x{N_FRAMES}f, LoRA, "
+            f"train frames/sec/chip (B={train_b}x{N_FRAMES}f, LoRA, "
+            + ("remat, " if train_remat else "")
             + ("int8 frozen ViT)" if train_int8 else "bf16)")
         ),
         # vs the documented FLOPs-derived A100 fp16 training estimate

@@ -160,6 +160,10 @@ class MomentRetrievalServer:
         self._queue: deque = deque()  # (req, future), decoded & ready
         self._wakeup = threading.Event()
         self._closed = False
+        # video_path requests still in the decode pool: the device loop
+        # must not exit on close() while one could still enqueue (it would
+        # leave that request's future forever pending)
+        self._decoding = 0
 
         # stats
         self._submitted = 0
@@ -208,6 +212,8 @@ class MomentRetrievalServer:
             if self._decode_pool is None:
                 self._decode_and_enqueue(req, fut)
             else:
+                with self._lock:
+                    self._decoding += 1
                 self._decode_pool.submit(self._decode_and_enqueue, req, fut)
         else:
             self._enqueue(req, fut)
@@ -258,21 +264,26 @@ class MomentRetrievalServer:
     # ------------------------------------------------------------ decode
     def _decode_and_enqueue(self, req: MRRequest, fut: Future):
         try:
-            frames, indices, fps = self.vis_processor(
-                req.video_path, clip_proposal=req.clip_proposal
-            )
-            from mr_blip_tpu.datasets.mr_datasets import _as_model_frames
+            try:
+                frames, indices, fps = self.vis_processor(
+                    req.video_path, clip_proposal=req.clip_proposal
+                )
+                from mr_blip_tpu.datasets.mr_datasets import _as_model_frames
 
-            req.video = _as_model_frames(frames)
-            req.timestamps = np.asarray(
-                [round(float(i / fps), 2) for i in indices], np.float64
-            )
-        except Exception as e:  # noqa: BLE001 — fail the one request
+                req.video = _as_model_frames(frames)
+                req.timestamps = np.asarray(
+                    [round(float(i / fps), 2) for i in indices], np.float64
+                )
+            except Exception as e:  # noqa: BLE001 — fail the one request
+                with self._lock:
+                    self._failed += 1
+                fut.set_exception(e)
+                return
+            self._enqueue(req, fut)
+        finally:
             with self._lock:
-                self._failed += 1
-            fut.set_exception(e)
-            return
-        self._enqueue(req, fut)
+                self._decoding -= 1
+            self._wakeup.set()  # re-check the exit/launch condition
 
     def _enqueue(self, req: MRRequest, fut: Future):
         if req.timestamps is None:
@@ -411,15 +422,15 @@ class MomentRetrievalServer:
                 continue
             # idle: nothing in flight, no launchable batch
             with self._lock:
-                empty = not self._queue
-                if empty and self._closed:
+                if not self._queue and self._decoding == 0 and self._closed:
                     return
                 wait = (
-                    None if empty else max(
+                    max(
                         1e-3,
                         self.max_wait_s
                         - (time.monotonic() - self._queue[0][0]._t_submit),
                     )
+                    if self._queue else None
                 )
             self._wakeup.wait(timeout=wait if wait is not None else 0.05)
             self._wakeup.clear()

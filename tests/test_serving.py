@@ -152,6 +152,35 @@ class TestServerBehavior:
         want = _expected_with_ts(model, [req])
         assert out["raw_prediction"] == want["raw_prediction"][0]
 
+    def test_close_drains_inflight_decode(self, model, tmp_path):
+        """close(drain=True) while a video_path request is still in the
+        decode pool: the device loop must not exit until the decode
+        enqueues, or the request's future would hang forever."""
+        import time as _time
+
+        from mr_blip_tpu.datasets.video_reader import write_test_video
+        from mr_blip_tpu.processors.video_processors import (
+            BlipVideoEvalProcessor,
+        )
+
+        path = str(tmp_path / "clip.mp4")
+        write_test_video(path, w=48, h=48, n_frames=20, fps=10.0)
+        proc = BlipVideoEvalProcessor(image_size=28, n_frms=2, normalize=False)
+
+        class SlowProc:
+            def __call__(self, p, clip_proposal=None):
+                _time.sleep(0.4)  # device loop sees empty+closed meanwhile
+                return proc(p, clip_proposal=clip_proposal)
+
+        srv = MomentRetrievalServer(
+            model, vis_processor=SlowProc(), max_batch=2, max_wait_ms=1,
+            decode_workers=1,
+        )
+        fut = srv.submit(
+            MRRequest(query="anything", duration=2.0, video_path=path))
+        srv.close(drain=True, timeout=120)
+        assert "prediction" in fut.result(timeout=5)
+
     def test_bad_request_fails_future(self, model):
         with MomentRetrievalServer(model, max_batch=2, max_wait_ms=5) as srv:
             fut = srv.submit(MRRequest(query="x", duration=1.0))  # no video
