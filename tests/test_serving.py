@@ -9,10 +9,15 @@ the same sample rows, regardless of how the server batched, padded, or
 reordered the work.
 """
 
+import json
+import os
+import threading
 import time
 
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from mr_blip_tpu.serving import MomentRetrievalServer, MRRequest
 
@@ -211,6 +216,111 @@ class TestServerBehavior:
         assert st.submitted == 4 and st.completed == 4
         assert st.latency_p50_s <= st.latency_p95_s <= st.latency_p99_s
         assert st.throughput_rps > 0
+
+
+class TestHTTPServe:
+    """The HTTP daemon (scripts/serve.py) over the batching engine."""
+
+    @pytest.fixture()
+    def httpd(self, model, tmp_path):
+        import importlib.util
+
+        from mr_blip_tpu.datasets.video_reader import write_test_video
+        from mr_blip_tpu.processors.video_processors import (
+            BlipVideoEvalProcessor,
+        )
+
+        spec = importlib.util.spec_from_file_location(
+            "serve", os.path.join(REPO, "scripts", "serve.py"))
+        serve = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(serve)
+
+        path = str(tmp_path / "clip.mp4")
+        write_test_video(path, w=48, h=48, n_frames=20, fps=10.0)
+        proc = BlipVideoEvalProcessor(image_size=28, n_frms=2, normalize=False)
+        srv = MomentRetrievalServer(
+            model, vis_processor=proc, max_batch=2, max_wait_ms=5,
+            decode_workers=1,
+        )
+        httpd = serve.make_httpd(srv, port=0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield httpd, path
+        httpd.shutdown()
+        srv.close()
+
+    def _post(self, httpd, route, payload):
+        import urllib.request
+
+        port = httpd.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{route}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def _get(self, httpd, route):
+        import urllib.request
+
+        port = httpd.server_address[1]
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{route}", timeout=30
+            ) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_healthz_and_stats(self, httpd):
+        h, _ = httpd
+        assert self._get(h, "/healthz") == (200, {"ok": True})
+        code, st = self._get(h, "/v1/stats")
+        assert code == 200 and "throughput_rps" in st
+        assert self._get(h, "/nope")[0] == 404
+
+    def test_predict_matches_direct_flow(self, httpd, model):
+        h, path = httpd
+        code, out = self._post(h, "/v1/moment_retrieval", {
+            "query": "anything", "duration": 2.0, "video_path": path,
+            "qid": "http1",
+        })
+        assert code == 200, out
+        assert out["qid"] == "http1"
+        assert "prediction" in out and "raw_prediction" in out
+
+        # same decode + generate flow as the Python API (which is itself
+        # proven identical to model.generate above)
+        from mr_blip_tpu.datasets.mr_datasets import _as_model_frames
+        from mr_blip_tpu.processors.video_processors import (
+            BlipVideoEvalProcessor,
+        )
+
+        proc = BlipVideoEvalProcessor(image_size=28, n_frms=2, normalize=False)
+        frames, indices, fps = proc(path, clip_proposal=None)
+        req = MRRequest(
+            query="anything", duration=2.0, video=_as_model_frames(frames),
+            timestamps=np.asarray(
+                [round(float(i / fps), 2) for i in indices]),
+        )
+        want = _expected_with_ts(model, [req])
+        assert out["raw_prediction"] == want["raw_prediction"][0]
+
+    def test_bad_request_400(self, httpd):
+        h, path = httpd
+        code, out = self._post(h, "/v1/moment_retrieval",
+                               {"query": "no duration or path"})
+        assert code == 400 and "error" in out
+        # decode failure surfaces as 500, doesn't kill the server
+        code, out = self._post(h, "/v1/moment_retrieval", {
+            "query": "x", "duration": 1.0, "video_path": "/nonexistent.mp4",
+        })
+        assert code == 500 and "error" in out
+        assert self._get(h, "/healthz")[0] == 200
 
 
 class TestServerMesh:
