@@ -95,6 +95,12 @@ def main():
     ap.add_argument("--model-type", default="pretrain_flant5xl")
     ap.add_argument("--checkpoint", default=None,
                     help="finetuned params msgpack (non-strict load)")
+    ap.add_argument("--params-dtype", default=None,
+                    choices=("bfloat16", "float32"),
+                    help="fast zero-init at this dtype instead of real "
+                         "initialization — for load tests / smoke runs "
+                         "where --checkpoint covers (or stands in for) "
+                         "the param tree")
     ap.add_argument("--n-frms", type=int, default=60)
     ap.add_argument("--int8", action="store_true",
                     help="quantize_for_inference() before serving")
@@ -109,8 +115,9 @@ def main():
     from mr_blip_tpu.processors.video_processors import BlipVideoEvalProcessor
     from mr_blip_tpu.serving import MomentRetrievalServer
 
+    extra = {"params_dtype": args.params_dtype} if args.params_dtype else {}
     model = load_model(args.model, args.model_type, is_eval=True,
-                       checkpoint=args.checkpoint)
+                       checkpoint=args.checkpoint, **extra)
     if args.int8:
         model.quantize_for_inference()
     proc = BlipVideoEvalProcessor(
