@@ -103,6 +103,7 @@ class ServerStats:
     completed: int
     failed: int
     queued: int
+    staged: int  # queued requests currently holding staged HBM frames
     batches: int
     mean_batch_occupancy: float  # real rows / padded rows, dispatched
     throughput_rps: float  # completed / wall since first submit
@@ -141,12 +142,18 @@ class MomentRetrievalServer:
         batch_buckets: Optional[Sequence[int]] = None,
         latency_window: int = 10000,
         stage_to_device: bool = True,
+        max_staged: int = 64,
     ):
         self.model = model
         self.vis_processor = vis_processor
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.stage_to_device = bool(stage_to_device)
+        # HBM guard: at most this many queued requests may hold staged
+        # frames (~9 MB each at 60f) — a backlog burst beyond the cap
+        # queues on host and is staged when dispatched instead
+        self.max_staged = int(max_staged)
+        self._staged = 0
         self.pipeline_depth = max(1, int(pipeline_depth))
         if batch_buckets is None:
             batch_buckets = sorted({1, 2, 4, self.max_batch})
@@ -231,6 +238,7 @@ class MomentRetrievalServer:
                 completed=self._completed,
                 failed=self._failed,
                 queued=len(self._queue),
+                staged=self._staged,
                 batches=self._batches,
                 mean_batch_occupancy=(
                     self._rows_real / self._rows_padded
@@ -298,7 +306,14 @@ class MomentRetrievalServer:
             import jax
 
             if not isinstance(req.video, jax.Array):
-                req.video = jax.device_put(np.ascontiguousarray(req.video))
+                with self._lock:
+                    stage_now = self._staged < self.max_staged
+                    if stage_now:
+                        self._staged += 1
+                if stage_now:
+                    req.video = jax.device_put(
+                        np.ascontiguousarray(req.video))
+                    req._staged_by_server = True
         with self._lock:
             self._queue.append((req, fut))
         self._wakeup.set()
@@ -348,7 +363,16 @@ class MomentRetrievalServer:
         if self.stage_to_device:
             import jax.numpy as jnp
 
+            # rows past the max_staged HBM cap are still host np arrays;
+            # jnp.stack uploads them here (inside the dispatch, like the
+            # pre-staging-era path — the cap trades overlap for HBM)
             video = jnp.stack([r.video for r in rows])  # device-side stack
+            released = sum(
+                1 for r, _ in entries
+                if getattr(r, "_staged_by_server", False)
+            )
+            with self._lock:
+                self._staged -= released
         else:
             video = np.stack([r.video for r in rows])
         return {

