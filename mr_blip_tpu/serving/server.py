@@ -226,6 +226,56 @@ class MomentRetrievalServer:
             self._enqueue(req, fut)
         return fut
 
+    def warmup(
+        self,
+        n_frms: int,
+        image_size: Optional[int] = None,
+        duration: float = 150.0,
+        example_queries: Optional[Sequence[str]] = None,
+        buckets: Optional[Sequence[int]] = None,
+    ) -> float:
+        """Compile every batch-bucket graph before accepting traffic.
+
+        A cold daemon otherwise pays the full jit compile (~minutes per
+        bucket without a persistent-cache hit) on the FIRST real request
+        that lands in each bucket. This drives one synthetic batch per
+        bucket straight through ``generate_dispatch/collect`` (bypassing
+        the queue and the stats), so readiness can be announced only once
+        every graph is built. Returns the wall seconds spent.
+
+        Text-length buckets are induced by the tokenized prompt
+        (16-multiple padding, ``blip2_mr.py::prepare_mr_batch``), so
+        ``example_queries``/``duration`` should look like production
+        traffic; unseen text buckets still compile on first hit, and the
+        persistent compile cache makes warm restarts cheap either way.
+
+        Call before serving traffic — it dispatches on the caller thread,
+        deliberately outside the device loop's pipeline accounting.
+        """
+        image_size = int(image_size or getattr(self.model, "img_size", 224))
+        queries = list(example_queries or [
+            "a person opens the door and walks into the room"
+        ])
+        frames = np.zeros((n_frms, image_size, image_size, 3), np.uint8)
+        ts = np.linspace(0.0, float(duration), n_frms, endpoint=False)
+        t0 = time.monotonic()
+        for b in (buckets if buckets is not None else self.batch_buckets):
+            b = int(b)
+            samples = {
+                "video": np.stack([frames] * b),
+                "timestamps": np.stack([ts] * b),
+                "duration": np.asarray([float(duration)] * b),
+                "query_id": [""] * b,
+                "video_prompt_end": ["<extra_id_0>"] * b,
+                "query_prompt": [
+                    "Query: " + queries[i % len(queries)] + "\n"
+                    for i in range(b)
+                ],
+                "task_prompt": [TASK_PROMPT] * b,
+            }
+            self.model.generate_collect(self.model.generate_dispatch(samples))
+        return time.monotonic() - t0
+
     def stats(self) -> ServerStats:
         with self._lock:
             lat = sorted(self._latencies)

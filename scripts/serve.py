@@ -109,6 +109,13 @@ def main():
     ap.add_argument("--max-batch", type=int, default=4)
     ap.add_argument("--max-wait-ms", type=float, default=50.0)
     ap.add_argument("--decode-workers", type=int, default=2)
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile every batch-bucket graph before binding "
+                         "the port, so no request ever sees compile latency")
+    ap.add_argument("--warmup-duration", type=float, default=150.0,
+                    help="representative video duration (s) for warmup "
+                         "prompts — match production traffic so the text "
+                         "length buckets precompile too")
     args = ap.parse_args()
 
     from mr_blip_tpu.models import load_model
@@ -128,6 +135,14 @@ def main():
         model, vis_processor=proc, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, decode_workers=args.decode_workers,
     )
+    if args.warmup:
+        secs = mr_server.warmup(
+            n_frms=args.n_frms, duration=args.warmup_duration
+        )
+        print(
+            f"warmup: {len(mr_server.batch_buckets)} bucket graphs ready "
+            f"in {secs:.0f}s", flush=True,
+        )
     httpd = make_httpd(mr_server, host=args.host, port=args.port)
 
     def _shutdown(signum, frame):

@@ -232,6 +232,24 @@ class TestServerBehavior:
         for i, g in enumerate(got):
             assert g["raw_prediction"] == want["raw_prediction"][i]
 
+    def test_warmup_compiles_buckets_without_touching_stats(self, model):
+        """warmup() drives one synthetic batch per bucket through
+        dispatch/collect: no stats pollution, and real traffic afterwards
+        still matches direct generate."""
+        reqs = [_request(i) for i in range(2)]
+        want = _expected(model, reqs)
+        with MomentRetrievalServer(
+            model, max_batch=2, max_wait_ms=5, batch_buckets=[1, 2]
+        ) as srv:
+            secs = srv.warmup(n_frms=2, image_size=28, duration=30.0)
+            assert secs >= 0.0
+            st = srv.stats()
+            assert st.submitted == 0 and st.completed == 0 and st.batches == 0
+            futs = [srv.submit(r) for r in reqs]
+            got = [f.result(timeout=240) for f in futs]
+        for i, g in enumerate(got):
+            assert g["raw_prediction"] == want["raw_prediction"][i]
+
     def test_stats_latency_quantiles(self, model):
         with MomentRetrievalServer(model, max_batch=2, max_wait_ms=5) as srv:
             futs = [srv.submit(_request(i)) for i in range(4)]
