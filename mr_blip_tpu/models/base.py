@@ -62,13 +62,17 @@ class BaseModel:
         """
         from flax import serialization, traverse_util
 
+        from mr_blip_tpu.models.scan_utils import match_scan_layout
+
+        target_state = serialization.to_state_dict(params)
         with open(path, "rb") as f:
-            loaded_flat = traverse_util.flatten_dict(
-                serialization.msgpack_restore(f.read())
-            )
-        params_flat = traverse_util.flatten_dict(
-            serialization.to_state_dict(params)
+            loaded = serialization.msgpack_restore(f.read())
+        # A flat-layout file loads over a scan-layout model and vice versa
+        # (per-layer subtrees are stacked/unstacked to match the target).
+        loaded_flat = traverse_util.flatten_dict(
+            match_scan_layout(loaded, target_state)
         )
+        params_flat = traverse_util.flatten_dict(target_state)
         missing = [k for k in params_flat if k not in loaded_flat]
         unexpected = [k for k in loaded_flat if k not in params_flat]
         if missing:

@@ -16,6 +16,7 @@ linears), ``qformer_freeze``, ``QA`` (adds the answerer T5),
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 from typing import Any, Dict
@@ -142,7 +143,13 @@ class BLIP2_MR(BaseModel):
         seed: int = 42,
         init_params: bool = True,
         vocab_size: int | None = None,
+        scan_layers: bool = True,
     ):
+        # scan_layers: run the ViT and T5 block stacks under nn.scan —
+        # one compiled block body per stack instead of a program linear in
+        # depth (cold compile of the XL train step: ~15 min unrolled).
+        # Params store per-layer leaves stacked on a leading axis; convert
+        # flat trees with models/scan_utils.stack_blip2_mr_params.
         self.task = task
         self.use_lora = "lora" in task
         # Full-T5 finetuning (no LoRA) trains the rel-pos embedding too; the
@@ -187,7 +194,11 @@ class BLIP2_MR(BaseModel):
             # reference default for unfrozen training (eva_vit.py:415);
             # the frozen flagship path never samples it (eval = identity)
             drop_path_rate=drop_path_rate if not freeze_vit else 0.0,
-        ) if vit_model == "eva_vit_g" else self.VIT_CONFIGS[vit_model](img_size=img_size)
+            scan_layers=scan_layers,
+        ) if vit_model == "eva_vit_g" else dataclasses.replace(
+            self.VIT_CONFIGS[vit_model](img_size=img_size),
+            scan_layers=scan_layers,
+        )
         qf_cfg = (
             qformer_base_config(vit_cfg.embed_dim, num_query_token)
             if vit_model == "eva_vit_g"
@@ -203,7 +214,9 @@ class BLIP2_MR(BaseModel):
             # O(N)-memory encoder rel-pos bias for long contexts
             # (ANet-120s+): the flash kernel computes it from the table
             relpos_in_kernel=relpos_in_kernel,
+            scan_layers=scan_layers,
         )
+        self.scan_layers = scan_layers
         self.int8_decode = int8_decode
         self.int8_base = int8_base
         if vocab_size is not None:
@@ -531,6 +544,7 @@ class BLIP2_MR(BaseModel):
                 min_new_tokens=self.min_new_tokens,
                 eos_token_id=eos, pad_token_id=pad,
                 decoder_start_token_id=start,
+                cache_layer_major=self.t5_config.scan_layers,
             )
 
         return generate_fn

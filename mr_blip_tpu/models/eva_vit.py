@@ -55,6 +55,12 @@ class ViTConfig:
     # (ops/int8_matmul.py). Params use the quantized layout; convert float
     # trees with models/quantize.quantize_vit_params. Inference only.
     int8_matmul: bool = False
+    # Run the depth-39 block stack under nn.scan (one compiled block body
+    # instead of a program linear in depth — cold compiles drop ~an order
+    # of magnitude). Params store per-layer leaves STACKED on a leading
+    # axis under "blocks" instead of "blocks_{i}" subtrees; convert with
+    # models/scan_utils.{stack,unstack}_vit_blocks.
+    scan_layers: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -63,11 +69,12 @@ class ViTConfig:
 
 def eva_vit_g_config(img_size: int = 224, use_checkpoint: bool = False,
                      fast_gelu: bool = False, int8_matmul: bool = False,
-                     drop_path_rate: float = 0.0) -> ViTConfig:
+                     drop_path_rate: float = 0.0,
+                     scan_layers: bool = False) -> ViTConfig:
     """EVA ViT-g/14: mlp_hidden = int(1408 * 4.3637) = 6144 (eva_vit.py:422-428)."""
     return ViTConfig(img_size=img_size, use_checkpoint=use_checkpoint,
                      fast_gelu=fast_gelu, int8_matmul=int8_matmul,
-                     drop_path_rate=drop_path_rate)
+                     drop_path_rate=drop_path_rate, scan_layers=scan_layers)
 
 
 from mr_blip_tpu.models.layers import QDenseParams as _QDenseParams  # noqa: E402 (moved to layers for T5 reuse)
@@ -219,16 +226,27 @@ class ViTBlock(nn.Module):
 
     bn: tuple | None = None  # (B, N) when int8 mode runs on 2D tokens
     n_valid: int | None = None  # real token count when N is sublane-padded
+    # nn.scan body form: return (x, None) so one block definition serves
+    # both the unrolled loop and the scan-over-layers path.
+    as_scan_body: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, drop_path_rate=None):
+        # drop_path_rate: optional traced per-layer override (the scan path
+        # feeds the stochastic-depth ramp as a scanned input; the unrolled
+        # path bakes it into the static ``drop_path`` attribute).
+        out = self._body(x, deterministic, drop_path_rate)
+        return (out, None) if self.as_scan_body else out
+
+    def _body(self, x, deterministic, drop_path_rate):
         cfg = self.config
         if cfg.int8_matmul:
             # 2D token flow. The int8 ViT may run inside a train step when
             # frozen (grads are stop-gradient-blocked at the params —
             # BLIP2_MR._loss_fn), but stochastic depth has no int8 path:
             # drop_path requires the float ViT.
-            assert deterministic or self.drop_path == 0.0, (
+            assert deterministic or (self.drop_path == 0.0
+                                     and drop_path_rate is None), (
                 "int8_matmul has no drop_path; train an unfrozen ViT with "
                 "float params"
             )
@@ -254,14 +272,14 @@ class ViTBlock(nn.Module):
             ViTAttention(cfg, self.compute_dtype, name="attn")(
                 LayerNormFP32(name="norm1")(x)
             ),
-            deterministic=deterministic,
+            deterministic=deterministic, rate=drop_path_rate,
         )
         mlp = Mlp(
             cfg.mlp_hidden_dim, compute_dtype=self.compute_dtype,
             approximate_gelu=cfg.fast_gelu, name="mlp",
         )
         x = x + dp(mlp(LayerNormFP32(name="norm2")(x)),
-                   deterministic=deterministic)
+                   deterministic=deterministic, rate=drop_path_rate)
         return x
 
 
@@ -324,17 +342,47 @@ class EvaViT(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, n_pad - n_tok), (0, 0)))
             # one flatten for the whole stack (see ViTAttention docstring)
             x = x.reshape(b * n_pad, cfg.embed_dim)
-        for i in range(cfg.depth):
-            rate = (
-                cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
-                if cfg.drop_path_rate else 0.0
-            )
-            x = block_cls(
-                cfg, self.compute_dtype, rate,
-                bn=(b, n_pad) if cfg.int8_matmul else None,
-                n_valid=n_tok if cfg.int8_matmul else None,
-                name=f"blocks_{i}",
-            )(x, deterministic)
+        bn = (b, n_pad) if cfg.int8_matmul else None
+        nv = n_tok if cfg.int8_matmul else None
+        if cfg.scan_layers:
+            # One compiled block body for the whole depth-39 stack; params
+            # live stacked under "blocks" (leading axis = depth). The
+            # stochastic-depth ramp rides along as a scanned input.
+            if cfg.int8_matmul:
+                # The W8A8 kernels emit bf16 whatever the input dtype; the
+                # scan carry must be type-invariant, so convert up front
+                # (the unrolled loop converts inside block 0 — the bf16
+                # rounding difference is below int8 quantization noise).
+                x = x.astype(jnp.bfloat16)
+            scan_in_axes = (nn.broadcast,)
+            args = (deterministic,)
+            if cfg.drop_path_rate:
+                rates = jnp.asarray(
+                    [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+                     for i in range(cfg.depth)], jnp.float32)
+                scan_in_axes = (nn.broadcast, 0)
+                args = (deterministic, rates)
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True,
+                            "drop_path": True},
+                in_axes=scan_in_axes,
+                length=cfg.depth,
+            )(cfg, self.compute_dtype, cfg.drop_path_rate,
+              bn=bn, n_valid=nv, as_scan_body=True, name="blocks")
+            x, _ = scanned(x, *args)
+        else:
+            for i in range(cfg.depth):
+                rate = (
+                    cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+                    if cfg.drop_path_rate else 0.0
+                )
+                x = block_cls(
+                    cfg, self.compute_dtype, rate,
+                    bn=bn, n_valid=nv,
+                    name=f"blocks_{i}",
+                )(x, deterministic)
         if cfg.int8_matmul:
             x = x.reshape(b, n_pad, cfg.embed_dim)
             if n_pad != n_tok and not cfg.keep_padded_tokens:

@@ -28,8 +28,16 @@ import jax.numpy as jnp
 NEG_INF = -1.0e7
 
 
-def _gather_beams(tree, beam_indices, batch_size, num_beams):
-    """Select beams: leaves have shape (B*K, ...) flattened; indices (B, K)."""
+def _gather_beams(tree, beam_indices, batch_size, num_beams,
+                  layer_major=False):
+    """Select beams: leaves have shape (B*K, ...) flattened; indices (B, K).
+
+    ``layer_major=True`` handles scan-over-layers caches
+    (T5Config.scan_layers), where cache leaves carry a leading LAYER axis:
+    cached_key/value are (L, B*K, max_len, inner) — the beam axis is axis 1
+    and selection is vmapped over layers. Shape-based dispatch alone would
+    be ambiguous there (L can equal B*K), hence the explicit flag.
+    """
 
     def gather(x):
         if x.ndim == 0:  # scalars (e.g. cache_index) are beam-invariant
@@ -47,7 +55,15 @@ def _gather_beams(tree, beam_indices, batch_size, num_beams):
         )
         return out.reshape((batch_size * num_beams,) + x.shape[2:])
 
-    return jax.tree.map(gather, tree)
+    def gather_layer_major(x):
+        # Stacked self-attn cache leaves: (L, B*K, ...) -> gather on the
+        # beam axis per layer. (L,)-shaped leaves (stacked cache_index)
+        # are beam-invariant.
+        if x.ndim <= 1 or x.shape[1] != batch_size * num_beams:
+            return x
+        return jax.vmap(gather)(x)
+
+    return jax.tree.map(gather_layer_major if layer_major else gather, tree)
 
 
 @dataclasses.dataclass
@@ -83,11 +99,14 @@ def beam_search(
     pad_token_id: int = 0,
     decoder_start_token_id: int = 0,
     length_penalty: float = 1.0,
+    cache_layer_major: bool = False,
 ):
     """Returns (sequences (B, L), scores (B,)) for the best beam.
 
     ``init_cache`` must already be expanded to batch*num_beams rows (use
     ``expand_to_beams`` on the encoder outputs before building it).
+    ``cache_layer_major``: the cache leaves carry a leading layer axis
+    (scan-over-layers decoders) — beams are gathered on axis 1.
     """
     kept_beams = num_beams
 
@@ -177,7 +196,8 @@ def beam_search(
             cand_seqs, alive_idx[:, :, None], axis=1
         )
         source_beams = jnp.take_along_axis(topk_beam, alive_idx, axis=1)  # (B, K)
-        new_cache = _gather_beams(new_cache, source_beams, batch_size, num_beams)
+        new_cache = _gather_beams(new_cache, source_beams, batch_size,
+                                  num_beams, layer_major=cache_layer_major)
 
         # 3) finished set: accepted EOS candidates merged into the pool.
         # Normalization counts start + pre-EOS tokens = cur_len + 1, matching

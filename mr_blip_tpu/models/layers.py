@@ -93,10 +93,13 @@ class DropPath(nn.Module):
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if deterministic or self.rate == 0.0:
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        # ``rate`` overrides the static attribute with a (possibly traced)
+        # per-layer value — the scan-over-layers path feeds the
+        # stochastic-depth ramp as a scanned input (eva_vit.py).
+        if deterministic or (rate is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - (self.rate if rate is None else rate)
         rng = self.make_rng("drop_path")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)

@@ -32,8 +32,10 @@ def quantize_dense(dense_tree):
     converting a device-resident tree)."""
     inner = dense_tree["Dense_0"]
     w = jnp.asarray(inner["kernel"], jnp.float32)
-    scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    # axis=-2 (the input dim) so stacked scan-layout kernels (L, in, out)
+    # quantize layerwise exactly like flat (in, out) ones
+    scale = jnp.maximum(jnp.abs(w).max(axis=-2), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     out = {k: v for k, v in dense_tree.items() if k != "Dense_0"}
     out["kernel_q"] = q
     out["kernel_scale"] = scale.astype(jnp.float32)
@@ -46,7 +48,7 @@ def dequantize_dense(qtree):
     """Inverse layout transform (float kernel reconstructed from int8)."""
     w = np.asarray(qtree["kernel_q"], np.float32) * np.asarray(
         qtree["kernel_scale"], np.float32
-    )
+    )[..., None, :]
     out = {k: v for k, v in qtree.items()
            if k not in ("kernel_q", "kernel_scale", "bias")}
     inner = {"kernel": jnp.asarray(w)}
@@ -64,7 +66,9 @@ def quantize_vit_params(vit_params):
     cls_token, pos_embed, LayerNorms, and the q/v bias vectors stay float."""
     out = dict(vit_params)
     for name, block in list(out.items()):
-        if not name.startswith("blocks_"):
+        # "blocks" = stacked scan layout (one subtree, leading layer axis);
+        # the per-channel quant math is identical, vectorized over layers.
+        if not (name.startswith("blocks_") or name == "blocks"):
             continue
         block = dict(block)
         attn = dict(block["attn"])
@@ -89,7 +93,7 @@ def _quantize_section_blocks(section):
     """Quantize every block_* Dense in an encoder/decoder param section."""
     sec = dict(section)
     for name, block in list(sec.items()):
-        if not name.startswith("block_"):
+        if not (name.startswith("block_") or name == "block"):
             continue
         block = dict(block)
         for attn_key in ("self_attention", "cross_attention"):
@@ -131,7 +135,7 @@ def quantize_t5_decoder_params(t5_params):
     out = dict(t5_params)
     dec = dict(t5_params["decoder"])
     for name, block in list(dec.items()):
-        if not name.startswith("block_"):
+        if not (name.startswith("block_") or name == "block"):
             continue
         block = dict(block)
         for attn_key in ("self_attention", "cross_attention"):
@@ -171,9 +175,9 @@ def merge_quantize_dense(dense_tree, lora_alpha: float = 8.0):
     if "lora_a" in dense_tree:
         a = jnp.asarray(dense_tree["lora_a"], jnp.float32)
         b = jnp.asarray(dense_tree["lora_b"], jnp.float32)
-        w = w + (a @ b) * (lora_alpha / a.shape[1])
-    scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        w = w + (a @ b) * (lora_alpha / a.shape[-1])
+    scale = jnp.maximum(jnp.abs(w).max(axis=-2), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     out = {"kernel_q": q, "kernel_scale": scale.astype(jnp.float32)}
     if "bias" in inner:
         out["bias"] = inner["bias"]
@@ -185,7 +189,7 @@ def _merged_float_kernel(dense_tree, lora_alpha):
     if "lora_a" in dense_tree:
         a = jnp.asarray(dense_tree["lora_a"], jnp.float32)
         b = jnp.asarray(dense_tree["lora_b"], jnp.float32)
-        w = w + (a @ b) * (lora_alpha / a.shape[1])
+        w = w + (a @ b) * (lora_alpha / a.shape[-1])
     return w
 
 
@@ -201,18 +205,18 @@ def quantize_t5_encoder_params(t5_params, lora_alpha: float = 8.0):
     out = dict(t5_params)
     enc = dict(t5_params["encoder"])
     for name, block in list(enc.items()):
-        if not name.startswith("block_"):
+        if not (name.startswith("block_") or name == "block"):
             continue
         block = dict(block)
         attn = dict(block["self_attention"])
         w = jnp.concatenate(
             [_merged_float_kernel(attn.pop(d), lora_alpha)
-             for d in ("q", "k", "v")], axis=1,
+             for d in ("q", "k", "v")], axis=-1,
         )
-        scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-8) / 127.0
+        scale = jnp.maximum(jnp.abs(w).max(axis=-2), 1e-8) / 127.0
         attn["qkv_packed"] = {
-            "kernel_q": jnp.clip(jnp.round(w / scale), -127, 127).astype(
-                jnp.int8),
+            "kernel_q": jnp.clip(jnp.round(w / scale[..., None, :]),
+                                 -127, 127).astype(jnp.int8),
             "kernel_scale": scale.astype(jnp.float32),
         }
         attn["o"] = merge_quantize_dense(attn["o"], lora_alpha)

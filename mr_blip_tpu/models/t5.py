@@ -92,6 +92,13 @@ class T5Config:
     # residual-only dropout; enable for bit-parity regularization at small
     # geometry or when dp/tp sharding provides the headroom.
     attn_weight_dropout: bool = False
+    # Run the encoder/decoder block stacks under nn.scan (one compiled
+    # block body instead of a program linear in depth — cold compiles drop
+    # ~an order of magnitude). Params store per-layer leaves STACKED on a
+    # leading axis under "block" instead of "block_{i}" subtrees; convert
+    # with models/scan_utils.{stack,unstack}_t5_blocks. The decode cache
+    # stacks the same way (generation gathers beams on axis 1 then).
+    scan_layers: bool = False
 
 
 def t5_flan_xl_config(**kw) -> T5Config:
@@ -457,6 +464,9 @@ class T5Block(nn.Module):
     decode_cache_len: int = 0
     quantize_dense: bool = False
     w8a8: bool = False
+    # nn.scan body form: return (x, None) so one block definition serves
+    # both the unrolled loop and the scan-over-layers path.
+    as_scan_body: bool = False
 
     @nn.compact
     def __call__(
@@ -473,6 +483,12 @@ class T5Block(nn.Module):
         # NOTE: argument order is load-bearing — nn.remat wraps this with
         # static_argnums=(6, 7) for (decode, deterministic) (arg 0 = module);
         # relpos_table must stay AFTER them (it is a traced pytree leaf).
+        out = self._body(x, encoder_states, self_mask, cross_mask,
+                         position_bias, decode, deterministic, relpos_table)
+        return (out, None) if self.as_scan_body else out
+
+    def _body(self, x, encoder_states, self_mask, cross_mask, position_bias,
+              decode, deterministic, relpos_table):
         cfg = self.config
         drop = (
             (lambda y: nn.Dropout(rate=cfg.dropout_rate)(y, deterministic=deterministic))
@@ -568,14 +584,32 @@ class T5Encoder(nn.Module):
             # keep only block boundaries; the fp32 attention logits
             # (H x N x N per layer) are recomputed in the backward
             block_cls = nn.remat(T5Block, static_argnums=(6, 7))
-        for i in range(cfg.num_layers):
-            x = block_cls(
-                cfg, causal=False, has_cross_attention=False,
-                compute_dtype=self.compute_dtype,
-                quantize_dense=cfg.int8_base, w8a8=cfg.int8_encoder,
-                name=f"block_{i}",
-            )(x, None, attn_mask, None, position_bias,
-              False, deterministic, relpos_table)
+        if cfg.scan_layers:
+            if cfg.int8_encoder:
+                # W8A8 kernels emit bf16 whatever the input dtype; the scan
+                # carry must be type-invariant (see eva_vit.py).
+                x = x.astype(jnp.bfloat16)
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 7,
+                length=cfg.num_layers,
+            )(cfg, causal=False, has_cross_attention=False,
+              compute_dtype=self.compute_dtype,
+              quantize_dense=cfg.int8_base, w8a8=cfg.int8_encoder,
+              as_scan_body=True, name="block")
+            x, _ = scanned(x, None, attn_mask, None, position_bias,
+                           False, deterministic, relpos_table)
+        else:
+            for i in range(cfg.num_layers):
+                x = block_cls(
+                    cfg, causal=False, has_cross_attention=False,
+                    compute_dtype=self.compute_dtype,
+                    quantize_dense=cfg.int8_base, w8a8=cfg.int8_encoder,
+                    name=f"block_{i}",
+                )(x, None, attn_mask, None, position_bias,
+                  False, deterministic, relpos_table)
         x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
         if cfg.dropout_rate > 0.0:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
@@ -626,18 +660,37 @@ class T5Decoder(nn.Module):
         block_cls = T5Block
         if cfg.use_remat and not decode:
             block_cls = nn.remat(T5Block, static_argnums=(6, 7))
-        for i in range(cfg.num_decoder_layers):
-            x = block_cls(
-                cfg, causal=True, has_cross_attention=True,
-                compute_dtype=self.compute_dtype,
-                decode_cache_len=self.decode_cache_len,
-                quantize_dense=cfg.int8_decode or cfg.int8_base,
-                name=f"block_{i}",
-            )(
-                x, encoder_states, self_mask,
-                cross_mask, position_bias,
-                decode, deterministic,
-            )
+        if cfg.scan_layers:
+            # The decode cache stacks per layer too (variable_axes cache=0):
+            # self-attn cache leaves become (L, B*K, max_len, inner), so
+            # beam gathering selects on axis 1 (generation.py
+            # cache_layer_major).
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0, "cache": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 6,
+                length=cfg.num_decoder_layers,
+            )(cfg, causal=True, has_cross_attention=True,
+              compute_dtype=self.compute_dtype,
+              decode_cache_len=self.decode_cache_len,
+              quantize_dense=cfg.int8_decode or cfg.int8_base,
+              as_scan_body=True, name="block")
+            x, _ = scanned(x, encoder_states, self_mask, cross_mask,
+                           position_bias, decode, deterministic)
+        else:
+            for i in range(cfg.num_decoder_layers):
+                x = block_cls(
+                    cfg, causal=True, has_cross_attention=True,
+                    compute_dtype=self.compute_dtype,
+                    decode_cache_len=self.decode_cache_len,
+                    quantize_dense=cfg.int8_decode or cfg.int8_base,
+                    name=f"block_{i}",
+                )(
+                    x, encoder_states, self_mask,
+                    cross_mask, position_bias,
+                    decode, deterministic,
+                )
         x = RMSNormFP32(epsilon=cfg.layer_norm_epsilon, name="final_norm")(x)
         if cfg.dropout_rate > 0.0:
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)

@@ -38,8 +38,12 @@ def stack_block_params(section, num_layers: int, n_stages: int):
     """
     assert num_layers % n_stages == 0, (
         f"{num_layers} layers do not split into {n_stages} stages")
-    blocks = [section[f"block_{i}"] for i in range(num_layers)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    if "block" in section:
+        # scan layout: already stacked on a leading layer axis
+        stacked = section["block"]
+    else:
+        blocks = [section[f"block_{i}"] for i in range(num_layers)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     per = num_layers // n_stages
     return jax.tree.map(
         lambda a: a.reshape((n_stages, per) + a.shape[1:]), stacked

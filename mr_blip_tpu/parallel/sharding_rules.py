@@ -26,8 +26,13 @@ _COLUMN_PARALLEL = ("q", "k", "v", "wi", "wi_0", "wi_1", "lm_head",
 _ROW_PARALLEL = ("o", "wo", "out_proj", "fc2")
 
 
-def param_spec(path) -> P:
-    """PartitionSpec for one parameter, from its pytree path."""
+def param_spec(path, ndim: int = 2) -> P:
+    """PartitionSpec for one parameter, from its pytree path.
+
+    ``ndim``: rank of the leaf — scan-over-layers kernels carry a leading
+    layer axis (L, in, out), so the tp axis is always counted from the
+    BACK (column-parallel shards the last dim, row-parallel the
+    second-to-last)."""
     keys = [str(getattr(p, "key", p)) for p in path]
     leaf = keys[-1]
     if leaf != "kernel" or "lora_" in str(keys):
@@ -35,9 +40,9 @@ def param_spec(path) -> P:
     # the Dense module name sits right above Dense_0/kernel
     owner = keys[-3] if len(keys) >= 3 else ""
     if owner in _COLUMN_PARALLEL:
-        return P(None, "tp")
+        return P(*([None] * (ndim - 1) + ["tp"]))
     if owner in _ROW_PARALLEL:
-        return P("tp", None)
+        return P(*([None] * (ndim - 2) + ["tp", None]))
     return P()
 
 
@@ -45,11 +50,11 @@ def shard_params(params, mesh: Mesh):
     """Place a param tree on the mesh according to the TP rules."""
 
     def place(path, leaf):
-        spec = param_spec(path)
+        spec = param_spec(path, ndim=getattr(leaf, "ndim", 2))
         # guard: only shard dims that divide the mesh axis
         if spec != P():
             tp = mesh.shape["tp"]
-            dim = 1 if spec == P(None, "tp") else 0
+            dim = spec.index("tp")
             if leaf.shape[dim] % tp != 0:
                 spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
@@ -62,7 +67,7 @@ def describe_sharding(params, mesh: Mesh) -> dict:
     out = {}
 
     def fn(path, leaf):
-        spec = param_spec(path)
+        spec = param_spec(path, ndim=getattr(leaf, "ndim", 2))
         if spec != P():
             out["/".join(str(getattr(p, "key", p)) for p in path)] = str(spec)
         return leaf

@@ -82,6 +82,16 @@ def main():
     )
     params = jax.tree.map(lambda x: __import__("numpy").asarray(x), model.params)
 
+    # The port functions naturally produce the flat (per-layer) layout;
+    # merge in flat space, restack at the end for scan models.
+    from mr_blip_tpu.models.scan_utils import (
+        stack_blip2_mr_params, unstack_blip2_mr_params,
+    )
+
+    scan = bool(getattr(model, "scan_layers", False))
+    if scan:
+        params = unstack_blip2_mr_params(params)
+
     if args.eva_vit:
         sd = port.load_torch_state_dict(args.eva_vit)
         params = port.merge_subtree(params, port.port_eva_vit(sd), "visual_encoder")
@@ -118,10 +128,16 @@ def main():
         answerer = tree.pop("answerer_t5", None)
         params = port.merge_subtree(params, tree, "")
         if answerer is not None and getattr(model, "answerer_params", None) is not None:
-            model.answerer_params = port.merge_subtree(
-                model.answerer_params, answerer, "t5"
+            ans = model.answerer_params
+            if scan:
+                ans = unstack_blip2_mr_params(ans)
+            ans = port.merge_subtree(ans, answerer, "t5")
+            model.answerer_params = (
+                stack_blip2_mr_params(ans) if scan else ans
             )
 
+    if scan:
+        params = stack_blip2_mr_params(params)
     model.save_params(params, args.output)
     logging.info("wrote %s", args.output)
 

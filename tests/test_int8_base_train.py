@@ -89,7 +89,7 @@ def test_int8_base_train_step(model):
     assert losses[-1] < losses[0]  # LoRA is learning through the int8 base
 
     # int8 kernels untouched; a LoRA leaf moved
-    blk = "block_0"
+    blk = "block" if "block" in m.params["t5"]["encoder"] else "block_0"
     q0 = m.params["t5"]["encoder"][blk]["self_attention"]["q"]
     q1 = state.params["t5"]["encoder"][blk]["self_attention"]["q"]
     np.testing.assert_array_equal(np.asarray(q0["kernel_q"]),
@@ -102,7 +102,9 @@ def test_quantize_t5_params_layout(model):
     from mr_blip_tpu.models.quantize import quantize_t5_params
 
     t5q = quantize_t5_params(model.params["t5"])
-    enc = t5q["encoder"]["block_0"]["self_attention"]["q"]
+    enc_sec = t5q["encoder"]
+    enc = (enc_sec["block"] if "block" in enc_sec else enc_sec["block_0"])[
+        "self_attention"]["q"]
     assert "kernel_q" in enc and "kernel_scale" in enc
     assert "lora_a" in enc and "lora_b" in enc  # deltas preserved, float
     assert "Dense_0" not in enc

@@ -119,7 +119,9 @@ class TestBlip2MRInt8Wiring:
         model.quantize_for_decode()
         assert model.t5_config.int8_decode
         # decoder kernels really are int8 now
-        q = model.params["t5"]["decoder"]["block_0"]["self_attention"]["q"]
+        dec = model.params["t5"]["decoder"]
+        q = (dec["block"] if "block" in dec else dec["block_0"])[
+            "self_attention"]["q"]
         assert q["kernel_q"].dtype == jnp.int8 and "kernel_scale" in q
         out = model.generate(samples)
         assert set(out.keys()) == set(float_out.keys())

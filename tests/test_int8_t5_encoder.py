@@ -186,7 +186,9 @@ class TestBlip2MRQuantizeInference:
         float_out = model.generate(samples)
         model.quantize_encoder()
         assert model.t5_config.int8_encoder
-        attn = model.params["t5"]["encoder"]["block_0"]["self_attention"]
+        enc = model.params["t5"]["encoder"]
+        attn = (enc["block"] if "block" in enc else enc["block_0"])[
+            "self_attention"]
         assert attn["qkv_packed"]["kernel_q"].dtype == jnp.int8
         int8_out = model.generate(samples)
         assert isinstance(int8_out["prediction"][0], str)

@@ -209,7 +209,10 @@ class TestBlip2MRQuantizeViT:
         float_out = model.generate(samples)
         model.quantize_vit()
         assert model.vit_config.int8_matmul
-        q = model.params["visual_encoder"]["blocks_0"]["attn"]["qkv"]
+        vit = model.params["visual_encoder"]
+        # default flagship layout is scan (stacked "blocks")
+        q = (vit["blocks"] if "blocks" in vit else vit["blocks_0"])[
+            "attn"]["qkv"]
         assert q["kernel_q"].dtype == jnp.int8
         int8_out = model.generate(samples)  # runs through the rebuilt module
         assert isinstance(int8_out["prediction"][0], str)

@@ -157,9 +157,14 @@ def test_full_assembly_zero_skipped(tmp_path, hf_t5_and_lora, caplog):
     from mr_blip_tpu.models import load_model
 
     model = load_model("blip2_mr", "tiny")
-    before = model.params["t5"]["encoder"]["block_0"]["self_attention"]["q"]
+    def _q(p):
+        enc = p["t5"]["encoder"]
+        return (enc["block"] if "block" in enc else enc["block_0"])[
+            "self_attention"]["q"]
+
+    before = _q(model.params)
     model.params = model.load_params_nonstrict(model.params, str(out))
-    after = model.params["t5"]["encoder"]["block_0"]["self_attention"]["q"]
+    after = _q(model.params)
     assert not np.allclose(np.asarray(before["Dense_0"]["kernel"]),
                            np.asarray(after["Dense_0"]["kernel"]))
     assert np.any(np.asarray(after["lora_a"]) != 0)
