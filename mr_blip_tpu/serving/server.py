@@ -154,6 +154,7 @@ class MomentRetrievalServer:
         # queues on host and is staged when dispatched instead
         self.max_staged = int(max_staged)
         self._staged = 0
+        self._expected_t: Optional[int] = None  # n_frms fixed by request #1
         self.pipeline_depth = max(1, int(pipeline_depth))
         if batch_buckets is None:
             batch_buckets = sorted({1, 2, 4, self.max_batch})
@@ -195,11 +196,14 @@ class MomentRetrievalServer:
     def submit(self, req: MRRequest) -> Future:
         """Enqueue one request; the future resolves to the per-request
         result dict ``{prediction, raw_prediction, qid, duration}``."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         fut: Future = Future()
         req._t_submit = time.monotonic()
         with self._lock:
+            # closed-check under the same lock close() takes: a submit
+            # racing close() can otherwise slip past the device loop's
+            # final drain check and leave its future pending forever.
+            if self._closed:
+                raise RuntimeError("server is closed")
             self._submitted += 1
             if self._t_first_submit is None:
                 self._t_first_submit = req._t_submit
@@ -216,11 +220,15 @@ class MomentRetrievalServer:
                 with self._lock:
                     self._failed += 1
                 return fut
+            # _decoding counts in-flight decodes on BOTH paths — the
+            # inline one too, or its finally-decrement underflows the
+            # counter and the device loop's drain condition
+            # (_decoding == 0) never holds again.
+            with self._lock:
+                self._decoding += 1
             if self._decode_pool is None:
                 self._decode_and_enqueue(req, fut)
             else:
-                with self._lock:
-                    self._decoding += 1
                 self._decode_pool.submit(self._decode_and_enqueue, req, fut)
         else:
             self._enqueue(req, fut)
@@ -349,6 +357,21 @@ class MomentRetrievalServer:
             req.timestamps = np.linspace(
                 0.0, float(req.duration), t, endpoint=False
             )
+        # Per-request n_frms validation BEFORE staging: one odd-shaped
+        # request must fail alone (not take down its whole co-batched
+        # dispatch) and must never hold a staged-HBM slot.
+        t = int(req.video.shape[0])
+        with self._lock:
+            if self._expected_t is None:
+                self._expected_t = t
+            expected = self._expected_t
+        if t != expected:
+            with self._lock:
+                self._failed += 1
+            fut.set_exception(ValueError(
+                f"request n_frms={t} != server n_frms={expected} "
+                "(all requests in one server share the frame count)"))
+            return
         if self.stage_to_device:
             # async H2D now; the transfer overlaps earlier batches' compute.
             # Skip arrays that are already on device — np.ascontiguousarray
@@ -365,6 +388,14 @@ class MomentRetrievalServer:
                         np.ascontiguousarray(req.video))
                     req._staged_by_server = True
         with self._lock:
+            if self._closed and not self._device_thread.is_alive():
+                # raced close(): the device loop already finished its final
+                # drain, so nothing would ever collect this future.
+                self._failed += 1
+                if getattr(req, "_staged_by_server", False):
+                    self._staged -= 1
+                fut.set_exception(RuntimeError("server is closed"))
+                return
             self._queue.append((req, fut))
         self._wakeup.set()
 
@@ -405,26 +436,32 @@ class MomentRetrievalServer:
         # property the mesh-generate parity test locks).
         pad = [reqs[-1]] * (bucket - n_real)
         rows = reqs + pad
-        t_counts = {r.video.shape[0] for r in rows}
-        if len(t_counts) != 1:
-            raise ValueError(
-                f"all requests in one server must share n_frms, got {t_counts}"
-            )
-        if self.stage_to_device:
-            import jax.numpy as jnp
+        # mixed n_frms is rejected per request at _enqueue time; this is a
+        # can't-happen guard, inside try so staged slots release regardless
+        try:
+            t_counts = {r.video.shape[0] for r in rows}
+            assert len(t_counts) == 1, (
+                f"mixed n_frms in one dispatch: {t_counts}")
+            if self.stage_to_device:
+                import jax.numpy as jnp
 
-            # rows past the max_staged HBM cap are still host np arrays;
-            # jnp.stack uploads them here (inside the dispatch, like the
-            # pre-staging-era path — the cap trades overlap for HBM)
-            video = jnp.stack([r.video for r in rows])  # device-side stack
+                # rows past the max_staged HBM cap are still host np
+                # arrays; jnp.stack uploads them here (inside the dispatch,
+                # like the pre-staging-era path — the cap trades overlap
+                # for HBM)
+                video = jnp.stack([r.video for r in rows])  # device stack
+            else:
+                video = np.stack([r.video for r in rows])
+        finally:
+            # ALWAYS release staged-HBM slots for this dispatch — a raise
+            # above must not shrink the staging budget forever
             released = sum(
                 1 for r, _ in entries
                 if getattr(r, "_staged_by_server", False)
             )
-            with self._lock:
-                self._staged -= released
-        else:
-            video = np.stack([r.video for r in rows])
+            if released:
+                with self._lock:
+                    self._staged -= released
         return {
             "video": video,
             "timestamps": np.stack(

@@ -196,6 +196,30 @@ class TestServerBehavior:
         st = srv.stats()
         assert st.failed == 1 and st.completed == 1
 
+    def test_mixed_n_frms_fails_only_the_offender(self, model):
+        """A request with a different frame count is rejected ALONE at
+        enqueue time (co-batched futures unaffected) and never holds a
+        staged-HBM slot (ADVICE r4: the old batch-time check failed the
+        whole dispatch and leaked _staged)."""
+        with MomentRetrievalServer(model, max_batch=4, max_wait_ms=5) as srv:
+            good = [srv.submit(_request(i)) for i in range(2)]  # t=2
+            bad_req = MRRequest(query="odd", duration=30.0,
+                                video=_frames(t=3, seed=9), qid="odd")
+            bad = srv.submit(bad_req)
+            with pytest.raises(ValueError, match="n_frms"):
+                bad.result(timeout=30)
+            for f in good:
+                assert "prediction" in f.result(timeout=240)
+        st = srv.stats()
+        assert st.failed == 1 and st.completed == 2
+        assert srv._staged == 0  # the rejected request held no slot
+
+    def test_submit_after_close_raises(self, model):
+        srv = MomentRetrievalServer(model, max_batch=2, max_wait_ms=5)
+        srv.close(drain=True)
+        with pytest.raises(RuntimeError):
+            srv.submit(_request(0))
+
     def test_close_drains(self, model):
         srv = MomentRetrievalServer(model, max_batch=4, max_wait_ms=5000)
         futs = [srv.submit(_request(i)) for i in range(2)]
