@@ -433,7 +433,19 @@ class RunnerBase:
 
     def save_preemption_checkpoint(self, cur_epoch):
         """Resume state at the preemption step boundary (rank 0), then
-        drain async orbax writes so nothing is lost to the grace window."""
+        drain async orbax writes so nothing is lost to the grace window.
+
+        Resume semantics (epoch granularity, like the reference's
+        runner_base.py:622-644 resume): the interrupted epoch RE-RUNS from
+        its first batch. The LR schedule does NOT drift — lr is computed
+        from (cur_epoch, inner_step) (common/optims.py), so every batch
+        re-trains at the lr it would have had. What the re-run does cost:
+        the first K batches' updates are applied twice (with Adam moments
+        warm from the preempted pass), and the optax step count keeps
+        increasing, which only affects Adam bias correction (negligible
+        outside the first ~100 steps). Exact-batch resume would need the
+        loader's RNG/iterator state checkpointed too; documented trade-off.
+        """
         path = None
         if dist_utils.is_main_process():
             path = self._write_resume_state(cur_epoch, epoch_complete=False)
