@@ -287,6 +287,55 @@ class BLIP2_MR_OPT(BLIP2_MR):
 
     __call__ = forward
 
+    def logits_to_moments(self, logits):
+        """Teacher-forced logit readout -> per-sample moment lists.
+
+        Covers reference ``blip2_mr_opt.py:964-978`` (``logits_to_moments``):
+        greedy-argmax the vocab axis, decode, keep the text between the
+        first and second ``</s>`` (the decoder-only prompt echoes before the
+        first EOS; the span prediction follows it), then run the shared
+        span grammar (``text/span_grammar.py`` — the same regex set as the
+        reference's class-local ``post_process``/``moment_str_to_list``,
+        :980-1093). Two deliberate divergences: (a) a decode with no
+        ``</s>`` at all maps to ``[[-1, -1]]`` instead of raising
+        IndexError (the reference's own ``# TODO: handle the case where
+        the </s> token is not part of the string``); (b) the reference's
+        class-local copies carry two live typos the shared ``utils.py``
+        versions don't: ``moment_str_to_list``'s ``if isinstance(i, int)``
+        (``:1086`` — always true, zeroing EVERY window to ``[-1, -1]``;
+        commented out in ``utils.py:334-339``) and ``post_process``'s
+        window split on ``re.split(r"\\s+(?=\\])")`` (``:1011`` —
+        lookahead on ``]`` instead of ``[``, so multi-window strings
+        never split; ``utils.py:47`` uses ``(?=\\[)``). We follow the
+        intended (utils.py / T5-flagship) semantics; parity is pinned in
+        ``tests/test_opt_variant.py::TestLogitsToMoments``.
+
+        Args:
+            logits: ``(B, T, vocab)`` array (jnp or np).
+        Returns:
+            list of per-sample moment lists, e.g. ``[[[0.0, 1.5]], ...]``.
+        """
+        from mr_blip_tpu.text.span_grammar import moment_str_to_list
+
+        ids = np.asarray(jnp.argmax(jnp.asarray(logits), axis=2))
+        pred_strings = self.tokenizer.batch_decode(ids)
+        moments = []
+        for s in pred_strings:
+            parts = s.split("</s>")
+            seg = parts[1] if len(parts) > 1 else ""
+            moments.append(moment_str_to_list(self.post_process(seg)))
+        return moments
+
+    @staticmethod
+    def compute_IoU(pred, target):
+        """Single-window IoU with the reference's exact conventions
+        (``blip2_mr_opt.py:1094-1131``): disjoint windows short-circuit
+        both overlap and union to 0, so the IoU of non-overlapping windows
+        is 0 (never 0/positive-union). Shared impl: metrics/simple.py."""
+        from mr_blip_tpu.metrics.simple import compute_IoU as _iou
+
+        return _iou(pred, target)
+
     @functools.cached_property
     def _jit_opt_generate(self):
         base_module = self.module
