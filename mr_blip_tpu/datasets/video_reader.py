@@ -28,6 +28,16 @@ def _lib():
     lib = ctypes.CDLL(build())
     lib.vd_open.restype = ctypes.c_void_p
     lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.vd_open_ex.restype = ctypes.c_void_p
+    lib.vd_open_ex.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vd_pts_cache_size.restype = ctypes.c_longlong
+    lib.vd_pts_cache_size.argtypes = []
+    lib.vd_pts_cache_clear.argtypes = []
+    lib.vd_has_pts_map.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+    ]
     lib.vd_info.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_double),
@@ -152,9 +162,15 @@ class SyntheticVideo:
 
 
 class VideoReader:
-    """Native FFmpeg-backed reader; one handle per (path, size)."""
+    """Native FFmpeg-backed reader; one handle per (path, size).
 
-    def __init__(self, uri: str, width: int = -1, height: int = -1):
+    ``fast_scale=True`` selects SWS_FAST_BILINEAR over SWS_BICUBIC for the
+    RGB rescale — an option for decode-bound eval hosts (quality delta
+    gated by tests/test_video_decode.py::test_fast_scale_quality).
+    """
+
+    def __init__(self, uri: str, width: int = -1, height: int = -1,
+                 fast_scale: bool = False):
         m = _SYNTH_RE.match(str(uri))
         if m:
             self._impl = SyntheticVideo(
@@ -166,7 +182,8 @@ class VideoReader:
             return
         self._impl = None
         lib = _lib()
-        self._native = lib.vd_open(str(uri).encode(), width, height)
+        self._native = lib.vd_open_ex(str(uri).encode(), width, height,
+                                      1 if fast_scale else 0)
         if not self._native:
             raise IOError(f"cannot open video: {uri}")
         fps = ctypes.c_double()
@@ -254,6 +271,16 @@ class VideoReader:
         if ticket <= 0:
             raise IOError(f"vpool_submit_window failed: {ticket}")
         return DecodeTicket(ticket, out, self, n_out=n_out)
+
+    def pts_map_info(self):
+        """(has_exact_map, n_keyframes) — whether this handle indexes via
+        the demux-built pts map (vs avg-fps arithmetic) and how many seek
+        points it knows. Diagnostic for the gating/caching logic."""
+        if self._impl:
+            return (False, 0)
+        nk = ctypes.c_longlong()
+        has = _lib().vd_has_pts_map(self._native, ctypes.byref(nk))
+        return (has == 1, int(nk.value))
 
     def close(self):
         if self._native:

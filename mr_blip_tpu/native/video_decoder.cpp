@@ -24,12 +24,15 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <sys/stat.h>
+
 #include <algorithm>
 #include <condition_variable>
 #include <cstring>
 #include <deque>
 #include <mutex>
 #include <numeric>
+#include <string>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -52,7 +55,37 @@ struct VideoHandle {
   // Exact frame-index -> pts table (sorted), built by a demux-only scan at
   // open. Empty => fall back to the avg-fps arithmetic mapping.
   std::vector<int64_t> pts_map;
+  // Seek-point (keyframe packet) pts, sorted — the subset of pts_map whose
+  // packets carried AV_PKT_FLAG_KEY. Lets the batch decoder decide EXACTLY
+  // when a seek skips decode work: if the last keyframe at/before the
+  // target is ahead of the current position, seeking jumps over every
+  // intermediate frame of the current GOP run instead of decoding through
+  // it (the old heuristic decoded up to 4*fps frames per gap).
+  std::vector<int64_t> key_pts;
 };
+
+// ------------------------------------------------------------- pts-map cache
+// The async pool and the eval loaders reopen the same clip many times (one
+// handle per in-flight job); the demux scan is per-open latency that is
+// identical every time. Cache (path, size, mtime) -> (pts_map, key_pts),
+// bounded FIFO. (ADVICE r4: "consider caching the map per path".)
+
+struct PtsMapEntry {
+  std::vector<int64_t> pts;
+  std::vector<int64_t> keys;
+};
+
+std::mutex g_pts_cache_mu;
+std::unordered_map<std::string, PtsMapEntry> g_pts_cache;
+std::deque<std::string> g_pts_cache_order;
+constexpr size_t kPtsCacheCap = 256;
+
+std::string pts_cache_key(const char* path) {
+  struct stat st;
+  if (stat(path, &st) != 0) return {};
+  return std::string(path) + "|" + std::to_string((long long)st.st_size) +
+         "|" + std::to_string((long long)st.st_mtime);
+}
 
 double stream_fps(AVStream* st) {
   AVRational r = st->avg_frame_rate;
@@ -119,22 +152,84 @@ int64_t time_to_index(VideoHandle* h, double t) {
 // mp4 whose demuxer-computed avg fps was 1200/119 instead of 10 shifted
 // every decoded frame past #60 by one. Demux-only costs ~us/packet (a
 // 150 s QVH clip is ~4.5k packets); codec state is untouched.
-void build_pts_map(VideoHandle* h) {
+// The map assumes one displayed frame per demuxed packet. That holds for
+// the codecs video datasets actually ship (H.264/HEVC/MPEG-4/2/1, MJPEG,
+// VP8) but NOT for VP9/AV1, whose alt-ref/hidden frames arrive as packets
+// that display nothing — an uncorrectable over-count that would silently
+// shift every frame index (ADVICE r4). For unsafe codecs the map is kept
+// only when the container's own nb_frames confirms the packet count.
+bool pts_map_codec_safe(AVCodecID id) {
+  switch (id) {
+    case AV_CODEC_ID_H264:
+    case AV_CODEC_ID_HEVC:
+    case AV_CODEC_ID_MPEG4:
+    case AV_CODEC_ID_MPEG2VIDEO:
+    case AV_CODEC_ID_MPEG1VIDEO:
+    case AV_CODEC_ID_MJPEG:
+    case AV_CODEC_ID_VP8:
+      return true;
+    default:
+      return false;
+  }
+}
+
+void build_pts_map(VideoHandle* h, const char* path) {
+  const std::string ck = pts_cache_key(path);
+  if (!ck.empty()) {
+    std::lock_guard<std::mutex> lk(g_pts_cache_mu);
+    auto it = g_pts_cache.find(ck);
+    if (it != g_pts_cache.end()) {
+      h->pts_map = it->second.pts;
+      h->key_pts = it->second.keys;
+      if (!h->pts_map.empty()) h->nframes = (int64_t)h->pts_map.size();
+      return;  // demuxer is already at file start — no rewind needed
+    }
+  }
   AVPacket* pkt = av_packet_alloc();
-  std::vector<int64_t> pts;
+  std::vector<int64_t> pts, keys;
   while (av_read_frame(h->fmt, pkt) >= 0) {
     if (pkt->stream_index == h->stream_index) {
       int64_t p = pkt->pts == AV_NOPTS_VALUE ? pkt->dts : pkt->pts;
-      if (p != AV_NOPTS_VALUE) pts.push_back(p);
+      if (p != AV_NOPTS_VALUE) {
+        pts.push_back(p);
+        if (pkt->flags & AV_PKT_FLAG_KEY) keys.push_back(p);
+      }
     }
     av_packet_unref(pkt);
   }
   av_packet_free(&pkt);
   std::sort(pts.begin(), pts.end());
   pts.erase(std::unique(pts.begin(), pts.end()), pts.end());
-  if (!pts.empty()) {
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+
+  AVStream* st = h->fmt->streams[h->stream_index];
+  int64_t container_n = st->nb_frames;
+  bool verified = container_n > 0 && (int64_t)pts.size() == container_n;
+  bool keep = !pts.empty() &&
+              (pts_map_codec_safe(st->codecpar->codec_id)
+                   // safe codec: a disagreeing container count is a red
+                   // flag (field-coded or broken stream) — drop to the
+                   // fps-arithmetic fallback rather than index wrongly
+                   ? (container_n <= 0 || verified)
+                   // unsafe codec (VP9/AV1 alt-ref risk): keep only when
+                   // the container confirms packet count == frame count
+                   : verified);
+  if (keep) {
     h->pts_map = std::move(pts);
+    h->key_pts = std::move(keys);
     h->nframes = (int64_t)h->pts_map.size();
+    if (!ck.empty()) {
+      std::lock_guard<std::mutex> lk(g_pts_cache_mu);
+      if (g_pts_cache.emplace(ck, PtsMapEntry{h->pts_map, h->key_pts})
+              .second) {
+        g_pts_cache_order.push_back(ck);
+        while (g_pts_cache_order.size() > kPtsCacheCap) {
+          g_pts_cache.erase(g_pts_cache_order.front());
+          g_pts_cache_order.pop_front();
+        }
+      }
+    }
   }
   // Rewind the demuxer for the decode phase.
   av_seek_frame(h->fmt, h->stream_index,
@@ -191,7 +286,10 @@ int seek_to_index(VideoHandle* h, int64_t index) {
 
 extern "C" {
 
-void* vd_open(const char* path, int out_w, int out_h) {
+// flags bit 0: SWS_FAST_BILINEAR scaling instead of SWS_BICUBIC — an eval
+// loader option (decode-bound hosts); quality gated by
+// tests/test_video_decode.py::test_fast_scale_quality.
+void* vd_open_ex(const char* path, int out_w, int out_h, int flags) {
   av_log_set_level(AV_LOG_ERROR);
   auto* h = new VideoHandle();
   if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) goto fail;
@@ -220,19 +318,46 @@ void* vd_open(const char* path, int out_w, int out_h) {
     h->out_h = out_h > 0 ? out_h : h->codec->height;
     h->sws = sws_getContext(h->codec->width, h->codec->height,
                             h->codec->pix_fmt, h->out_w, h->out_h,
-                            AV_PIX_FMT_RGB24, SWS_BICUBIC, nullptr, nullptr,
-                            nullptr);
+                            AV_PIX_FMT_RGB24,
+                            (flags & 1) ? SWS_FAST_BILINEAR : SWS_BICUBIC,
+                            nullptr, nullptr, nullptr);
     if (!h->sws) goto fail;
     h->frame = av_frame_alloc();
     h->rgb = av_frame_alloc();
     h->pkt = av_packet_alloc();
-    build_pts_map(h);
+    build_pts_map(h, path);
   }
   return h;
 fail:
   if (h->fmt) avformat_close_input(&h->fmt);
   delete h;
   return nullptr;
+}
+
+void* vd_open(const char* path, int out_w, int out_h) {
+  return vd_open_ex(path, out_w, out_h, 0);
+}
+
+// Test/introspection hooks for the pts-map cache.
+long long vd_pts_cache_size() {
+  std::lock_guard<std::mutex> lk(g_pts_cache_mu);
+  return (long long)g_pts_cache.size();
+}
+
+void vd_pts_cache_clear() {
+  std::lock_guard<std::mutex> lk(g_pts_cache_mu);
+  g_pts_cache.clear();
+  g_pts_cache_order.clear();
+}
+
+// Whether a handle runs on the exact demux-built pts map (vs the avg-fps
+// arithmetic fallback) and how many seek points it knows — lets tests
+// assert the gating decisions without peeking at internals.
+int vd_has_pts_map(void* handle, long long* n_keyframes) {
+  auto* h = (VideoHandle*)handle;
+  if (!h) return -1;
+  if (n_keyframes) *n_keyframes = (long long)h->key_pts.size();
+  return h->pts_map.empty() ? 0 : 1;
 }
 
 int vd_info(void* handle, double* fps, long long* nframes, double* duration,
@@ -269,19 +394,43 @@ int vd_get_batch(void* handle, const long long* indices, int n,
              out + (size_t)order[k - 1] * frame_bytes, frame_bytes);
       continue;
     }
-    // Seek backward only when the target is behind or far ahead.
-    if (h->cur_frame < 0 || target < h->cur_frame ||
-        target > h->cur_frame + (int64_t)(4 * h->fps)) {
-      if (seek_to_index(h, target) < 0) return -2;
+    // Seek backward when the target is behind; seek FORWARD exactly when
+    // it skips decode work. With the keyframe map that decision is exact:
+    // seek iff the last seek-point at/before the target lies ahead of the
+    // current position (the seek then jumps over every intermediate frame
+    // instead of decoding through them — at QVH eval stride ~75 frames
+    // with GOP 60 this skips most of each gap; the old 4*fps heuristic
+    // decoded through any gap under ~120 frames). Without the map, keep
+    // the heuristic.
+    bool need_seek = h->cur_frame < 0 || target < h->cur_frame;
+    if (!need_seek && target > h->cur_frame) {
+      if (!h->key_pts.empty() && !h->pts_map.empty()) {
+        int64_t tpts =
+            h->pts_map[std::min(target, (int64_t)h->pts_map.size() - 1)];
+        auto it =
+            std::upper_bound(h->key_pts.begin(), h->key_pts.end(), tpts);
+        if (it != h->key_pts.begin()) {
+          // strictly more than one frame ahead: at +1 decode-through costs
+          // the same as the seek and skips the flush/reprime
+          need_seek = pts_to_index(h, *(it - 1)) > h->cur_frame + 1;
+        }
+      } else {
+        need_seek = target > h->cur_frame + (int64_t)(4 * h->fps);
+      }
     }
+    if (need_seek && seek_to_index(h, target) < 0) return -2;
     int64_t got = h->cur_frame;
     int guard = 0;
     // Catch-up: while still far from the target, discard non-reference
     // frames (H.264/HEVC B-frames) without decoding them — they can never
     // affect later frames, so this is lossless for the target. The margin
-    // covers the longest plausible consecutive-B run so a non-ref TARGET
-    // is still emitted.
-    const int64_t kSkipMargin = 16;  // > any sane hierarchical-B pyramid
+    // must guarantee the TARGET's packet is fed with discard OFF: packets
+    // arrive in decode order, which leads display order by at most the
+    // stream's declared reorder depth (SPS max_num_reorder_frames =
+    // codec->has_b_frames), so margin > has_b_frames suffices; +4 slack.
+    // Streams that do not declare it fall back to the conservative 16.
+    const int64_t kSkipMargin =
+        h->codec->has_b_frames > 0 ? h->codec->has_b_frames + 4 : 16;
     while (got < target) {
       // Only engage once the decode position is KNOWN (got >= 0): right
       // after a seek cur_frame is -1, and treating that sentinel as

@@ -89,6 +89,23 @@ def main():
     wall = time.time() - t_all
     decode_fps = total_frames / wall
 
+    # Same eval pattern with the SWS_FAST_BILINEAR opt-in (VideoReader
+    # fast_scale=True): quality-gated by test_fast_scale_quality, for
+    # decode-bound eval hosts.
+    fast_readers = [VideoReader(p, OUT, OUT, fast_scale=True) for p in paths]
+    fast_frames = 0
+    t_fast = time.time()
+    for rep in range(3):
+        for vr in fast_readers:
+            idx = sample_frame_indices(
+                vlen=len(vr), fps=vr.get_avg_fps(), n_frms=N_FRMS,
+                sampling="uniform",
+            )
+            fast_frames += vr.get_batch(idx).shape[0]
+    fast_fps = fast_frames / (time.time() - t_fast)
+    for vr in fast_readers:
+        vr.close()
+
     # Grounded-QA window re-decode pattern: contiguous [t0, t1) windows
     # (reference PyAV get_frames, blip2_mr_models/utils.py:532-606).
     t0 = time.time()
@@ -100,6 +117,7 @@ def main():
 
     result = {
         "decode_fps_per_core": round(decode_fps, 1),
+        "decode_fps_per_core_fastscale": round(fast_fps, 1),
         "decode_s_per_video": round(float(np.mean(per_video)), 3),
         "window_fps_per_core": round(window_fps, 1),
         "open_s_per_video": round(open_s, 3),

@@ -224,3 +224,89 @@ class TestAsyncDecode:
             np.testing.assert_array_equal(frames, ref.get_batch(idx))
             ref.close()
             vr.close()
+
+
+class TestPtsMapCacheAndGating:
+    """Round-5 decoder upgrades: per-path pts-map caching (the demux scan
+    is per-open latency under the pool's reopen pattern), codec gating of
+    the 1-packet=1-frame assumption, and the exact keyframe-map seek."""
+
+    def test_cache_reuse_and_clear(self, h264_video):
+        from mr_blip_tpu.datasets.video_reader import VideoReader, _lib
+
+        lib = _lib()
+        lib.vd_pts_cache_clear()
+        assert lib.vd_pts_cache_size() == 0
+        vr1 = VideoReader(h264_video)
+        assert lib.vd_pts_cache_size() == 1
+        has, nk = vr1.pts_map_info()
+        assert has and nk == 4  # 120 frames, GOP 30 -> 4 seek points
+        vr1.close()
+        # reopen: served from cache (size unchanged), same map
+        vr2 = VideoReader(h264_video)
+        assert lib.vd_pts_cache_size() == 1
+        assert vr2.pts_map_info() == (has, nk)
+        # and the cached map indexes identically to the scanned one
+        frame = vr2.get_batch([61])[0]
+        assert _pattern_residual(frame, 61, 128, 96) < 8.0
+        vr2.close()
+        lib.vd_pts_cache_clear()
+        assert lib.vd_pts_cache_size() == 0
+
+    def test_eval_stride_exactness(self, tmp_path_factory):
+        """QVH eval geometry in miniature (large GOP, stride smaller than
+        the GOP): the keyframe-exact seek decision must keep sparse access
+        bit-identical to a full sequential decode."""
+        import contextlib
+        import io
+
+        from mr_blip_tpu.datasets.video_reader import (
+            VideoReader, write_test_video,
+        )
+
+        path = tmp_path_factory.mktemp("vid") / "stride.mp4"
+        try:
+            with contextlib.redirect_stderr(io.StringIO()):
+                write_test_video(str(path), w=128, h=96, n_frames=240,
+                                 fps=30.0, gop=60, codec="libx264")
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"cannot encode h264 video: {e}")
+        vr = VideoReader(str(path))
+        seq = vr.get_batch(list(range(240)))
+        vr.close()
+        vr2 = VideoReader(str(path))
+        idx = list(range(2, 240, 24))  # eval-style uniform stride
+        got = vr2.get_batch(idx)
+        vr2.close()
+        for i, k in enumerate(idx):
+            np.testing.assert_array_equal(got[i], seq[k])
+
+    def test_fast_scale_quality(self, h264_video):
+        """SWS_FAST_BILINEAR eval option: same frame SELECTION (identity
+        residual still passes) and bounded pixel delta vs bicubic."""
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        idx = [0, 37, 61, 100]
+        vr_b = VideoReader(h264_video, width=96, height=64)
+        bicubic = vr_b.get_batch(idx)
+        vr_b.close()
+        vr_f = VideoReader(h264_video, width=96, height=64, fast_scale=True)
+        fast = vr_f.get_batch(idx)
+        vr_f.close()
+        # Same frame selection: the synthetic gradient shifts 16 luma
+        # levels per frame index, so an off-by-one would push the mean
+        # |delta| to ~16+; scaler-algorithm differences alone stay low.
+        diff = np.abs(bicubic.astype(np.int16) - fast.astype(np.int16))
+        assert float(diff.mean()) < 4.0, f"mean |delta| {diff.mean():.2f}"
+        per_frame = diff.reshape(len(idx), -1).mean(axis=1)
+        assert float(per_frame.max()) < 6.0, per_frame
+
+    def test_mpeg4_map_kept_avi_container(self, test_video):
+        """AVI reports nb_frames; safe codec + matching count keeps the
+        exact map."""
+        from mr_blip_tpu.datasets.video_reader import VideoReader
+
+        vr = VideoReader(test_video)
+        has, _ = vr.pts_map_info()
+        assert has
+        vr.close()
