@@ -110,6 +110,54 @@ class TestALPRO:
         qa = m.apply(params, video, ids, mask, method="qa_logits")
         assert qa.shape == (2, 7)
 
+    def test_hard_negative_vtm_driver(self):
+        """Reference alpro_retrieval.py:166-207 semantics: VTM negatives
+        are sampled from the VTC similarity with the diagonal (self)
+        masked to -inf; rows = b positives + b (text, neg-video) +
+        b (neg-text, video), labels [1]*b + [0]*2b."""
+        from mr_blip_tpu.models.alpro import alpro_retrieval_losses
+
+        b = 4
+        cfg = alpro_tiny_config()
+        m = ALPRO(cfg, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        video = jnp.array(rng.standard_normal((b, 2, 28, 28, 3), np.float32))
+        ids, mask = _text(rng, b=b)
+        params = m.init(jax.random.PRNGKey(0), video, ids, mask)["params"]
+
+        out = alpro_retrieval_losses(
+            m, params, jax.random.PRNGKey(3), video, ids, mask)
+        for k in ("loss", "vtc_loss", "vtm_loss"):
+            assert np.isfinite(float(out[k])), k
+        assert out["vtm_logits"].shape == (3 * b, 2)
+        np.testing.assert_array_equal(
+            np.asarray(out["vtm_labels"]), [1] * b + [0] * 2 * b)
+
+        # the mining weights ARE the VTC sims with the diagonal masked
+        vid_f, txt_f = m.apply({"params": params}, video, ids, mask,
+                               method="vtc_features")
+        sims = np.asarray(vid_f @ txt_f.T / cfg.temp, np.float32)
+        w = np.asarray(out["w_v2t"])
+        neg_inf = np.finfo(np.float32).min
+        np.testing.assert_array_equal(np.diag(w), np.full(b, neg_inf))
+        off = ~np.eye(b, dtype=bool)
+        np.testing.assert_allclose(w[off], sims[off], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["w_t2v"])[off], sims.T[off], rtol=1e-5, atol=1e-5)
+
+        # self is never selected as its own negative, over many draws
+        for seed in range(8):
+            o = alpro_retrieval_losses(
+                m, params, jax.random.PRNGKey(seed), video, ids, mask)
+            assert not np.any(np.asarray(o["neg_text_idx"]) == np.arange(b))
+            assert not np.any(np.asarray(o["neg_video_idx"]) == np.arange(b))
+
+        # and the driver is differentiable end-to-end
+        g = jax.grad(lambda p: alpro_retrieval_losses(
+            m, p, jax.random.PRNGKey(3), video, ids, mask)["loss"])(params)
+        total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0
+
 
 class TestVQATools:
     def test_answer_normalization(self):
