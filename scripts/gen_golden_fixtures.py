@@ -103,9 +103,20 @@ def main():
     dump_jsonl(OUT / "intrain_results.jsonl", results)
     json.dump(expected3, open(OUT / "intrain_expected.json", "w"), indent=1)
 
+    # Grounded-QA mode (seed 3 = the live test's): score with the
+    # reference's eval_ground (lavis/tasks/vqa.py:768-860), ast-extracted
+    # because vqa.py's top-level imports are torch/wandb-laden.
+    from test_metrics_golden import _synth_gqa, load_ref_ground
+    ref_ground = load_ref_ground(REFERENCE)
+    gqa = _canon(_synth_gqa(np.random.default_rng(3)))
+    expected4 = _canon(ref_ground["eval_ground"](gqa))
+    dump_jsonl(OUT / "gqa_results.jsonl", gqa)
+    json.dump(expected4, open(OUT / "gqa_expected.json", "w"), indent=1)
+
     print(f"wrote fixtures to {OUT}")
     print("qvh brief:", json.dumps(expected["brief"]))
     print("intrain brief:", json.dumps(expected3["brief"]))
+    print("gqa:", json.dumps(expected4))
 
 
 if __name__ == "__main__":
