@@ -6,7 +6,16 @@ Builds the structurally faithful fixture tokenizer (see
 (blip2_mr.py:1299-1306, 1497-1608) — so correctness under the true flan-t5
 vocabulary follows automatically when real assets are supplied — and runs
 the full model pipeline through the HFT5Tokenizer production path.
+
+**Asset-day mode**: set ``MRBLIP_TOKENIZER_PATH=<hf flan-t5 dir>`` to run
+this file against the REAL tokenizer (scripts/asset_day.sh step 2). The
+reference-constant assertions (answer ids 71/272/205/309/262, special ids,
+extra-id layout) apply verbatim; assertions tied to the fixture's *crafted*
+annoying sets ({87,113,157}/{123,124,149}) switch to the derived sets —
+the reference itself derives them at init (blip2_mr.py:165-168).
 """
+
+import os
 
 import numpy as np
 import pytest
@@ -25,11 +34,25 @@ from mr_blip_tpu.text.timestamps import (
 )
 from mr_blip_tpu.text.tokenizer import HFT5Tokenizer
 
+REAL_TOKENIZER = os.environ.get("MRBLIP_TOKENIZER_PATH")
+
 
 @pytest.fixture(scope="module")
 def tok(tmp_path_factory):
+    if REAL_TOKENIZER:
+        return HFT5Tokenizer(REAL_TOKENIZER)
     d = tmp_path_factory.mktemp("fixture_tok")
     return HFT5Tokenizer(build_fixture_tokenizer(str(d)))
+
+
+@pytest.fixture(scope="module")
+def annoying_sets(tok):
+    """(nonspace, space) — crafted constants under the fixture, derived
+    under a real tokenizer (matching the reference's init-time derivation)."""
+    if REAL_TOKENIZER:
+        annoying, annoying_space = find_annoying_numbers(tok, 200)
+        return sorted(annoying), sorted(annoying_space)
+    return sorted(ANNOYING_NONSPACE), sorted(ANNOYING_SPACE)
 
 
 class TestDerivedVocabFacts:
@@ -52,22 +75,30 @@ class TestDerivedVocabFacts:
         i99 = tok.convert_tokens_to_ids("<extra_id_99>")
         assert i0 == i1 + 1 and i0 == i99 + 99
 
-    def test_annoying_number_derivation(self, tok):
+    def test_annoying_number_derivation(self, tok, annoying_sets):
         annoying, annoying_space = find_annoying_numbers(tok, 200)
-        assert annoying == sorted(ANNOYING_NONSPACE)
-        assert annoying_space == sorted(ANNOYING_SPACE)
+        assert annoying == annoying_sets[0]
+        assert annoying_space == annoying_sets[1]
         rep = find_annoying_numbers_replacement_dict(annoying)
+        assert set(rep) == set(annoying)
         for n, r in rep.items():
-            assert r not in rep and abs(r - n) <= 2
+            # nearest non-annoying integer (<=2 by construction under the
+            # crafted fixture sets; a real vocab may have longer runs)
+            assert r not in rep
+            assert abs(r - n) <= (10 if REAL_TOKENIZER else 2)
+            # the replacement is not nonspace-annoying: single piece, or
+            # space-flavor (leading bare-space id 3, stripped at embed time)
+            ids = tok.encode(str(r), add_special_tokens=False)
+            assert len(ids) == 1 or ids[0] == 3
 
-    def test_leading_space_piece_stripping(self, tok):
+    def test_leading_space_piece_stripping(self, tok, annoying_sets):
         """Space-flavor numbers tokenize as [3, ...]; the prompt pipeline
         strips the leading 3 (reference get_clean_timestamp_tokens_and_embs,
         blip2_mr.py:1561-1608)."""
-        for n in ANNOYING_SPACE:
+        for n in annoying_sets[1]:
             ids = tok.encode(str(n), add_special_tokens=False)
             assert ids[0] == 3 and len(ids) > 1
-        for n in ANNOYING_NONSPACE:
+        for n in annoying_sets[0]:
             ids = tok.encode(str(n), add_special_tokens=False)
             assert ids[0] != 3 and len(ids) > 1
 
@@ -84,8 +115,11 @@ class TestModelUnderRealVocab:
         import mr_blip_tpu  # registry side effects
         from mr_blip_tpu.models.blip2_mr import BLIP2_MR
 
-        d = tmp_path_factory.mktemp("fixture_tok2")
-        path = build_fixture_tokenizer(str(d))
+        if REAL_TOKENIZER:
+            path = REAL_TOKENIZER
+        else:
+            d = tmp_path_factory.mktemp("fixture_tok2")
+            path = build_fixture_tokenizer(str(d))
         return BLIP2_MR(
             img_size=28, vit_model="tiny", t5_model="tiny",
             tokenizer_path=path, task="lora", num_beams=2, max_new_tokens=10,
@@ -114,7 +148,10 @@ class TestModelUnderRealVocab:
 
     def test_annoying_remap_active(self, model):
         rep = model.annoying_numbers_replacement_dict
-        assert set(rep) == set(ANNOYING_NONSPACE)
+        want, _ = find_annoying_numbers(model.tokenizer, 200)
+        assert set(rep) == set(want)
+        if not REAL_TOKENIZER:
+            assert set(rep) == set(ANNOYING_NONSPACE)
 
     def test_forward_loss(self, model):
         out = model(self._samples())
