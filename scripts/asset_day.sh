@@ -68,60 +68,14 @@ echo "== [3/5] Charades-STA eval, bf16 parity path (20 frames, beam 5)"
 run_eval configs/projects/eval/charades.yaml eval_charades
 
 echo "== [4/5] metric gate vs BASELINE.md (tolerance $TOL points)"
-python - "$OUT/eval_charades" "$TOL" <<'EOF' || fail "metric gate (see above)"
-import glob, json, sys
-out, tol = sys.argv[1], float(sys.argv[2])
-# Reference Charades-STA test-set numbers (BASELINE.md:19-21).
-BASELINE = {"R1@0.5": 69.31, "R1@0.7": 49.29, "mIoU": 58.63}
-rows = [json.loads(l) for f in glob.glob(f"{out}/*/log.txt")
-        for l in open(f) if l.strip()]
-got, ok = {}, True
-for r in rows:
-    for k, v in r.items():
-        if k.endswith("_r1"):  # task metric dict keyed by IoU threshold
-            got["R1@0.5"], got["R1@0.7"] = v.get("0.5"), v.get("0.7")
-        if k.endswith("_mIoU"):  # scorer reports a fraction (ref: 0.5863)
-            got["mIoU"] = v * 100 if v <= 1.0 else v
-for k, want in BASELINE.items():
-    have = got.get(k)
-    status = "MISSING" if have is None else (
-        "OK" if have >= want - tol else "BELOW")
-    print(f"  {k}: got={have} want>={want - tol} ({want} - {tol}) -> {status}")
-    ok &= status == "OK"
-sys.exit(0 if ok else 1)
-EOF
+python scripts/asset_gates.py baseline "$OUT/eval_charades" "$TOL" \
+  || fail "metric gate (see above)"
 
 if [ "$INT8" -eq 1 ]; then
   echo "== [5/5] int8 quality gate (runbook step 6: each metric within 0.5 of bf16)"
   run_eval configs/projects/eval/charades_int8.yaml eval_charades_int8
-  python - "$OUT/eval_charades" "$OUT/eval_charades_int8" <<'EOF' || fail "int8 drift gate"
-import glob, json, sys
-def metrics(out):
-    got = {}
-    for f in glob.glob(f"{out}/*/log.txt"):
-        for l in open(f):
-            r = json.loads(l)
-            for k, v in r.items():
-                if k.endswith("_r1"):
-                    got["R1@0.5"], got["R1@0.7"] = v["0.5"], v["0.7"]
-                if k.endswith("_mIoU"):
-                    got["mIoU"] = v * 100 if v <= 1.0 else v
-                if k.endswith("_invalid_predictions"):
-                    got["invalid"] = v
-    return got
-bf16, int8 = metrics(sys.argv[1]), metrics(sys.argv[2])
-ok = True
-for k in ("R1@0.5", "R1@0.7", "mIoU"):
-    drift = bf16[k] - int8[k]
-    print(f"  {k}: bf16={bf16[k]} int8={int8[k]} drift={drift:+.2f} "
-          f"-> {'OK' if drift <= 0.5 else 'FAIL'}")
-    ok &= drift <= 0.5
-if int8.get("invalid", 0) > bf16.get("invalid", 0):
-    print(f"  invalid_predictions rose: {bf16.get('invalid')} -> "
-          f"{int8.get('invalid')} (decoder emitting broken spans) -> FAIL")
-    ok = False
-sys.exit(0 if ok else 1)
-EOF
+  python scripts/asset_gates.py int8 "$OUT/eval_charades" \
+    "$OUT/eval_charades_int8" || fail "int8 drift gate"
 else
   echo "== [5/5] int8 gate skipped (pass --int8 to run; REQUIRED before calling int8 the production serving path)"
 fi
