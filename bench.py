@@ -407,6 +407,36 @@ def fake_stage():
 
 # --------------------------------------------------------------------- parent
 
+def _probe_device(timeout_s):
+    """Bounded pre-flight: can a fresh process enumerate the TPU at all?
+
+    The axon plugin retries device discovery with internal sleeps forever
+    when its relay is down (observed live: a stage sat 25 min inside
+    ``jax.devices()`` at ~0% CPU). Without this probe every stage would
+    hang the same way, eat the whole budget, and the artifact would carry
+    no diagnosis. Returns (ok, seconds). MRBLIP_BENCH_PROBE_CMD overrides
+    the probe command (tests simulate a dead relay with ``sleep``)."""
+    cmd = os.environ.get("MRBLIP_BENCH_PROBE_CMD")
+    args = cmd if cmd else [
+        sys.executable, "-c", "import jax; print(len(jax.devices()))",
+    ]
+    t0 = time.time()
+    proc = subprocess.Popen(
+        args, shell=bool(cmd), stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL, start_new_session=True,
+    )
+    try:
+        rc = proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
+        return False, time.time() - t0
+    return rc == 0, time.time() - t0
+
+
 def _run_stage(name, cumulative, deadline, env_extra):
     """Run one stage subprocess; merge every JSON line it prints into
     ``cumulative`` and re-print the cumulative row immediately. Kills the
@@ -497,6 +527,27 @@ def main():
         "vs_baseline": None,
     }
     print(json.dumps(cumulative), flush=True)
+
+    if not os.environ.get("MRBLIP_BENCH_FAKE") or os.environ.get(
+            "MRBLIP_BENCH_PROBE_CMD"):
+        ok, probe_s = _probe_device(float(
+            os.environ.get("MRBLIP_BENCH_PROBE_TIMEOUT_S", "300")))
+        cumulative["device_probe_s"] = round(probe_s, 1)
+        if not ok:
+            # Dead relay: record the diagnosis NOW, then still give the
+            # headline stage the remaining budget (the relay may return
+            # mid-round) — but don't queue stages that would each hang
+            # in device discovery until their own kill.
+            cumulative["tpu_unreachable"] = True
+            print(json.dumps(cumulative), flush=True)
+            log(f"device probe FAILED after {probe_s:.0f}s — TPU relay "
+                "unreachable; attempting headline stage only")
+            _run_stage("headline", cumulative, deadline,
+                       {"stage": "infer"})
+            cumulative["skipped_stages"] = ["train", "train-int8", "bf16"]
+            print(json.dumps(cumulative), flush=True)
+            return
+        log(f"device probe ok in {probe_s:.1f}s")
 
     stages = [("headline", {"stage": "infer"})]
     if not os.environ.get("MRBLIP_BENCH_SKIP_TRAIN"):

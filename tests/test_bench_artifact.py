@@ -80,6 +80,32 @@ def test_budget_guard_skips_remaining_stages():
     assert set(last["skipped_stages"]) == {"train", "train-int8", "bf16"}
 
 
+def test_dead_relay_probe_records_diagnosis_and_still_tries_headline():
+    # Simulate the axon relay being down (observed live in round 5: a
+    # stage sat 25 min inside jax.devices() at ~0% CPU): the bounded
+    # pre-flight probe must fail fast, stamp the artifact, and give only
+    # the headline stage a chance instead of queueing four hangs.
+    rows, rc = _run({
+        "MRBLIP_BENCH_PROBE_CMD": "sleep 60",
+        "MRBLIP_BENCH_PROBE_TIMEOUT_S": "2",
+    })
+    assert rc == 0
+    last = rows[-1]
+    assert last["tpu_unreachable"] is True
+    assert last["device_probe_s"] >= 2.0
+    assert last["value"] == 100.0  # fake headline still ran
+    assert set(last["skipped_stages"]) == {"train", "train-int8", "bf16"}
+
+
+def test_probe_success_is_recorded_and_all_stages_run():
+    rows, rc = _run({"MRBLIP_BENCH_PROBE_CMD": "true"})
+    assert rc == 0
+    last = rows[-1]
+    assert "tpu_unreachable" not in last
+    assert "device_probe_s" in last
+    assert last["bf16_value"] == 50.0  # every stage ran
+
+
 def test_overrunning_stage_is_killed_not_fatal():
     # The train stage would overrun the deadline mid-sleep: the watchdog
     # kills it, the headline row survives, and the parent exits 0.
