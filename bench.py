@@ -136,6 +136,25 @@ def _make_samples(batch, n_frames):
 
 
 # --------------------------------------------------------------------- stages
+def _scan_env(default):
+    """MRBLIP_BENCH_SCAN: 1/0/vit/t5 -> BLIP2_MR scan_layers value.
+
+    Per-stack defaults are the round-5 measured winners (docs/performance.md
+    "scan-over-layers tradeoff"): inference wants scan="vit" (scanning the
+    T5 costs ~10% in the decode loop: 299.3 -> 269.4 f/s headline; the ViT
+    scan is steady-state free and cuts params-ready 800 s -> 76 s), while
+    training wants scan="all" + remat_policy="dots_kernels" (the scanned
+    T5 backward OOMs 17.7/15.75 G HBM without explicit remat — XLA cannot
+    auto-rematerialize across a while-loop boundary — and full-remat costs
+    15%; saving MXU outputs and recomputing only elementwise ops compiles
+    in 273 s vs 770 s unrolled at -3.4% steady state).
+    """
+    v = os.environ.get("MRBLIP_BENCH_SCAN", "")
+    if not v:
+        return default
+    return {"1": True, "0": False}.get(v, v)
+
+
 
 def train_stage():
     """Training throughput (flagship QVH train config: LoRA r=8 + Q-Former
@@ -156,7 +175,16 @@ def train_stage():
     # MRBLIP_BENCH_TRAIN_BATCH probes larger per-chip batches (with
     # MRBLIP_BENCH_TRAIN_REMAT=1 when the bwd doesn't fit 16 GB raw).
     train_b = int(os.environ.get("MRBLIP_BENCH_TRAIN_BATCH", "1"))
-    train_remat = bool(os.environ.get("MRBLIP_BENCH_TRAIN_REMAT"))
+    scan = _scan_env("all")
+    # Scanned-T5 training needs explicit remat (see _scan_env docstring);
+    # MRBLIP_BENCH_TRAIN_REMAT=0/1 and MRBLIP_BENCH_REMAT_POLICY override.
+    remat_env = os.environ.get("MRBLIP_BENCH_TRAIN_REMAT", "")
+    t5_scanned = scan in (True, "all", "t5")
+    train_remat = bool(int(remat_env)) if remat_env else t5_scanned
+    remat_policy = os.environ.get(
+        "MRBLIP_BENCH_REMAT_POLICY",
+        "dots_kernels" if (train_remat and t5_scanned) else "",
+    ) or None
     tr_samples = _make_samples(train_b, N_FRAMES)
     tr_samples["video"] = jax.device_put(tr_samples["video"])
     train_model = BLIP2_MR(
@@ -165,7 +193,11 @@ def train_stage():
         compute_dtype="bfloat16", init_params=False,
         relpos_in_kernel=relpos_in_kernel,
         use_grad_checkpoint=train_remat,
+        remat_policy=remat_policy,
+        scan_layers=scan,
     )
+    log(f"train: scan_layers={scan!r} remat={train_remat} "
+        f"policy={remat_policy!r}")
     train_model.params = train_model.init_params_fast(
         jax.random.PRNGKey(0), mode="zeros"
     )
@@ -178,11 +210,12 @@ def train_stage():
         log("train: int8 frozen-ViT forward enabled")
     batch = train_model.prepare_mr_batch(tr_samples)
     batch.pop("video_prompt")
-    tx = make_optimizer(
-        weight_decay=0.05, trainable_mask=train_model.trainable_mask()
-    )
+    mask = train_model.trainable_mask()
+    tx = make_optimizer(weight_decay=0.05, trainable_mask=mask)
     state = TrainState.create(train_model.params, tx)
-    step = make_train_step(train_model._loss_fn, donate=True)
+    step = make_train_step(
+        train_model._loss_fn, donate=True, trainable_mask=mask
+    )
     rng = jax.random.PRNGKey(0)
     state, loss = step(state, batch, 3e-4, rng)
     loss = float(loss)
@@ -240,6 +273,7 @@ def infer_stage():
         task="lora", num_beams=5, max_new_tokens=50, min_new_tokens=12,
         compute_dtype="bfloat16", init_params=False,
         relpos_in_kernel=relpos_in_kernel,
+        scan_layers=_scan_env("vit"),
     )
     if relpos_in_kernel:
         log("in-kernel rel-pos bias enabled")

@@ -133,6 +133,7 @@ class BLIP2_MR(BaseModel):
         resample_frames: bool = False,
         freeze_vit: bool = True,
         use_grad_checkpoint: bool = False,
+        remat_policy: str | None = None,
         drop_path_rate: float = 0.4,
         fast_gelu: bool = False,
         int8_decode: bool = False,
@@ -143,13 +144,22 @@ class BLIP2_MR(BaseModel):
         seed: int = 42,
         init_params: bool = True,
         vocab_size: int | None = None,
-        scan_layers: bool = True,
+        scan_layers: bool | str = True,
     ):
         # scan_layers: run the ViT and T5 block stacks under nn.scan —
         # one compiled block body per stack instead of a program linear in
         # depth (cold compile of the XL train step: ~15 min unrolled).
         # Params store per-layer leaves stacked on a leading axis; convert
         # flat trees with models/scan_utils.stack_blip2_mr_params.
+        # Accepts True/"all", False/"none", or "vit"/"t5" to scan only one
+        # stack (the two have different cost profiles: the ViT is fwd-only
+        # under freeze_vit so scanning it is memory-neutral, while scanning
+        # the T5 changes the train backward's rematerialization freedom).
+        scan_vit = scan_layers in (True, "all", "vit")
+        scan_t5 = scan_layers in (True, "all", "t5")
+        if isinstance(scan_layers, str) and scan_layers not in (
+                "all", "vit", "t5", "none"):
+            raise ValueError(f"scan_layers={scan_layers!r}")
         self.task = task
         self.use_lora = "lora" in task
         # Full-T5 finetuning (no LoRA) trains the rel-pos embedding too; the
@@ -194,10 +204,10 @@ class BLIP2_MR(BaseModel):
             # reference default for unfrozen training (eva_vit.py:415);
             # the frozen flagship path never samples it (eval = identity)
             drop_path_rate=drop_path_rate if not freeze_vit else 0.0,
-            scan_layers=scan_layers,
+            scan_layers=scan_vit,
         ) if vit_model == "eva_vit_g" else dataclasses.replace(
             self.VIT_CONFIGS[vit_model](img_size=img_size),
-            scan_layers=scan_layers,
+            scan_layers=scan_vit,
         )
         qf_cfg = (
             qformer_base_config(vit_cfg.embed_dim, num_query_token)
@@ -207,6 +217,7 @@ class BLIP2_MR(BaseModel):
         t5_kw = dict(
             lora_rank=8 if self.use_lora else 0,
             use_remat=use_grad_checkpoint,
+            remat_policy=remat_policy,
             int8_decode=int8_decode,
             # QLoRA-style frozen int8 T5 base under LoRA training: halves
             # T5 weight HBM so bigger per-chip batches fit
@@ -214,9 +225,11 @@ class BLIP2_MR(BaseModel):
             # O(N)-memory encoder rel-pos bias for long contexts
             # (ANet-120s+): the flash kernel computes it from the table
             relpos_in_kernel=relpos_in_kernel,
-            scan_layers=scan_layers,
+            scan_layers=scan_t5,
         )
         self.scan_layers = scan_layers
+        self.scan_vit = scan_vit
+        self.scan_t5 = scan_t5
         self.int8_decode = int8_decode
         self.int8_base = int8_base
         if vocab_size is not None:
@@ -1253,10 +1266,12 @@ class BLIP2_MR(BaseModel):
             fast_gelu=cfg.get("fast_gelu", False),
             relpos_in_kernel=cfg.get("relpos_in_kernel", False),
             use_grad_checkpoint=cfg.get("use_grad_checkpoint", False),
+            remat_policy=cfg.get("remat_policy"),
             compute_dtype=cfg.get("compute_dtype", "bfloat16"),
             sequence_parallel=cfg.get("sequence_parallel", False),
             init_params=params_dtype is None,
             vocab_size=cfg.get("vocab_size"),
+            scan_layers=cfg.get("scan_layers", True),
         )
         if params_dtype is not None:
             dtype = {"bfloat16": jnp.bfloat16,

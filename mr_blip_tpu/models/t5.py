@@ -17,7 +17,7 @@ T5 Linears, blip2_mr.py:183-237).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -45,6 +45,16 @@ class T5Config:
     is_gated_act: bool = True
     tie_word_embeddings: bool = False
     use_remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+    # Remat checkpoint policy (only meaningful with use_remat):
+    #   None            -> save nothing, recompute the whole block backward
+    #   "dots_kernels"  -> save every dot_general / Pallas-kernel output
+    #                      (the MXU work), recompute only the cheap VPU ops
+    #                      (norm upcasts, GELU products, dropout masks).
+    # "dots_kernels" targets scan_layers training: XLA's auto-remat cannot
+    # recompute across a while-loop boundary, so the scanned backward must
+    # shed residuals explicitly — but re-running the MXU work (full remat)
+    # costs real step time; recomputing only elementwise ops is ~free.
+    remat_policy: Optional[str] = None
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
@@ -99,6 +109,28 @@ class T5Config:
     # with models/scan_utils.{stack,unstack}_t5_blocks. The decode cache
     # stacks the same way (generation gathers beams on axis 1 then).
     scan_layers: bool = False
+
+
+def _checkpoint_policy(cfg: "T5Config"):
+    """Map T5Config.remat_policy to a jax.checkpoint policy callable."""
+    if cfg.remat_policy is None:
+        return None
+    if cfg.remat_policy == "dots_kernels":
+        def policy(prim, *_, **__):
+            # Save MXU work (matmuls, Pallas flash kernels and their
+            # residual stats); recompute VPU-only ops (fp32 norm upcasts,
+            # GELU products, dropout multiplies, residual adds).
+            return prim.name in (
+                "dot_general", "pallas_call",
+                "custom_vjp_call", "custom_vjp_call_jaxpr",
+            )
+        return policy
+    raise ValueError(f"remat_policy={cfg.remat_policy!r}")
+
+
+def _remat_block(cfg: "T5Config"):
+    return nn.remat(T5Block, static_argnums=(6, 7),
+                    policy=_checkpoint_policy(cfg))
 
 
 def t5_flan_xl_config(**kw) -> T5Config:
@@ -581,9 +613,10 @@ class T5Encoder(nn.Module):
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
         block_cls = T5Block
         if cfg.use_remat:
-            # keep only block boundaries; the fp32 attention logits
-            # (H x N x N per layer) are recomputed in the backward
-            block_cls = nn.remat(T5Block, static_argnums=(6, 7))
+            # remat_policy=None: keep only block boundaries (fp32 attention
+            # logits recomputed in the backward); "dots_kernels": keep MXU
+            # outputs, recompute elementwise only
+            block_cls = _remat_block(cfg)
         if cfg.scan_layers:
             if cfg.int8_encoder:
                 # W8A8 kernels emit bf16 whatever the input dtype; the scan
@@ -659,7 +692,7 @@ class T5Decoder(nn.Module):
             x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
         block_cls = T5Block
         if cfg.use_remat and not decode:
-            block_cls = nn.remat(T5Block, static_argnums=(6, 7))
+            block_cls = _remat_block(cfg)
         if cfg.scan_layers:
             # The decode cache stacks per layer too (variable_axes cache=0):
             # self-attn cache leaves become (L, B*K, max_len, inner), so

@@ -132,7 +132,9 @@ class RunnerBase:
                 else:
                     params = replicate(params, self.mesh)
             state = TrainState.create(params, tx)
-            step_fn = make_train_step(self.model._loss_fn, donate=True)
+            step_fn = make_train_step(
+                self.model._loss_fn, donate=True, trainable_mask=mask
+            )
             rng = jax.random.PRNGKey(int(self.run_cfg.get("seed", 42)))
             self._train_ctx = TrainCtx(self.model, state, step_fn, self.mesh, rng)
         return self._train_ctx

@@ -115,6 +115,7 @@ def _set_lr(opt_state, lr):
 def make_train_step(
     loss_fn: Callable,
     donate: bool = True,
+    trainable_mask=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -127,6 +128,19 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
 
         def lf(params):
+            if trainable_mask is not None:
+                # Stop-grad every frozen leaf so autodiff never emits the
+                # dW matmuls for the frozen T5 base / embeddings in the
+                # first place. Without this, those cotangents are computed
+                # and only then discarded by the optimizer's set_to_zero
+                # branch — correctness-identical (the frozen grads become
+                # symbolic zeros either way) but reliant on XLA DCE to
+                # recover the FLOPs, which is not guaranteed through
+                # scan-over-layers backward graphs.
+                params = jax.tree.map(
+                    lambda m, p: p if m else jax.lax.stop_gradient(p),
+                    trainable_mask, params,
+                )
             loss, _aux = loss_fn(params, batch, rng)
             return loss
 

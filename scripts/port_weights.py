@@ -88,7 +88,13 @@ def main():
         stack_blip2_mr_params, unstack_blip2_mr_params,
     )
 
-    scan = bool(getattr(model, "scan_layers", False))
+    # scan_layers may be per-stack ("vit"/"t5"); unstack is a no-op for
+    # groups that aren't stacked, and restack follows the model's flags.
+    scan_vit = bool(getattr(model, "scan_vit",
+                            getattr(model, "scan_layers", False)))
+    scan_t5 = bool(getattr(model, "scan_t5",
+                           getattr(model, "scan_layers", False)))
+    scan = scan_vit or scan_t5
     if scan:
         params = unstack_blip2_mr_params(params)
 
@@ -133,11 +139,13 @@ def main():
                 ans = unstack_blip2_mr_params(ans)
             ans = port.merge_subtree(ans, answerer, "t5")
             model.answerer_params = (
-                stack_blip2_mr_params(ans) if scan else ans
+                stack_blip2_mr_params(ans, vit_scan=scan_vit, t5_scan=scan_t5)
+                if scan else ans
             )
 
     if scan:
-        params = stack_blip2_mr_params(params)
+        params = stack_blip2_mr_params(
+            params, vit_scan=scan_vit, t5_scan=scan_t5)
     model.save_params(params, args.output)
     logging.info("wrote %s", args.output)
 

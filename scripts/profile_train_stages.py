@@ -68,10 +68,17 @@ def main():
         TrainState, make_optimizer, make_train_step,
     )
 
+    from bench import _scan_env
+
     model = BLIP2_MR(
         img_size=224, vit_model="eva_vit_g", t5_model="flan-t5-xl",
         task="lora", num_beams=5, max_new_tokens=50,
         compute_dtype="bfloat16", init_params=False,
+        # "vit" (not the bench train stage's "all"): this profiler builds
+        # the train step WITHOUT remat, and the scanned-T5 backward OOMs
+        # HBM without it; ViT-only scan fits and matches the round-4
+        # budget baseline.
+        scan_layers=_scan_env("vit"),
     )
     model.params = model.init_params_fast(jax.random.PRNGKey(0), mode="zeros")
     int8_vit = bool(os.environ.get("MRBLIP_BENCH_TRAIN_INT8"))
@@ -104,10 +111,11 @@ def main():
 
     # The production step, donated (same graph the bench compiles — a
     # non-donated variant needs a second param tree and OOMs 16 GB HBM).
-    tx = make_optimizer(weight_decay=0.05,
-                        trainable_mask=model.trainable_mask())
+    mask = model.trainable_mask()
+    tx = make_optimizer(weight_decay=0.05, trainable_mask=mask)
     state = TrainState.create(model.params, tx)
-    step = make_train_step(model._loss_fn, donate=True)
+    step = make_train_step(model._loss_fn, donate=True,
+                           trainable_mask=mask)
     rng = jax.random.PRNGKey(0)
     state, loss = step(state, batch, 3e-4, rng)
     _ = float(loss)
@@ -118,6 +126,100 @@ def main():
     _ = float(loss)
     t_step = (time.time() - t0) / n
     log(f"train step: {t_step:.3f}s")
+
+    extras = {}
+    if os.environ.get("MRBLIP_PROFILE_BWD"):
+        # Decompose bwd_plus_optimizer: which slice of the backward is slow?
+        # The optimizer slice is NOT timed directly — a non-donated update
+        # graph needs a second full param tree and OOMs 16 GB HBM (measured;
+        # the masked AdamW touches only trainable leaves so it is small) —
+        # it is reported as the residual of the other slices instead.
+        import jax.numpy as jnp
+
+        module = model.module
+
+        def grad_checksum(grads):
+            # Reduce trainable grads to one scalar so XLA cannot DCE the
+            # backward out of a timing graph (frozen leaves are symbolic
+            # zeros under the stop-grad mask; skip them).
+            parts = [jnp.sum(jnp.abs(g).astype(jnp.float32))
+                     for g, m in zip(jax.tree.leaves(grads),
+                                     jax.tree.leaves(mask)) if m]
+            return sum(parts)
+
+        # T5-side fwd+bwd from a precomputed encoder sequence: grad w.r.t.
+        # the embeds + all params the mask trains inside the T5.
+        def t5_loss(params, embeds, attn, tgt, tgt_mask):
+            def run(mod):
+                loss, _ = mod.loss_from_encoder_input(
+                    embeds, attn, tgt, tgt_mask, deterministic=True)
+                return loss
+            return module.apply({"params": params}, method=run)
+
+        @jax.jit
+        def embeds_of(params, batch):
+            def run(mod):
+                frames = mod.encode_frames(
+                    batch["frames"], deterministic=True)
+                return mod.assemble_encoder_input(
+                    frames, batch["time_ids"], batch["src_type"],
+                    batch["src_idx"], batch["int_mask"], batch["end_ids"],
+                    batch["end_mask"], batch["text_ids"], batch["text_mask"],
+                )
+            return module.apply({"params": params}, method=run)
+
+        embeds, attn = embeds_of(state.params, batch)
+        embeds = jax.block_until_ready(embeds)
+
+        @jax.jit
+        def t5_fwd(params, embeds, attn, tgt, tgt_mask):
+            return t5_loss(params, embeds, attn, tgt, tgt_mask)
+
+        @jax.jit
+        def t5_fwd_bwd(params, embeds, attn, tgt, tgt_mask):
+            def masked_loss(p, e):
+                p = jax.tree.map(
+                    lambda m, x: x if m else jax.lax.stop_gradient(x),
+                    mask, p)
+                return t5_loss(p, e, attn, tgt, tgt_mask)
+            loss, grads = jax.value_and_grad(masked_loss, argnums=(0, 1))(
+                params, embeds)
+            # Fold every grad into the returned scalar so the param-grad
+            # and embeds-grad subgraphs both survive DCE (never scale by
+            # 0.0 — XLA may algebraically fold the term away).
+            return loss + grad_checksum(grads[0]) + \
+                jnp.sum(grads[1].astype(jnp.float32))
+
+        args = (state.params, embeds, attn,
+                batch["target_ids"], batch["target_mask"])
+        t_t5f = _time(lambda *a: t5_fwd(*a), *args, n=3)
+        t_t5fb = _time(lambda *a: t5_fwd_bwd(*a), *args, n=3)
+        extras["t5_fwd_only_s"] = round(t_t5f, 4)
+        extras["t5_fwd_bwd_s"] = round(t_t5fb, 4)
+        extras["t5_bwd_s"] = round(t_t5fb - t_t5f, 4)
+
+        # Frame-encoder fwd+bwd (ViT stop-gradded like the real loss):
+        # grads reach Q-Former + t5_proj + query tokens only.
+        @jax.jit
+        def enc_fwd_bwd(params, frames):
+            def f(p):
+                p = jax.tree.map(
+                    lambda m, x: x if m else jax.lax.stop_gradient(x),
+                    mask, p)
+                out = module.apply(
+                    {"params": p},
+                    method=lambda mod: mod.encode_frames(
+                        frames, deterministic=True))
+                return jnp.sum(out.astype(jnp.float32))
+            loss, grads = jax.value_and_grad(f)(params)
+            return loss + grad_checksum(grads)
+
+        t_encfb = _time(enc_fwd_bwd, state.params, batch["frames"], n=3)
+        extras["encoder_fwd_bwd_s"] = round(t_encfb, 4)
+        extras["encoder_bwd_s"] = round(t_encfb - t_enc, 4)
+        # Optimizer + assemble + glue as the residual of the step budget
+        extras["residual_opt_glue_s"] = round(
+            t_step - t_encfb - t_t5fb, 4)
 
     mfu = STEP_TFLOPS * 1e12 / (t_step * V5E_PEAK_BF16)
     print(json.dumps({
@@ -130,6 +232,7 @@ def main():
         "train_fps_per_chip": round(N_FRAMES / t_step, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
         "flops_accounting_tflop_per_step": STEP_TFLOPS,
+        **extras,
     }))
 
 

@@ -201,3 +201,68 @@ class TestFlagshipScan:
                             m_flat.params))):
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32))
+
+    @pytest.mark.parametrize("mode", ["vit", "t5"])
+    def test_per_stack_scan(self, pair, mode):
+        """scan_layers='vit'/'t5' scans only that stack; predictions and
+        loss must match the unrolled model under converted params."""
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+        m_flat, _ = pair
+        m = BLIP2_MR(scan_layers=mode, init_params=False, **self.KW)
+        assert (m.scan_vit, m.scan_t5) == ((mode == "vit"), (mode == "t5"))
+        m.params = stack_blip2_mr_params(
+            flax.core.unfreeze(m_flat.params),
+            vit_scan=m.scan_vit, t5_scan=m.scan_t5)
+        s = _mr_samples()
+        assert m_flat.generate(dict(s))["prediction"] == \
+            m.generate(dict(s))["prediction"]
+        bf = m_flat.prepare_mr_batch(dict(s)); bf.pop("video_prompt", None)
+        bs = m.prepare_mr_batch(dict(s)); bs.pop("video_prompt", None)
+        lf = float(m_flat._loss_fn(m_flat.params, bf)[0])
+        ls = float(m._loss_fn(m.params, bs)[0])
+        assert abs(lf - ls) < 2e-4 + 1e-4 * abs(lf)
+
+    def test_scan_layers_rejects_unknown_string(self):
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+        with pytest.raises(ValueError):
+            BLIP2_MR(scan_layers="both", init_params=False, **self.KW)
+
+    def test_remat_policy_dots_kernels_matches(self, pair):
+        """use_grad_checkpoint + remat_policy='dots_kernels' (save MXU
+        outputs, recompute elementwise) must not change loss or LoRA
+        grads vs the un-rematerialized scan model."""
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+        m_flat, m_scan = pair
+        m = BLIP2_MR(scan_layers=True, init_params=False,
+                     use_grad_checkpoint=True,
+                     remat_policy="dots_kernels", **self.KW)
+        m.params = m_scan.params
+        s = _mr_samples()
+        bs = m_scan.prepare_mr_batch(dict(s)); bs.pop("video_prompt", None)
+        br = m.prepare_mr_batch(dict(s)); br.pop("video_prompt", None)
+
+        def lora_gradsum(model, batch):
+            g = jax.grad(lambda p: model._loss_fn(p, batch)[0])(model.params)
+            return {
+                str(p): float(jnp.abs(l).sum())
+                for p, l in jax.tree_util.tree_leaves_with_path(g)
+                if "lora" in str(p)
+            }
+
+        ls = float(m_scan._loss_fn(m_scan.params, bs)[0])
+        lr = float(m._loss_fn(m.params, br)[0])
+        assert abs(ls - lr) < 1e-5 + 1e-5 * abs(ls)
+        gs, gr = lora_gradsum(m_scan, bs), lora_gradsum(m, br)
+        assert gs.keys() == gr.keys() and len(gs) > 0
+        for k in gs:
+            np.testing.assert_allclose(gr[k], gs[k], rtol=1e-4, atol=1e-6,
+                                       err_msg=k)
+
+    def test_remat_policy_rejects_unknown(self):
+        from mr_blip_tpu.models.t5 import T5Config, _checkpoint_policy
+
+        with pytest.raises(ValueError):
+            _checkpoint_policy(T5Config(remat_policy="everything"))

@@ -75,6 +75,39 @@ class TestTrainStep:
         assert not changed_frozen, changed_frozen[:5]
         assert changed_trainable > 0
 
+    def test_mask_stop_grad_step_matches_unmasked(self, tiny):
+        """Passing trainable_mask to make_train_step (stop-grad on frozen
+        leaves, so autodiff never emits the frozen dW matmuls) must produce
+        the exact same post-step state as the mask-free step, where the
+        computed frozen grads are discarded by the optimizer's set_to_zero
+        branch instead."""
+        model, batch = tiny
+        mask = model.trainable_mask()
+        rng = jax.random.PRNGKey(0)
+
+        tx_a = make_optimizer(trainable_mask=mask)
+        s_a = TrainState.create(model.params, tx_a)
+        step_a = make_train_step(model._loss_fn, donate=False)
+        s_a, loss_a = step_a(s_a, batch, 1e-2, rng)
+
+        tx_b = make_optimizer(trainable_mask=mask)
+        s_b = TrainState.create(model.params, tx_b)
+        step_b = make_train_step(
+            model._loss_fn, donate=False, trainable_mask=mask
+        )
+        s_b, loss_b = step_b(s_b, batch, 1e-2, rng)
+
+        assert float(loss_a) == float(loss_b)
+        flat_a = jax.tree_util.tree_leaves_with_path(s_a.params)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(s_b.params))
+        for path, leaf_a in flat_a:
+            # forward graphs are identical; backward graphs differ only by
+            # the removed frozen-dW subgraphs, so allow fusion-level noise
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(flat_b[path]),
+                rtol=1e-6, atol=1e-7, err_msg=str(path),
+            )
+
     def test_trainable_count_small_fraction(self, tiny):
         model, _ = tiny
         trainable, total = trainable_param_count(
