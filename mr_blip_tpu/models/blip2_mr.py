@@ -92,6 +92,28 @@ def _pad_to(arr: np.ndarray, length: int, axis: int = 1, value=0) -> np.ndarray:
     return np.pad(arr, widths, constant_values=value)
 
 
+def _parse_scan_layers(v):
+    """scan_layers value -> (vit: bool, t5: bool|"encoder"|"decoder").
+
+    True/"all" scans everything; False/"none" nothing; otherwise a
+    "+"-joined token set from {"vit", "t5", "t5enc", "t5dec"}. The t5
+    element feeds T5Config.scan_layers verbatim."""
+    if v in (True, "all"):
+        return True, True
+    if v in (False, None, "none"):
+        return False, False
+    toks = set(str(v).split("+"))
+    bad = toks - {"vit", "t5", "t5enc", "t5dec"}
+    if bad or ("t5" in toks and (toks & {"t5enc", "t5dec"})) or \
+            {"t5enc", "t5dec"} <= toks:
+        raise ValueError(f"scan_layers={v!r}")
+    t5 = (True if "t5" in toks
+          else "encoder" if "t5enc" in toks
+          else "decoder" if "t5dec" in toks
+          else False)
+    return "vit" in toks, t5
+
+
 def _bucket(n: int, multiple: int = 16) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
@@ -151,15 +173,14 @@ class BLIP2_MR(BaseModel):
         # depth (cold compile of the XL train step: ~15 min unrolled).
         # Params store per-layer leaves stacked on a leading axis; convert
         # flat trees with models/scan_utils.stack_blip2_mr_params.
-        # Accepts True/"all", False/"none", or "vit"/"t5" to scan only one
-        # stack (the two have different cost profiles: the ViT is fwd-only
-        # under freeze_vit so scanning it is memory-neutral, while scanning
-        # the T5 changes the train backward's rematerialization freedom).
-        scan_vit = scan_layers in (True, "all", "vit")
-        scan_t5 = scan_layers in (True, "all", "t5")
-        if isinstance(scan_layers, str) and scan_layers not in (
-                "all", "vit", "t5", "none"):
-            raise ValueError(f"scan_layers={scan_layers!r}")
+        # Accepts True/"all", False/"none", or "+"-joined stack tokens from
+        # {"vit", "t5", "t5enc"} — e.g. "vit", "t5", "vit+t5enc". The stacks
+        # have different cost profiles: the ViT is fwd-only under freeze_vit
+        # so scanning it is steady-state free; scanning the T5 encoder is
+        # decode-invisible; scanning the T5 *decoder* makes the beam decode
+        # loop's cache updates layer-major (~10% flagship end-to-end) and
+        # changes the train backward's rematerialization freedom.
+        scan_vit, scan_t5 = _parse_scan_layers(scan_layers)
         self.task = task
         self.use_lora = "lora" in task
         # Full-T5 finetuning (no LoRA) trains the rel-pos embedding too; the
@@ -557,7 +578,7 @@ class BLIP2_MR(BaseModel):
                 min_new_tokens=self.min_new_tokens,
                 eos_token_id=eos, pad_token_id=pad,
                 decoder_start_token_id=start,
-                cache_layer_major=self.t5_config.scan_layers,
+                cache_layer_major=self.t5_config.scan_decoder,
             )
 
         return generate_fn

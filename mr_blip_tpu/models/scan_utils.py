@@ -74,11 +74,14 @@ def unstack_vit_blocks(vit_params: dict) -> dict:
 
 # --------------------------------------------------------------------- T5
 
-def stack_t5_blocks(t5_params: dict) -> dict:
+def stack_t5_blocks(t5_params: dict, encoder: bool = True,
+                    decoder: bool = True) -> dict:
     """encoder/decoder ``block_0..N-1`` -> stacked ``block``
-    (T5Config.scan_layers)."""
+    (T5Config.scan_layers; per-side for scan_layers="encoder"/"decoder")."""
     out = dict(t5_params)
-    for side in ("encoder", "decoder"):
+    sides = (("encoder",) if encoder else ()) + (
+        ("decoder",) if decoder else ())
+    for side in sides:
         if side in out:
             out[side] = _stack_group(out[side], "block_", "block")
     return out
@@ -95,13 +98,21 @@ def unstack_t5_blocks(t5_params: dict) -> dict:
 # ---------------------------------------------------- flagship param trees
 
 def stack_blip2_mr_params(params: dict, vit_scan: bool = True,
-                          t5_scan: bool = True) -> dict:
-    """Flat flagship tree -> the layout a scan-enabled BLIP2_MR expects."""
+                          t5_scan=True) -> dict:
+    """Flat flagship tree -> the layout a scan-enabled BLIP2_MR expects.
+
+    ``t5_scan`` mirrors T5Config.scan_layers: True/False or
+    "encoder"/"decoder" to stack only that side (model.scan_t5 passes
+    through verbatim)."""
     out = dict(params)
     if vit_scan and "visual_encoder" in out:
         out["visual_encoder"] = stack_vit_blocks(out["visual_encoder"])
     if t5_scan and "t5" in out:
-        out["t5"] = stack_t5_blocks(out["t5"])
+        out["t5"] = stack_t5_blocks(
+            out["t5"],
+            encoder=t5_scan in (True, "encoder"),
+            decoder=t5_scan in (True, "decoder"),
+        )
     return out
 
 

@@ -108,7 +108,20 @@ class T5Config:
     # leading axis under "block" instead of "block_{i}" subtrees; convert
     # with models/scan_utils.{stack,unstack}_t5_blocks. The decode cache
     # stacks the same way (generation gathers beams on axis 1 then).
-    scan_layers: bool = False
+    # True scans both sides; "encoder"/"decoder" scans only that side:
+    # scanning the decoder turns the beam decode loop's per-step cache
+    # updates layer-major, which costs ~10% flagship end-to-end, while the
+    # encoder scan is decode-invisible — so inference wants "encoder"
+    # (compile win only) and training wants True (backward compile win).
+    scan_layers: bool | str = False
+
+    @property
+    def scan_encoder(self) -> bool:
+        return self.scan_layers in (True, "encoder")
+
+    @property
+    def scan_decoder(self) -> bool:
+        return self.scan_layers in (True, "decoder")
 
 
 def _checkpoint_policy(cfg: "T5Config"):
@@ -617,7 +630,7 @@ class T5Encoder(nn.Module):
             # logits recomputed in the backward); "dots_kernels": keep MXU
             # outputs, recompute elementwise only
             block_cls = _remat_block(cfg)
-        if cfg.scan_layers:
+        if cfg.scan_encoder:
             if cfg.int8_encoder:
                 # W8A8 kernels emit bf16 whatever the input dtype; the scan
                 # carry must be type-invariant (see eva_vit.py).
@@ -693,7 +706,7 @@ class T5Decoder(nn.Module):
         block_cls = T5Block
         if cfg.use_remat and not decode:
             block_cls = _remat_block(cfg)
-        if cfg.scan_layers:
+        if cfg.scan_decoder:
             # The decode cache stacks per layer too (variable_axes cache=0):
             # self-attn cache leaves become (L, B*K, max_len, inner), so
             # beam gathering selects on axis 1 (generation.py

@@ -88,13 +88,14 @@ def main():
         stack_blip2_mr_params, unstack_blip2_mr_params,
     )
 
-    # scan_layers may be per-stack ("vit"/"t5"); unstack is a no-op for
-    # groups that aren't stacked, and restack follows the model's flags.
+    # scan_layers may be per-stack ("vit"/"t5"/"vit+t5enc"); unstack is a
+    # no-op for groups that aren't stacked, and restack follows the model's
+    # flags (scan_t5 may be "encoder"/"decoder" — passed through verbatim).
     scan_vit = bool(getattr(model, "scan_vit",
                             getattr(model, "scan_layers", False)))
-    scan_t5 = bool(getattr(model, "scan_t5",
-                           getattr(model, "scan_layers", False)))
-    scan = scan_vit or scan_t5
+    scan_t5 = getattr(model, "scan_t5",
+                      bool(getattr(model, "scan_layers", False)))
+    scan = bool(scan_vit or scan_t5)
     if scan:
         params = unstack_blip2_mr_params(params)
 

@@ -120,3 +120,19 @@ def test_overrunning_stage_is_killed_not_fatal():
     # the stages after the killed one were recorded as skipped
     assert "train-int8" in last["skipped_stages"]
     assert "bf16" in last["skipped_stages"]
+
+
+def test_transient_stage_failure_is_retried_once(tmp_path):
+    marker = str(tmp_path / "fail_marker")
+    rows, rc = _run({
+        "MRBLIP_BENCH_FAKE_FAIL_ONCE": "train",
+        "MRBLIP_BENCH_FAKE_MARKER": marker,
+    })
+    assert rc == 0
+    last = rows[-1]
+    # The first train attempt crashed (simulated relay flake); the retry
+    # supplied the row, and the artifact records that a retry happened.
+    assert last["train_value"] == 25.0
+    assert last["retried_stages"] == ["train"]
+    assert "skipped_stages" not in last
+    assert os.path.exists(marker)

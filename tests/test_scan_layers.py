@@ -266,3 +266,36 @@ class TestFlagshipScan:
 
         with pytest.raises(ValueError):
             _checkpoint_policy(T5Config(remat_policy="everything"))
+
+    def test_t5_encoder_only_scan(self, pair):
+        """scan_layers='vit+t5enc' scans the ViT and the T5 ENCODER but
+        keeps the decoder unrolled (flat cache, no layer-major gather):
+        the production inference default shape — encoder compile win with
+        zero decode-loop cost."""
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+        m_flat, _ = pair
+        m = BLIP2_MR(scan_layers="vit+t5enc", init_params=False, **self.KW)
+        assert m.scan_vit and m.scan_t5 == "encoder"
+        assert m.t5_config.scan_encoder and not m.t5_config.scan_decoder
+        m.params = stack_blip2_mr_params(
+            flax.core.unfreeze(m_flat.params),
+            vit_scan=True, t5_scan="encoder")
+        # encoder stacked, decoder flat
+        assert "block" in m.params["t5"]["encoder"]
+        assert "block_0" in m.params["t5"]["decoder"]
+        s = _mr_samples()
+        assert m_flat.generate(dict(s))["prediction"] == \
+            m.generate(dict(s))["prediction"]
+        bf = m_flat.prepare_mr_batch(dict(s)); bf.pop("video_prompt", None)
+        bs = m.prepare_mr_batch(dict(s)); bs.pop("video_prompt", None)
+        lf = float(m_flat._loss_fn(m_flat.params, bf)[0])
+        ls = float(m._loss_fn(m.params, bs)[0])
+        assert abs(lf - ls) < 2e-4 + 1e-4 * abs(lf)
+
+    @pytest.mark.parametrize("bad", ["both", "t5+t5enc", "t5enc+t5dec"])
+    def test_scan_layers_rejects_bad_combos(self, bad):
+        from mr_blip_tpu.models.blip2_mr import BLIP2_MR
+
+        with pytest.raises(ValueError):
+            BLIP2_MR(scan_layers=bad, init_params=False, **self.KW)
